@@ -1,0 +1,45 @@
+"""Parquet catalog over the driver testdata directories.
+
+The reference discovers its inputs from S3 event notifications (A-4,
+upstream ``main.go:~190-225`` approx — SURVEY.md §2.A); here the batch
+analog is a directory of parquet tables. Reads go through
+``spark.read.parquet`` so Catalyst gets predicate pushdown + column
+pruning on every scan (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cloudtrail_streamer_spark.session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    configure(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register tables as temp views for spark.sql()-expressed operators."""
+    for name in names or TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

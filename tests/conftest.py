@@ -1,0 +1,86 @@
+"""Shared test fixtures: one local SparkSession + a DuckDB oracle harness
+that mirrors the driver's t2 check (row-count + schema-name + order-
+insensitive exact value compare) as closely as possible.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from cloudtrail_streamer_spark.catalog import TABLES
+from cloudtrail_streamer_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_session("cts-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def register_duckdb_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted canonical frame (driver-style)."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: repr(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: schema mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype(np.float64)
+            bv = bv.astype(np.float64)
+            both_nan = np.isnan(av) & np.isnan(bv)
+            eq = (av == bv) | both_nan
+        else:
+            eq = av == bv
+        if not np.all(eq):
+            bad = np.nonzero(~eq)[0][:5]
+            raise AssertionError(
+                f"{name}: column {c!r} mismatch at rows {bad.tolist()}: "
+                f"spark={av[bad].tolist()} oracle={bv[bad].tolist()}"
+            )
+
+
+def run_pair(spark, con, name: str, sf_dir: str = SF_DIR):
+    """Run one registry query + its oracle; assert exact match."""
+    from cloudtrail_streamer_spark.registry import all_oracles, all_queries
+
+    q = all_queries()[name]
+    sdf = q(spark, sf_dir).toPandas()
+    register_duckdb_views(con, sf_dir)
+    odf = con.execute(all_oracles()[name]).fetchdf()
+    assert_frames_match(sdf, odf, name)
+    return sdf
