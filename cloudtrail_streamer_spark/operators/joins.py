@@ -1,0 +1,230 @@
+"""Join operators (SURVEY.md §2.B B-10..B-19).
+
+The reference joins nothing (SURVEY.md §2.A closing note); this is engine
+scope. Strategy selection is left to Catalyst + AQE except where a hint
+is the right call at scale:
+
+- B-11 broadcasts the dimension tables explicitly — at 100 TB the fact
+  side never shuffles for a dim join.
+- B-17 (theta) carries an equi-key (p_brand) so Catalyst plans a hash
+  join with the inequality as a post-join filter instead of a BNLJ over
+  the full cross product.
+- B-18 (interval) likewise: equi-bucket key + range predicate.
+- B-19 (as-of) has no native Spark operator; rewritten as a single
+  window pass (``last(..., ignorenulls)`` over rows-preceding frame) —
+  one shuffle on the key, no join at all. Cross-checked against DuckDB's
+  native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.registry import query
+
+_INNER_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+"""
+
+
+@query("join_inner_hash", oracle=_INNER_ORACLE, survey_id="B-10")
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_BCAST_ORACLE = """
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@query("join_broadcast", oracle=_BCAST_ORACLE, survey_id="B-11")
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim join with explicit broadcast of the small sides."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+_LEFT_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+@query("join_outer_left", oracle=_LEFT_ORACLE, survey_id="B-12")
+def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_FULL_ORACLE = """
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey, n_customers, n_suppliers
+FROM cn FULL JOIN sn ON cn.nk = sn.nk
+"""
+
+
+@query("join_outer_full", oracle=_FULL_ORACLE, survey_id="B-13")
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_semi", oracle=_SEMI_ORACLE, survey_id="B-14")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_anti", oracle=_ANTI_ORACLE, survey_id="B-15")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_CROSS_ORACLE = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+@query("join_cross", oracle=_CROSS_ORACLE, survey_id="B-16")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+_THETA_ORACLE = """
+SELECT a.p_partkey AS small_key, b.p_partkey AS big_key, a.p_brand AS brand,
+       a.p_size AS small_size, b.p_size AS big_size
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+"""
+
+
+@query("join_theta_range", oracle=_THETA_ORACLE, survey_id="B-17")
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi self join. The p_brand equi-key keeps this a hash join
+    (inequality evaluated post-probe) rather than an O(n²) BNLJ."""
+    p = table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("small_key"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("small_size"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("big_key"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_size").alias("big_size"),
+    )
+    return a.join(
+        b, (a.brand == b.brand_b) & (a.small_size < b.big_size)
+    ).select("small_key", "big_key", "brand", "small_size", "big_size")
+
+
+_INTERVAL_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+FROM events e JOIN orders o
+  ON (e.user_id % 16) = (o.o_orderkey % 16)
+ AND e.ts >= o.o_orderdate + INTERVAL 29 YEAR
+ AND e.ts <  o.o_orderdate + INTERVAL 29 YEAR + INTERVAL 7 DAY
+"""
+
+
+@query("join_interval", oracle=_INTERVAL_ORACLE, survey_id="B-18")
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-bucket + time-range join (events in [start, start+7d)).
+
+    The mod-16 bucket key makes Catalyst hash-partition both sides; the
+    range predicate filters inside each bucket — the pattern that keeps
+    interval joins shuffle-bounded at 100 TB. (Order dates are 1995-2001
+    and events 2024; the +29y shift overlaps the domains — FIXTURES.md.)
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "window_start", F.expr("o_orderdate + INTERVAL 29 YEARS")
+    )
+    cond = (
+        ((e.user_id % 16) == (o.o_orderkey % 16))
+        & (e.ts >= o.window_start)
+        & (e.ts < F.expr("window_start + INTERVAL 7 DAYS"))
+    )
+    return e.join(o, cond).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts, s.ts AS last_signup_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+@query("join_asof", oracle=_ASOF_ORACLE, survey_id="B-19")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: latest signup at-or-before each event.
+
+    Spark has no ASOF JOIN; instead of a join at all, a single window
+    pass: carry the last non-null signup timestamp forward within each
+    user's time-ordered stream. One shuffle (by user_id), O(n) state —
+    strictly cheaper than the union-sort-join plans at 100 TB.
+    Cross-checked against DuckDB's native ASOF LEFT JOIN.
+    """
+    e = table(spark, sf_dir, "events")
+    sig_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(sig_ts, ignorenulls=True).over(w).alias("last_signup_ts"),
+    )

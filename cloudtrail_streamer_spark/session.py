@@ -27,6 +27,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # ANSI off: keep permissive casts aligned with DuckDB-oracle behavior
     # for e.g. malformed JSON returning NULL rather than erroring.
     "spark.sql.ansi.enabled": "false",
+    # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
+    # rejects; read as long and convert (catalog.table truncates to micros,
+    # exactly matching DuckDB's nanos→micros truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Build-time confs used when *we* own session construction (tests, bench).

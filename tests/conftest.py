@@ -64,6 +64,11 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
             bv = bv.astype(np.float64)
             both_nan = np.isnan(av) & np.isnan(bv)
             eq = (av == bv) | both_nan
+        elif np.issubdtype(av.dtype, np.datetime64) and np.issubdtype(bv.dtype, np.datetime64):
+            av = av.astype("datetime64[ns]")
+            bv = bv.astype("datetime64[ns]")
+            both_nat = np.isnat(av) & np.isnat(bv)
+            eq = (av == bv) | both_nat
         else:
             eq = av == bv
         if not np.all(eq):
