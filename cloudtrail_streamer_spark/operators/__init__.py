@@ -2,8 +2,13 @@
 
 from cloudtrail_streamer_spark.operators import (  # noqa: F401
     aggregates,
+    functions_ops,
     joins,
     projection,
     scans,
+    similarity,
     sorts_sets,
+    text,
+    udfs,
+    windows,
 )

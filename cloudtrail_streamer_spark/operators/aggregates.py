@@ -65,3 +65,179 @@ def agg_group_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_DISTINCT_ORACLE = """
+SELECT o_orderstatus AS status, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'ALL' AS status, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+"""
+
+
+@query("agg_distinct", oracle=_DISTINCT_ORACLE, survey_id="B-21")
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group + global (expand-then-aggregate plan).
+
+    At scale: Catalyst rewrites distinct-agg as a two-phase expand +
+    partial agg, so the shuffle carries (status, custkey) pairs once.
+    """
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers")
+    )
+    glob = o.agg(F.countDistinct("o_custkey").cast("long").alias("n_customers")).select(
+        F.lit("ALL").alias("status"), "n_customers"
+    )
+    return per.unionByName(glob)
+
+
+_ROLLUP_ORACLE = """
+SELECT
+  n_regionkey AS regionkey,
+  n_nationkey AS nationkey,
+  CAST(GROUPING(n_regionkey, n_nationkey) AS BIGINT) AS gid,
+  CAST(COUNT(c_custkey) AS BIGINT) AS n_customers
+FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_regionkey, n_nationkey)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE, survey_id="B-22")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region→nation with grouping_id (bitmask matches DuckDB)."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    j = n.join(c, c.c_nationkey == n.n_nationkey, "left")
+    return j.rollup(
+        F.col("n_regionkey").alias("regionkey"), F.col("n_nationkey").alias("nationkey")
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("c_custkey").cast("long").alias("n_customers"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  o_orderstatus AS status,
+  o_orderpriority AS priority,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE, survey_id="B-23")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+_GSETS_ORACLE = """
+SELECT event_type, user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE, survey_id="B-24")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (SURVEY.md §3.2 —
+    SQL and DataFrame converge at the unresolved logical plan)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_GSETS_ORACLE)
+
+
+_STATS_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(MIN(l_linenumber) AS BIGINT) AS min_ln,
+  CAST(MAX(l_linenumber) AS BIGINT) AS max_ln,
+  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_ln,
+  sqrt((SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT))
+        - CAST(SUM(CAST(l_linenumber AS BIGINT)) AS DOUBLE) * SUM(CAST(l_linenumber AS BIGINT)) / COUNT(*))
+       / (COUNT(*) - 1)) AS stddev_ln,
+  (SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT))
+   - CAST(SUM(CAST(l_linenumber AS BIGINT)) AS DOUBLE) * SUM(CAST(l_linenumber AS BIGINT)) / COUNT(*))
+  / (COUNT(*) - 1) AS var_ln,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_stats", oracle=_STATS_ORACLE, survey_id="B-25")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev_samp/var_samp from EXACT integer moments.
+
+    Native stddev accumulates doubles in partition-merge order (varies
+    under parallelism) — instead sum x and x² as exact BIGINTs, then one
+    fixed double expression both engines evaluate identically (§5.3).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("long")
+    s1 = F.sum(ln)
+    s2 = F.sum(ln * ln)
+    cnt = F.count(F.lit(1))
+    var = (s2 - s1.cast("double") * s1 / cnt) / (cnt - 1)
+    return l.groupBy("l_returnflag").agg(
+        F.min(ln).alias("min_ln"),
+        F.max(ln).alias("max_ln"),
+        (s1.cast("double") / cnt).alias("avg_ln"),
+        F.sqrt(var).alias("stddev_ln"),
+        var.alias("var_ln"),
+        cnt.alias("n"),
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT
+  n_name,
+  array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+  COUNT(*) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("agg_collect_sorted", oracle=_COLLECT_ORACLE, survey_id="B-26")
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort_array (§5.3 rule 4 — never collect unsorted),
+    emitted as a joined string for cross-engine value stability."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_custkey")), ",").alias("custkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query("agg_approx", survey_id="B-27")  # Tier R: sketch outputs are engine-specific
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + percentile_approx (GK sketch).
+
+    At 100 TB these replace exact distinct/percentile: fixed-size sketch
+    state, single shuffle of sketches, mergeable across partitions.
+    Rows-only driver check; engine test asserts <5% relative error vs
+    exact (tests/test_engine.py).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

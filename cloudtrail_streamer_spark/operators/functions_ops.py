@@ -1,0 +1,259 @@
+"""Scalar-function operators (SURVEY.md §2.B B-38..B-44).
+
+String / date / math / json / array / map / explode surfaces, all
+expressed as built-in ``pyspark.sql.functions`` (JVM whole-stage
+codegen; zero Python in the row path). The JSON ops generalize the
+reference's only record-level operation — envelope parse + Records
+unwrap (A-7, upstream ``main.go:~150-165`` approx).
+
+Cross-engine pins (SURVEY.md §5.3 rule 6), each verified live against
+DuckDB 1.0:
+- ``dayofweek``: Spark 1=Sunday..7 vs DuckDB 0=Sunday..6 → oracle +1.
+- ``date_trunc``: DuckDB returns DATE for 'month' → oracle casts back
+  to TIMESTAMP.
+- ``months_between`` has no DuckDB twin → oracle reproduces Spark's
+  documented (y*12 + m + (d1-d2)/31) formula; both sides ROUND(,4).
+- integer outputs pinned to BIGINT on both sides (DuckDB year()/len()
+  return BIGINT, Spark returns int).
+- float32 array math: cast elements to DOUBLE *before* any arithmetic
+  on both sides, fold left-to-right, ROUND(,4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.registry import query
+
+_STRING_ORACLE = """
+SELECT
+  p_partkey,
+  substr(p_name, 2, 5) AS sub5,
+  upper(p_name) AS up_name,
+  lower(p_brand) AS lo_brand,
+  trim(concat('  ', p_name, '  ')) AS trimmed,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  CAST(length(p_name) AS BIGINT) AS name_len,
+  replace(p_name, 'a', '@') AS replaced,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+  regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+  string_split(p_type, ' ')[1] AS first_type_word
+FROM part
+"""
+
+
+@query("fn_string", oracle=_STRING_ORACLE, survey_id="B-38")
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 2, 5).alias("sub5"),
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("lo_brand"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("replaced"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.split("p_type", " ").getItem(0).alias("first_type_word"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(month(o_orderdate) AS BIGINT) AS mo,
+  CAST(day(o_orderdate) AS BIGINT) AS dy,
+  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  o_orderdate + INTERVAL 5 DAY AS plus5,
+  round((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1)
+        + (day(o_orderdate) - 15) / 31.0, 4) AS months_since,
+  CAST(date_diff('day', TIMESTAMP '1995-01-15 00:00:00', o_orderdate) AS BIGINT) AS days_since,
+  CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr
+FROM orders
+"""
+
+
+@query("fn_date", oracle=_DATE_ORACLE, survey_id="B-39")
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    ref = F.lit("1995-01-15 00:00:00").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dy"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.expr("o_orderdate + INTERVAL 5 DAYS").alias("plus5"),
+        F.round(F.months_between(d, ref), 4).alias("months_since"),
+        F.datediff(d, ref).cast("long").alias("days_since"),
+        F.expr("extract(quarter FROM o_orderdate)").cast("long").alias("qtr"),
+    )
+
+
+_MATH_ORACLE = """
+SELECT
+  p_partkey,
+  CAST(abs(p_size - 25) AS BIGINT) AS ab,
+  round(p_size / 2.0, 0) AS half_rounded,
+  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+  CAST(ceil(p_retailprice) AS BIGINT) AS cl,
+  CAST(p_size % 7 AS BIGINT) AS pm,
+  round(pow(p_size, 1.5), 4) AS pw,
+  round(ln(p_retailprice), 4) AS lg,
+  round(log10(p_retailprice), 4) AS l10,
+  round(sqrt(p_size), 4) AS sq,
+  CAST(sign(p_size - 25) AS DOUBLE) AS sg,
+  CAST(greatest(p_size, 25) AS BIGINT) AS gr,
+  CAST(least(p_size, 25) AS BIGINT) AS ls
+FROM part
+"""
+
+
+@query("fn_math", oracle=_MATH_ORACLE, survey_id="B-40")
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pmod is safe as ``%`` here because p_size ≥ 0 (§5.3 rule 6)."""
+    p = table(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    rp = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.abs(sz - 25).cast("long").alias("ab"),
+        F.round(sz / 2.0, 0).alias("half_rounded"),
+        F.floor(rp).cast("long").alias("fl"),
+        F.ceil(rp).cast("long").alias("cl"),
+        F.pmod(sz, 7).cast("long").alias("pm"),
+        F.round(F.pow(sz, 1.5), 4).alias("pw"),
+        F.round(F.log(rp), 4).alias("lg"),
+        F.round(F.log10(rp), 4).alias("l10"),
+        F.round(F.sqrt(sz), 4).alias("sq"),
+        F.signum(sz - 25).cast("double").alias("sg"),
+        F.greatest(sz, F.lit(25)).cast("long").alias("gr"),
+        F.least(sz, F.lit(25)).cast("long").alias("ls"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tuple
+FROM events
+"""
+
+
+@query("fn_json", oracle=_JSON_ORACLE, survey_id="B-41")
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three JSON access paths over the same value (A-7 generalized):
+    path-extract, schema-parse (from_json — the 'analytics mode' parse of
+    SURVEY.md §1.2), and json_tuple (generator form)."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    tup = e.select("event_id", "props", F.json_tuple(F.col("props"), "k").alias("ktup"))
+    return (
+        tup.withColumn("k_path", F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .withColumn("k_struct", parsed.getField("k").cast("long"))
+        .withColumn("k_tuple", F.col("ktup").cast("long"))
+        .select("event_id", "k_path", "k_struct", "k_tuple")
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT
+  vec_id,
+  CAST(len(embedding) AS BIGINT) AS n_dims,
+  CAST(embedding[1] AS DOUBLE) AS first_val,
+  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+  round(list_aggregate(list_transform(embedding[2:4], x -> CAST(x AS DOUBLE)), 'sum'), 4) AS slice_sum,
+  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sum_sq,
+  round(list_dot_product(CAST(embedding AS DOUBLE[]), list_reverse(CAST(embedding AS DOUBLE[]))), 4) AS dot_rev
+FROM embeddings
+"""
+
+
+@query("fn_array", oracle=_ARRAY_ORACLE, survey_id="B-42")
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the float[64] embedding column.
+
+    All arithmetic in DOUBLE (cast before multiply) with left-to-right
+    folds — matches DuckDB's list_* evaluation; ROUND(,4) on folds.
+    """
+    em = table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    ed = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    return em.select(
+        "vec_id",
+        F.size(e).cast("long").alias("n_dims"),
+        F.element_at(e, 1).cast("double").alias("first_val"),
+        F.array_max(e).cast("double").alias("vmax"),
+        F.array_min(e).cast("double").alias("vmin"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(F.slice(ed, 2, 3), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("slice_sum"),
+        F.round(
+            F.aggregate(ed, F.lit(0.0), lambda a, x: a + x * x), 4
+        ).alias("sum_sq"),
+        F.round(
+            F.aggregate(
+                F.zip_with(ed, F.reverse(ed), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("dot_rev"),
+    )
+
+
+_MAP_ORACLE = """
+SELECT
+  event_id,
+  MAP{'u': user_id, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}['u'][1] AS map_user,
+  MAP{'u': user_id, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}['k'][1] AS map_k,
+  CAST(len(map_keys(MAP{'u': user_id, 'k': CAST(json_extract_string(props, '$.k') AS BIGINT)})) AS BIGINT) AS n_keys
+FROM events
+"""
+
+
+@query("fn_map", oracle=_MAP_ORACLE, survey_id="B-44")
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + key/value access (DuckDB map[k] yields a
+    one-element list — oracle unwraps with [1])."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    m = F.create_map(F.lit("u"), F.col("user_id"), F.lit("k"), k)
+    return e.select(
+        "event_id",
+        F.element_at(m, "u").alias("map_user"),
+        F.element_at(m, "k").alias("map_k"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+_EXPLODE_ORACLE = """
+SELECT
+  doc_id,
+  unnest(string_split(text, ' ')) AS tok,
+  CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+@query("fn_explode", oracle=_EXPLODE_ORACLE, survey_id="B-43")
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of tokenized text (the Records[]-unwrap of A-7 as a
+    relational generator op); pos is 1-based to match generate_subscripts."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    ).select("doc_id", "tok", (F.col("pos0") + 1).cast("long").alias("pos"))

@@ -1,0 +1,221 @@
+"""Similarity-search operators over ``embeddings``
+(SURVEY.md §2.B B-57, B-58, B-64 + north-star ANN variants).
+
+Brute-force is the correctness baseline (B-57): broadcast the probe set,
+score every (probe, vector) pair with codegen'd higher-order functions,
+per-probe top-k via window. At 100 TB the scale path is bucketed search
+(sim_search_ivf): a cheap coarse quantizer keys both sides so each probe
+scores only its bucket — same top-k machinery, 1/|buckets| of the pairs.
+
+Determinism (§5.3): ranking uses ROUND(score, 4) + vec_id tiebreak in
+BOTH engines, so an engine-side ulp difference in the raw double can
+never reorder the result. The cosine formula (dot/(|a|·|b|), double,
+left-to-right fold) is written out identically in the oracle SQL rather
+than relying on DuckDB's list_cosine_similarity internals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.functions.vector import as_double, cosine, dot, l2_norm
+from cloudtrail_streamer_spark.registry import query
+
+# Oracle-side building blocks (DuckDB), mirroring functions/vector.py.
+_D_DOT_AB = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+_D_NORM_A = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+_D_NORM_B = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+_D_COS = f"round({_D_DOT_AB} / ({_D_NORM_A} * {_D_NORM_B}), 4)"
+
+_TOPK_ORACLE = f"""
+SELECT probe_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         {_D_COS} AS score,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {_D_COS} DESC, b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id <= 9
+) t
+WHERE rn <= 5
+"""
+
+
+@query("sim_search_topk", oracle=_TOPK_ORACLE, survey_id="B-57")
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 probe vectors."""
+    em = table(spark, sf_dir, "embeddings")
+    probes = em.where(F.col("vec_id") <= 9).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    cand = em.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cand_emb"))
+    score = F.round(cosine(as_double(F.col("probe_emb")), as_double(F.col("cand_emb"))), 4)
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        cand.join(F.broadcast(probes), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "score", "rn")
+    )
+
+
+_KNN_ORACLE = f"""
+WITH topk AS (
+  SELECT probe_id, neighbor_id, rn FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY {_D_COS} DESC, b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id <= 9
+  ) t WHERE rn <= 5
+), votes AS (
+  SELECT probe_id, e.label, COUNT(*) AS n_votes
+  FROM topk JOIN embeddings e ON e.vec_id = topk.neighbor_id
+  GROUP BY probe_id, e.label
+)
+SELECT probe_id, CAST(label AS BIGINT) AS pred_label, n_votes
+FROM (
+  SELECT probe_id, label, n_votes,
+         row_number() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, label) AS vr
+  FROM votes
+) v
+WHERE vr = 1
+"""
+
+
+@query("sim_knn_classify", oracle=_KNN_ORACLE, survey_id="B-58")
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority vote over B-57's top-5 (tie → smallest label)."""
+    em = table(spark, sf_dir, "embeddings")
+    topk = sim_search_topk(spark, sf_dir)
+    labels = em.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select("probe_id", F.col("label").cast("long").alias("pred_label"), "n_votes")
+    )
+
+
+_NORMALIZE_ORACLE = """
+SELECT
+  vec_id,
+  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4)
+    AS l2_norm,
+  round(CAST(embedding[1] AS DOUBLE)
+        / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4)
+    AS unit_first,
+  round(CAST(embedding[64] AS DOUBLE)
+        / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4)
+    AS unit_last
+FROM embeddings
+"""
+
+
+@query("embed_normalize", oracle=_NORMALIZE_ORACLE, survey_id="B-64")
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization via transform(e, x -> x/|e|); emitted as scalars
+    (norm + first/last unit components) for cross-engine value compare."""
+    em = table(spark, sf_dir, "embeddings")
+    ed = as_double(F.col("embedding"))
+    norm = l2_norm(ed)
+    unit = F.transform(ed, lambda x: x / norm)
+    return em.select(
+        "vec_id",
+        F.round(norm, 4).alias("l2_norm"),
+        F.round(F.element_at(unit, 1), 4).alias("unit_first"),
+        F.round(F.element_at(unit, 64), 4).alias("unit_last"),
+    )
+
+
+_BUCKET_SQL = """(
+  CASE WHEN {e}[1] > 0 THEN 8 ELSE 0 END +
+  CASE WHEN {e}[2] > 0 THEN 4 ELSE 0 END +
+  CASE WHEN {e}[3] > 0 THEN 2 ELSE 0 END +
+  CASE WHEN {e}[4] > 0 THEN 1 ELSE 0 END)"""
+
+_IVF_ORACLE = f"""
+SELECT probe_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         {_D_COS} AS score,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {_D_COS} DESC, b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b
+    ON {_BUCKET_SQL.format(e="a.embedding")} = {_BUCKET_SQL.format(e="b.embedding")}
+   AND a.vec_id <> b.vec_id
+  WHERE a.vec_id <= 9
+) t
+WHERE rn <= 5
+"""
+
+
+def _bucket(col_name: str):
+    e = F.col(col_name)
+    b = F.lit(0)
+    for i, weight in enumerate((8, 4, 2, 1)):
+        b = b + F.when(F.element_at(e, i + 1) > 0, weight).otherwise(0)
+    return b
+
+
+@query("sim_search_ivf", oracle=_IVF_ORACLE, survey_id="north-star")
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (IVF-style) ANN: sign-bit coarse quantizer over the first
+    4 dims → 16 buckets; probes score only their own bucket.
+
+    This is the 100 TB shape: the bucket key turns the O(N·Q) cross
+    product into an equi-join — shuffle-partitioned by bucket, each task
+    scoring a slice. Recall vs brute force asserted in tests/test_engine.py.
+    """
+    em = table(spark, sf_dir, "embeddings")
+    probes = em.where(F.col("vec_id") <= 9).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        _bucket("embedding").alias("bucket"),
+    )
+    cand = em.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cand_emb"),
+        _bucket("embedding").alias("bucket"),
+    )
+    score = F.round(cosine(as_double(F.col("probe_emb")), as_double(F.col("cand_emb"))), 4)
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        cand.join(F.broadcast(probes), "bucket")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "score", "rn")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_D_COS} AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id <= 99 AND {_D_COS} >= 0.95
+"""
+
+
+@query("embed_neardup_cosine", oracle=_NEARDUP_ORACLE, survey_id="north-star")
+def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.95) for a probe
+    slice. At 100 TB this composes with sim_search_ivf's bucketing (score
+    within-bucket only) — kept brute-force here for the exact oracle."""
+    em = table(spark, sf_dir, "embeddings")
+    a = em.where(F.col("vec_id") <= 99).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    score = F.round(cosine(as_double(F.col("emb_a")), as_double(F.col("emb_b"))), 4)
+    return (
+        b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
+        .withColumn("score", score)
+        .where(F.col("score") >= 0.95)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,274 @@
+"""Text-analysis / dedup operators over ``documents``
+(SURVEY.md §2.B B-55, B-59..B-63 + north-star text ops).
+
+All pure built-ins (split/explode/groupBy/window) — the tokenize path is
+whole-stage-codegen JVM. At 100 TB: every op here is a scan + one or two
+hash shuffles keyed on term or doc hash; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.registry import query
+
+_DEDUP_EXACT_ORACLE = """
+SELECT
+  md5(lower(trim(text))) AS content_hash,
+  CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(lower(trim(text)))
+"""
+
+
+@query("dedup_exact", oracle=_DEDUP_EXACT_ORACLE, survey_id="B-55")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → md5 → keep min doc_id per hash.
+
+    The 100 TB shape: shuffle 16-byte hashes (not documents); survivors
+    re-join to fetch bodies. Spark and DuckDB md5 hex strings agree.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_WORDCOUNT_ORACLE = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+"""
+
+
+@query("text_tokenize_wordcount", oracle=_WORDCOUNT_ORACLE, survey_id="B-59")
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic tokenize → explode → count; top-50 with word tiebreak."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tokens) GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+"""
+
+
+@query("text_tfidf", oracle=_TFIDF_ORACLE, survey_id="B-60")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): two aggregations + a term-keyed join.
+
+    Scale: df table is |vocab| rows → broadcast side of the join; the
+    big tf table never shuffles twice. N arrives as a scalar via a
+    cross-join of a 1-row aggregate (no collect to the driver).
+    """
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tokens.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+_LANG_STATS_ORACLE = """
+SELECT
+  lang,
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@query("text_lang_stats", oracle=_LANG_STATS_ORACLE, survey_id="B-61")
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    cnt = F.count(F.lit(1))
+    return d.groupBy("lang", "source").agg(
+        cnt.alias("n_docs"),
+        (F.sum("n_chars").cast("double") / cnt).alias("avg_chars"),
+        (F.sum(n_tok).cast("double") / cnt).alias("avg_tokens"),
+    )
+
+
+# Fixed stopword list — deterministic, embedded in both engines' queries.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+_QUALITY_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, text, lang, n_chars,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN {_SW_SQL})) AS BIGINT)
+           AS n_stop
+  FROM documents
+), dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, n_chars, n_tokens,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio
+FROM dedup
+WHERE rn = 1
+  AND n_chars BETWEEN 20 AND 10000
+  AND n_tokens >= 5
+  AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+"""
+
+
+@query("text_filter_quality", oracle=_QUALITY_ORACLE, survey_id="B-62")
+def text_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: length bounds + stopword ratio + exact
+    dedup — the composition op of a pretraining-data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))).cast("long")
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    ratio = n_stop.cast("double") / n_tokens
+    return (
+        d.select("doc_id", "text", "lang", "n_chars")
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("ratio", ratio)
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("rn") == 1)
+            & F.col("n_chars").between(20, 10000)
+            & (F.col("n_tokens") >= 5)
+            & (F.col("ratio") < 0.5)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "n_tokens",
+            F.round(F.col("ratio"), 4).alias("stopword_ratio"),
+        )
+    )
+
+
+_BINARY_ORACLE = """
+SELECT
+  doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  sha256(text) AS content_sha,
+  substr(text, 1, 8) AS head_text
+FROM documents
+"""
+
+
+@query("multimodal_binary_col", oracle=_BINARY_ORACLE, survey_id="B-63")
+def multimodal_binary_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryType round trip: encode text → bytes, write/read parquet,
+    then length + sha2 + decode-back. The pattern for opaque image/audio
+    payload columns (see operators/multimodal.py for the decode path).
+    """
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    bin_df = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = os.path.join(tempfile.mkdtemp(prefix="cts_bin_"), "docs_binary")
+    bin_df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("content_sha"),
+        F.substring(F.decode(F.col("payload"), "utf-8"), 1, 8).alias("head_text"),
+    )
+
+
+_TOKEN_COUNT_ORACLE = """
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_split_to_array(text, '[^a-z0-9]+')) AS BIGINT) AS bpe_ish_tokens,
+  CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS byte_estimate
+FROM documents
+"""
+
+
+@query("text_token_count", oracle=_TOKEN_COUNT_ORACLE, survey_id="north-star")
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex word pieces,
+    and the bytes/4 heuristic used for LLM budget estimates."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.split(F.col("text"), "[^a-z0-9]+")).cast("long").alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_estimate"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT
+  doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+    (a, x) -> (a * 31 + x) % 1000000007
+  ) AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_ORACLE, survey_id="north-star")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (mod 1e9+7) via a
+    character-level fold — pure integer arithmetic, engine-agnostic."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            F.split(F.col("text"), ""),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * 31 + F.ascii(c)) % 1000000007,
+        ).alias("fingerprint"),
+    )

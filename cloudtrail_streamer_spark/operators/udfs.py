@@ -1,0 +1,177 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.B B-51..B-54).
+
+The declared Python escape hatches — everything else in the engine stays
+JVM-side. Ordered by cost (SURVEY.md §4.2 "UDFs are the slow path"):
+
+- B-51 row-at-a-time Python UDF: serialization per row; kept ONLY as the
+  parity demonstration. bench.py shows the gap vs B-52.
+- B-52 pandas UDF: Arrow batches, vectorized numpy/pandas ops — the
+  acceptable Python hot path at 100 TB.
+- B-53 applyInPandas: grouped-map — per-group pandas frame; group count
+  must be large and group size bounded for scale.
+- B-54 UDTF: Python table function (lateral generator).
+
+The ARN parsing theme mirrors the reference's CloudTrail domain: records
+carry userIdentity.arn (SURVEY.md §1.1); the reference never parses it
+(opaque bytes) — we demonstrate the analytics-mode parse.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.functions import udtf
+from pyspark.sql.types import LongType
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.registry import query
+
+# Synthetic CloudTrail-style ARN built deterministically from orders rows.
+_ARN_EXPR = (
+    "concat('arn:aws:iam::', lpad(CAST(o_custkey AS {str_t}), 12, '0'), "
+    "':user/u', CAST(o_orderkey AS {str_t}))"
+)
+_ARN_SPARK = _ARN_EXPR.format(str_t="STRING")
+_ARN_DUCK = _ARN_EXPR.format(str_t="VARCHAR")
+
+_UDF_ORACLE = f"""
+SELECT
+  o_orderkey,
+  {_ARN_DUCK} AS arn,
+  CAST(regexp_extract({_ARN_DUCK}, 'arn:aws:iam::(\\d{{12}}):', 1) AS BIGINT) AS account_id
+FROM orders
+"""
+
+
+@udf(returnType=LongType())
+def _parse_account_id(arn: str) -> int | None:
+    """Row-at-a-time Python UDF: ARN → 12-digit account id."""
+    if arn is None:
+        return None
+    parts = arn.split(":")
+    return int(parts[4]) if len(parts) > 4 and parts[4].isdigit() else None
+
+
+@query("udf_python_scalar", oracle=_UDF_ORACLE, survey_id="B-51")
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    arn = F.expr(_ARN_SPARK).alias("arn")
+    return o.select("o_orderkey", arn).withColumn(
+        "account_id", _parse_account_id(F.col("arn"))
+    )
+
+
+@pandas_udf(LongType())
+def _parse_account_id_vec(arn: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) equivalent of _parse_account_id."""
+    return arn.str.extract(r"arn:aws:iam::(\d{12}):", expand=False).astype("Int64")
+
+
+@query("udf_pandas_vectorized", oracle=_UDF_ORACLE, survey_id="B-52")
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    arn = F.expr(_ARN_SPARK).alias("arn")
+    return o.select("o_orderkey", arn).withColumn(
+        "account_id", _parse_account_id_vec(F.col("arn"))
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH cents AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), stats AS (
+  SELECT event_id, user_id, c,
+         SUM(c) OVER w AS s1,
+         SUM(c * c) OVER w AS s2,
+         COUNT(*) OVER w AS n
+  FROM cents
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) > 0
+            THEN (c - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+            ELSE 0.0 END AS zscore
+FROM stats
+"""
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map: z-score normalize one user's values.
+
+    Moments from exact integer cents (value is 2dp-exact, FIXTURES.md) so
+    the result is the same IEEE expression the oracle SQL evaluates —
+    cross-engine/merge-order independent (§5.3).
+    """
+    import numpy as np
+
+    c = np.round(pdf["value"].to_numpy() * 100.0, 0).astype("int64")
+    n = len(c)
+    s1 = int(c.sum())
+    s2 = int((c * c).sum())
+    num = float(s2) - float(s1) * s1 / n if n > 0 else 0.0
+    if n > 1 and num > 0:
+        std = (num / (n - 1)) ** 0.5
+        z = (c - float(s1) / n) / std
+    else:
+        z = np.zeros(n)
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
+    )
+
+
+@query("udaf_applyinpandas", oracle=_ZSCORE_ORACLE, survey_id="B-53")
+def udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score via grouped-map applyInPandas (custom UDAF shape).
+
+    Scale: one shuffle on user_id; each group is one user's events (small,
+    bounded) — the safe applyInPandas regime even at 100 TB.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        _zscore_group, schema="event_id long, user_id long, zscore double"
+    )
+
+
+_UDTF_ORACLE = """
+SELECT event_id, 'k' AS prop_key, json_extract_string(props, '$.k') AS prop_val
+FROM events
+WHERE props IS NOT NULL
+"""
+
+
+@udtf(returnType="prop_key string, prop_val string")
+class _ExplodeProps:
+    """Python UDTF: explode a JSON object into key/value rows (the
+    Records[]-unwrap of A-7, upstream ``main.go:~150-165`` approx, as a
+    user-defined generator)."""
+
+    def eval(self, props: str):  # noqa: D102
+        import json
+
+        if props is None:
+            return
+        try:
+            obj = json.loads(props)
+        except (ValueError, TypeError):
+            return
+        if isinstance(obj, dict):
+            for k in sorted(obj):
+                yield str(k), str(obj[k])
+
+
+@query("udtf_python", oracle=_UDTF_ORACLE, survey_id="B-54")
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_udtf")
+    spark.udtf.register("explode_props", _ExplodeProps)
+    return spark.sql(
+        """
+        SELECT e.event_id, p.prop_key, p.prop_val
+        FROM events_udtf e, LATERAL explode_props(e.props) p
+        """
+    )

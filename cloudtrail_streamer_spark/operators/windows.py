@@ -1,0 +1,171 @@
+"""Window-function operators (SURVEY.md §2.B B-28..B-32).
+
+One shuffle per distinct (partitionBy, orderBy) pair; Catalyst chains
+window functions sharing a spec into a single Window exec node. Scale
+note: every window here partitions by a high-cardinality key (nation,
+user, customer) so state per partition stays bounded at 100 TB.
+
+Determinism (§5.3 rule 3): every orderBy carries a unique-key tiebreak;
+windowed double sums run in DECIMAL(18,2) over the raw 2dp-exact value
+column (frame-order accumulation differs between Spark's buffering and
+DuckDB's segment trees — decimal addition is order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.functions import dec
+from cloudtrail_streamer_spark.registry import query
+
+_RANK_ORACLE = """
+SELECT
+  c_custkey,
+  c_nationkey,
+  c_acctbal,
+  CAST(rank() OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("win_rank", oracle=_RANK_ORACLE, survey_id="B-28")
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_ANALYTIC_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  ts,
+  value,
+  lag(value) OVER w AS prev_value,
+  lead(value) OVER w AS next_value,
+  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_val,
+  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("win_analytic", oracle=_ANALYTIC_ORACLE, survey_id="B-29")
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wfull).alias("first_val"),
+        F.last("value").over(wfull).alias("last_val"),
+    )
+
+
+_FRAME_ROWS_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  ts,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mov_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("win_frame_rows", oracle=_FRAME_ROWS_ORACLE, survey_id="B-30")
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving sum/avg per user (ROWS frame), decimal-exact."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    msum = F.sum(dec("value")).over(w).cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        msum.alias("mov_sum"),
+        (msum / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+    )
+
+
+_FRAME_RANGE_ORACLE = """
+SELECT
+  o_orderkey,
+  o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+       (ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE) AS running_total
+FROM orders
+WHERE o_orderstatus = 'F'
+"""
+
+
+@query("win_frame_range", oracle=_FRAME_RANGE_ORACLE, survey_id="B-31")
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame running total: peers by o_orderdate value share the
+    same running sum (that's what distinguishes RANGE from ROWS).
+
+    Unpartitioned global window — fine here, but the 100 TB shape is the
+    partitioned variant (B-30); kept global to exercise the frame type.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    w = (
+        Window.orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+_TOPN_ORACLE = """
+SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM customer JOIN orders ON o_custkey = c_custkey
+) t
+WHERE rn <= 3
+"""
+
+
+@query("top_n_per_group", oracle=_TOPN_ORACLE, survey_id="B-32")
+def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number + filter. Catalyst pushes a
+    per-partition top-k (WindowGroupLimit) below the shuffle, so the
+    exchange carries ≤k rows per key at scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+    )
