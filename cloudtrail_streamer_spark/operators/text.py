@@ -86,19 +86,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     big tf table never shuffles twice. N arrives as a scalar via a
     cross-join of a 1-row aggregate (no collect to the driver).
     """
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
     tokens = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = (
-        tokens.distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # df as a window over tf (tf already has one row per (doc, term)) —
+    # a single pass: explode → shuffle(doc,term) → shuffle(term);
+    # a separate df-aggregate branch would recompute the whole tf
+    # subtree (Catalyst only reuses identical exchanges).
+    df = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.withColumn("df", df)
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -45,6 +45,7 @@ def query(
 def _load_all() -> None:
     """Import every operator module so registrations run."""
     import cloudtrail_streamer_spark.operators  # noqa: F401
+    import cloudtrail_streamer_spark.streaming  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

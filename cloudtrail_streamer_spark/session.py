@@ -20,6 +20,10 @@ from pyspark.sql import SparkSession
 # SURVEY.md §5.3 rule 1 (UTC), §4.2 (AQE, Arrow).
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Runtime-settable: without this a default (driver-owned) session runs
+    # every shuffle with 200 partitions — pure scheduling overhead at test
+    # scale. AQE still re-coalesces at real scale.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

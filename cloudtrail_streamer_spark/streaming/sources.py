@@ -1,0 +1,58 @@
+"""Source operators (SURVEY.md §2.B B-3, B-4) — the A-4..A-7 analogs.
+
+The reference discovers newly-delivered gzipped JSON files via S3 event
+notifications, fetches and gunzips them, and unwraps Records[] (upstream
+``main.go:~120-225`` approx). Spark-first: the file source's listing +
+checkpoint IS the notification stream; ``.json.gz`` decompression and
+parsing are native to the reader; schema enforcement replaces the
+envelope decode.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.functions import dsum
+from cloudtrail_streamer_spark.registry import query
+from cloudtrail_streamer_spark.streaming import harness
+
+
+@query("source_stream_files", survey_id="B-3")  # Tier R: streaming harness
+def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file-stream ingest: replay events as a file stream
+    (AvailableNow), count per event_type. The memory-sink result equals
+    the batch GROUP BY (asserted in tests/test_streaming.py)."""
+    replay = harness.write_replay_files(spark, sf_dir)
+    stream = harness.read_replay_stream(spark, replay)
+    import uuid
+
+    name = f"src_files_{uuid.uuid4().hex[:8]}"
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return harness.run_stream_to_memory(counts, name, output_mode="complete")
+
+
+_JSON_GZ_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("source_json_gz", oracle=_JSON_GZ_ORACLE, survey_id="B-4")
+def source_json_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped JSON-lines round trip (A-6/A-7 analog): write events as
+    .json.gz, batch-read with explicit schema, aggregate. H-tier: the
+    round trip is lossless (shortest-repr doubles, ISO micros), so the
+    counts/sums match the parquet-sourced oracle exactly."""
+    ev = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="cts_jsongz_") + "/events_json"
+    ev.write.mode("overwrite").option("compression", "gzip").json(out)
+    back = spark.read.schema(harness.EVENTS_SCHEMA).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
+    )

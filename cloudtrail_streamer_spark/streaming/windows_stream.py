@@ -1,0 +1,185 @@
+"""Streaming window operators (SURVEY.md §2.B B-45..B-50).
+
+The transformations are written once as plain DataFrame functions and
+applied to EITHER a batch or a streaming DataFrame — Structured
+Streaming's core contract (SURVEY.md §1.2: streams share the batch
+operator surface). The driver's H-tier checks run them in batch mode;
+tests/test_streaming.py replays the same data as a file stream and
+asserts the results agree.
+
+Scale notes: every stateful op keys on (window, type) or user_id, and
+B-48..B-50 bound state with watermarks — the 100 TB requirement
+(SURVEY.md §4.3: watermarks + keyed state keep streaming state finite).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.functions import dsum
+from cloudtrail_streamer_spark.registry import query
+from cloudtrail_streamer_spark.streaming import harness
+
+
+def tumbling_counts(df: DataFrame) -> DataFrame:
+    """1-hour tumbling window per event_type (batch AND stream capable)."""
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling", oracle=_TUMBLING_ORACLE, survey_id="B-45")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+def sliding_counts(df: DataFrame) -> DataFrame:
+    """1-hour window sliding every 15 min (each event lands in 4 windows)."""
+    return (
+        df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offsets(k)
+GROUP BY 1
+"""
+
+
+@query("stream_sliding", oracle=_SLIDING_ORACLE, survey_id="B-46")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-tier after all: Spark's slide semantics (epoch-aligned 15-min
+    starts, [start, start+1h) membership) are reproduced in SQL by
+    expanding each event into its 4 containing windows."""
+    return sliding_counts(table(spark, sf_dir, "events"))
+
+
+def session_stats(df: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    return (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_ms")
+    )
+
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grp AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(date_diff('millisecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_ms
+FROM grp
+GROUP BY user_id, g
+"""
+
+
+@query("stream_session", oracle=_SESSION_ORACLE, survey_id="B-47")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 30 min); oracle is the classic gap-and-island
+    rewrite. Spark merges events while ts < prev_ts + gap, i.e. a break
+    at diff >= gap — mirrored with >= in the oracle."""
+    return session_stats(table(spark, sf_dir, "events"))
+
+
+@query("stream_watermark_late", survey_id="B-48")  # Tier R: replay harness
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling count under late arrivals.
+
+    5% of events are delayed two files (days) in the replay; with a
+    1-hour watermark their windows have already been finalized when they
+    arrive, so append-mode drops them. Returns the accepted per-window
+    counts (total < source count — asserted in tests/test_streaming.py).
+    """
+    replay = harness.write_replay_files(spark, sf_dir, hold_back_pct=5)
+    stream = harness.read_replay_stream(spark, replay)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = f"wm_late_{uuid.uuid4().hex[:8]}"
+    return harness.run_stream_to_memory(agg, name, output_mode="append")
+
+
+@query("stream_dedup_stateful", survey_id="B-49")  # Tier R: replay harness
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a replay where every event is
+    emitted twice in adjacent files. State is bounded by the 2-day
+    watermark (the at-least-once → effectively-once upgrade of the
+    reference's retry semantics, A-9). Returns per-type counts == source.
+    """
+    replay = harness.write_replay_files(spark, sf_dir, duplicate=True)
+    stream = harness.read_replay_stream(spark, replay)
+    deduped = stream.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    out = harness.run_stream_to_memory(deduped, name, output_mode="append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("stream_agg_update", survey_id="B-50")  # Tier R: replay harness
+def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode running per-user aggregate (stateful hash agg).
+
+    The memory sink receives one row per (user, micro-batch) update; the
+    LAST update per user is the final state and equals the batch GROUP BY
+    (asserted in tests/test_streaming.py). Returns the final state.
+    """
+    replay = harness.write_replay_files(spark, sf_dir)
+    stream = harness.read_replay_stream(spark, replay)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
+    )
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    harness.run_stream_to_memory(agg, name, output_mode="update")
+    updates = stream.sparkSession.table(name)
+    # Memory sink in update mode appends each update; final state per
+    # user = the row with the max n (counts grow monotonically).
+    w_latest = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    )
+    return (
+        updates.withColumn("rn", w_latest)
+        .where(F.col("rn") == 1)
+        .select("user_id", "n", "total_value")
+    )

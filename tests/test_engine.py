@@ -1,0 +1,87 @@
+"""Engine-local behavior tests for ops whose driver check is rows-only
+(Tier R), plus cross-op consistency properties (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_agg_error_bounds(spark):
+    out = {r["status"]: r for r in all_queries()["agg_approx"](spark, SF).collect()}
+    exact = {
+        r["o_orderstatus"]: r["nd"]
+        for r in table(spark, SF, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("nd"))
+        .collect()
+    }
+    for status, row in out.items():
+        rel = abs(row["approx_customers"] - exact[status]) / exact[status]
+        assert rel < 0.05, f"{status}: HLL error {rel:.3f} >= 5%"
+
+
+def _near_dup_corpus(spark):
+    """Synthetic near-dup ground truth: 30 fixture docs + mutated copies
+    (every 20th token replaced) under doc_id+100000. The fixture itself
+    has no engineered duplicate groups (verified empirically), so recall
+    properties are asserted on known pairs."""
+    base = table(spark, SF, "documents").where(F.col("doc_id") < 30).select("doc_id", "text")
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.expr(
+                "transform(split(text, ' '), (x, i) -> "
+                "CASE WHEN i % 20 = 19 THEN 'zzzz' ELSE x END)"
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = base.unionByName(mutated)
+    truth = {(i, i + 100000) for i in range(30)}
+    return corpus, truth
+
+
+def test_minhash_catches_near_duplicates(spark):
+    """~5% token mutation keeps shingle-Jaccard high; 8 bands × 4 rows
+    catches Jaccard≥0.8 pairs w.p. ≳0.98 each — demand ≥80% recall."""
+    from cloudtrail_streamer_spark.operators.dedup import minhash_candidates
+
+    corpus, truth = _near_dup_corpus(spark)
+    got = {(r["id_a"], r["id_b"]) for r in minhash_candidates(corpus).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"MinHash-LSH recall {recall:.2f} on known near-dup pairs"
+
+
+def test_simhash_catches_near_duplicates(spark):
+    from cloudtrail_streamer_spark.operators.dedup import simhash_candidates
+
+    corpus, truth = _near_dup_corpus(spark)
+    got = {(r["id_a"], r["id_b"]) for r in simhash_candidates(corpus).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"SimHash recall {recall:.2f} on known near-dup pairs"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """Bucketed ANN must recover a reasonable fraction of true top-5."""
+    brute = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in all_queries()["sim_search_topk"](spark, SF).collect()
+    }
+    ivf = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in all_queries()["sim_search_ivf"](spark, SF).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+
+
+def test_udf_and_pandas_udf_agree(spark):
+    a = all_queries()["udf_python_scalar"](spark, SF).orderBy("o_orderkey").collect()
+    b = all_queries()["udf_pandas_vectorized"](spark, SF).orderBy("o_orderkey").collect()
+    assert [r["account_id"] for r in a] == [r["account_id"] for r in b]

@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions (SURVEY.md §4.2 / §5.2): the scale
+claims are checked against the actual Catalyst output, not taken on
+faith — pushdown reaches the parquet scan, dims broadcast, top-n pushes
+a group-limit below the shuffle, UDFs run Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from cloudtrail_streamer_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = all_queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_scan_pruned_pushdown(spark):
+    plan = _plan(spark, "scan_pruned")
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "range filter must reach parquet"
+    # column pruning: only the 5 selected columns in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" in read_schema and "l_shipdate" in read_schema
+    assert "l_returnflag" not in read_schema, "unused columns must be pruned"
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(spark, "agg_group_q1")
+    assert plan.count("HashAggregate") >= 2, "partial+final hash agg expected"
+    # codegen mode reports the compiled whole-stage subtrees
+    assert "WholeStageCodegen subtrees" in _plan(spark, "agg_group_q1", mode="codegen")
+
+
+def test_broadcast_join_strategy(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dims must broadcast, never SMJ"
+
+
+def test_semi_anti_rewrites(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi")
+    assert "LeftAnti" in _plan(spark, "join_anti")
+
+
+def test_theta_join_keeps_equi_key(spark):
+    plan = _plan(spark, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        "the p_brand equi-key must make this a hash/merge join, not a BNLJ"
+    )
+
+
+def test_topk_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "limit_topk"), (
+        "global ORDER BY+LIMIT must compile to per-partition top-k"
+    )
+
+
+def test_top_n_per_group_limit_pushdown(spark):
+    assert "WindowGroupLimit" in _plan(spark, "top_n_per_group"), (
+        "rank<=k filter must push a group limit below the window sort"
+    )
+
+
+def test_pandas_udf_arrow(spark):
+    plan = _plan(spark, "udf_pandas_vectorized")
+    assert "ArrowEvalPython" in plan, "pandas UDF must run Arrow-batched"
+
+
+def test_asof_is_single_window_pass(spark):
+    plan = _plan(spark, "join_asof")
+    assert "Join" not in plan.split("AdaptiveSparkPlan")[0] or "Window" in plan
+    assert "Window" in plan
+    # exactly one shuffle: the user_id repartition for the window
+    assert plan.count("Exchange") <= 2
+
+
+def test_sim_topk_broadcasts_probes(spark):
+    plan = _plan(spark, "sim_search_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

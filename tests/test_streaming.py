@@ -1,0 +1,87 @@
+"""Streaming-harness assertions for the R-tier ops (SURVEY.md §5.2):
+file-replay determinism, batch≡stream equivalence, watermark drops,
+stateful dedup, update-mode final state, sink delivery parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.registry import all_queries
+from cloudtrail_streamer_spark.streaming import harness
+from cloudtrail_streamer_spark.streaming.windows_stream import tumbling_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_count(spark):
+    return table(spark, SF, "events").count()
+
+
+def test_stream_files_equals_batch(spark):
+    out = all_queries()["source_stream_files"](spark, SF)
+    batch = (
+        table(spark, SF, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(out.collect()) == sorted(batch.collect())
+
+
+def test_stream_tumbling_batch_equivalence(spark):
+    """The SAME transformation fn over batch vs stream inputs agrees."""
+    replay = harness.write_replay_files(spark, SF)
+    stream_in = harness.read_replay_stream(spark, replay)
+    streamed = harness.run_stream_to_memory(
+        tumbling_counts(stream_in), "tumb_eq", output_mode="complete"
+    )
+    batch = tumbling_counts(table(spark, SF, "events"))
+    assert sorted(streamed.collect()) == sorted(batch.collect())
+
+
+def test_watermark_drops_late(spark):
+    out = all_queries()["stream_watermark_late"](spark, SF)
+    accepted = out.agg(F.sum("n")).collect()[0][0]
+    total = _events_count(spark)
+    assert accepted < total, "late rows beyond the watermark must be dropped"
+    assert accepted > total * 0.80, "only the held-back tail should drop"
+
+
+def test_stateful_dedup_restores_source(spark):
+    out = all_queries()["stream_dedup_stateful"](spark, SF)
+    n = out.agg(F.sum("n")).collect()[0][0]
+    assert n == _events_count(spark), "adjacent-file duplicates must be dropped"
+
+
+def test_update_mode_final_state_equals_batch(spark):
+    out = all_queries()["stream_agg_update"](spark, SF)
+    batch = (
+        table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r["user_id"]: r["n"] for r in out.collect()}
+    assert got == {r["user_id"]: r["n"] for r in batch}
+
+
+def test_kinesis_sink_delivers_all(spark):
+    out = all_queries()["sink_foreachbatch_kinesis"](spark, SF)
+    n = out.agg(F.sum("n")).collect()[0][0]
+    assert n == _events_count(spark), "chunked retry writer must deliver every record"
+
+
+def test_kinesis_chunking_limits():
+    from cloudtrail_streamer_spark.streaming.sinks import (
+        KinesisStubClient,
+        put_records_chunked,
+    )
+    import tempfile
+
+    client = KinesisStubClient(tempfile.mkdtemp(), fail_every=5)
+    records = [
+        {"Data": f"payload-{i}".encode(), "PartitionKey": str(i % 4)} for i in range(1234)
+    ]
+    delivered = put_records_chunked(client, "s", records)
+    assert delivered == 1234
+    # every call obeyed the 500-record cap
+    assert client._call >= 3
