@@ -274,3 +274,63 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, c: (a * 31 + F.ascii(c)) % 1000000007,
         ).alias("fingerprint"),
     )
+
+
+_LANG_ID_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), lang_term AS (
+  SELECT d.lang, t.term, COUNT(*) AS cnt
+  FROM tokens t JOIN documents d USING (doc_id)
+  GROUP BY d.lang, t.term
+), profiles AS (
+  SELECT lang AS cand_lang, term
+  FROM lang_term
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) <= 20
+), scores AS (
+  SELECT t.doc_id, p.cand_lang, COUNT(*) AS score
+  FROM tokens t JOIN profiles p USING (term)
+  GROUP BY t.doc_id, p.cand_lang
+)
+SELECT doc_id, cand_lang AS pred_lang, score
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) = 1
+"""
+
+
+@query("text_lang_id", oracle=_LANG_ID_ORACLE, survey_id="north-star")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score each doc against per-language top-20
+    marker-word profiles (built from the corpus itself), predict argmax.
+
+    Scale shape: the profile table is |langs|×20 rows → broadcast; the
+    token stream shuffles twice (term-count, doc-score) — no pairwise
+    work. The n-gram generalization swaps `term` for character n-grams
+    (same plan).
+    """
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    lang_term = (
+        tokens.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    profiles = (
+        lang_term.withColumn("rn", F.row_number().over(w_prof))
+        .where(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "term")
+    )
+    scores = (
+        tokens.join(F.broadcast(profiles), "term")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    )

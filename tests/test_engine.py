@@ -85,3 +85,36 @@ def test_udf_and_pandas_udf_agree(spark):
     a = all_queries()["udf_python_scalar"](spark, SF).orderBy("o_orderkey").collect()
     b = all_queries()["udf_pandas_vectorized"](spark, SF).orderBy("o_orderkey").collect()
     assert [r["account_id"] for r in a] == [r["account_id"] for r in b]
+
+
+def test_salted_join_equals_plain(spark):
+    from cloudtrail_streamer_spark.functions.skew import salted_join
+
+    o = table(spark, SF, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = table(spark, SF, "customer")
+    plain = o.join(c, "c_custkey").select("o_orderkey", "c_custkey", "c_name")
+    salted = salted_join(
+        o, c, "c_custkey", salt_from=F.col("o_orderkey"), n_salt=8
+    ).select("o_orderkey", "c_custkey", "c_name")
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_engine_facade(spark):
+    from cloudtrail_streamer_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=SF)
+    assert eng.table("region").count() == 5
+    n = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey"
+    ).collect()[0]["n"]
+    assert n == eng.table("orders").count()
+    assert len(eng.run("agg_group_q1").columns) == 10
+
+
+def test_lang_id_covers_all_docs(spark):
+    out = all_queries()["text_lang_id"](spark, SF)
+    docs = table(spark, SF, "documents")
+    # every doc classified exactly once, prediction from the lang domain
+    assert out.count() == docs.count()
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {r["pred_lang"] for r in out.select("pred_lang").distinct().collect()} <= langs
