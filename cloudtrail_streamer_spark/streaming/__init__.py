@@ -11,4 +11,9 @@ Modules:
   stateful dedup and update-mode aggregation (B-45..B-50).
 """
 
-from cloudtrail_streamer_spark.streaming import sinks, sources, windows_stream  # noqa: F401
+from cloudtrail_streamer_spark.streaming import (  # noqa: F401
+    cloudtrail,
+    sinks,
+    sources,
+    windows_stream,
+)

@@ -183,3 +183,58 @@ def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "n", "total_value")
     )
+
+
+def _running_user_state(key, pdf_iter, state):
+    """applyInPandasWithState update fn: per-user running count + cents
+    sum. State is a (count, cents) tuple; emits the post-batch state."""
+    import pandas as pd
+
+    (user_id,) = key
+    count, csum = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        count += len(pdf)
+        csum += int((pdf["value"] * 100).round(0).astype("int64").sum())
+    state.update((count, csum))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n": [count], "total_value": [csum / 100.0]}
+    )
+
+
+@query("stream_custom_state", survey_id="north-star")  # Tier R: custom stateful op
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the escape
+    hatch for semantics Structured Streaming's built-ins can't express
+    (north star: "applyInPandasWithState for custom stateful operators").
+
+    Keyed per-user state (count + exact cents sum) updated per
+    micro-batch; the memory sink receives one state row per (user,
+    batch); the final state equals the batch GROUP BY (asserted in
+    tests/test_streaming.py). State volume is O(|users|) — bounded.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    replay = harness.write_replay_files(spark, sf_dir)
+    stream = harness.read_replay_stream(spark, replay)
+    updates = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_user_state,
+            outputStructType="user_id LONG, n LONG, total_value DOUBLE",
+            stateStructType="n LONG, cents LONG",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"custom_state_{uuid.uuid4().hex[:8]}"
+    harness.run_stream_to_memory(updates, name, output_mode="update")
+    out = spark.table(name)
+    w_latest = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    )
+    return (
+        out.withColumn("rn", w_latest)
+        .where(F.col("rn") == 1)
+        .select("user_id", "n", "total_value")
+    )

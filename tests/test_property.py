@@ -1,0 +1,79 @@
+"""Property tests (SURVEY.md §7: "property-test as-of against DuckDB's
+native ASOF"). Seeded random corpora exercise edges the fixture lacks —
+duplicate timestamps, users with no signup, signup-first/last orderings.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_frames_match
+
+
+def _random_events(seed: int, n: int = 2000) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    # whole-second timestamps force (user, ts) ties — the as-of edge case
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 86400, n), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": ts,
+            "user_id": rng.integers(0, 20, n).astype("int64"),
+            "event_type": rng.choice(
+                ["click", "signup", "view"], n, p=[0.6, 0.1, 0.3]
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_rewrite_matches_duckdb_native(spark, seed):
+    pdf = _random_events(seed)
+    sdf = spark.createDataFrame(pdf)
+    sig_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = sdf.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(sig_ts, ignorenulls=True).over(w).alias("last_signup_ts"),
+    ).toPandas()
+
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = con.execute(
+        """
+        SELECT e.event_id, e.user_id, e.ts, s.ts AS last_signup_ts
+        FROM ev e
+        ASOF LEFT JOIN (SELECT user_id, ts FROM ev WHERE event_type = 'signup') s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+        """
+    ).fetchdf()
+    con.close()
+    assert_frames_match(got, want, f"asof seed={seed}")
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_cents_roundtrip_exact(spark, seed):
+    """cents() recovers the exact integer for any 2dp-generated double,
+    positive or negative, across the money magnitude range."""
+    from cloudtrail_streamer_spark.functions import cents
+
+    rng = np.random.default_rng(seed)
+    true_cents = rng.integers(-10**9, 10**9, 5000).astype("int64")
+    pdf = pd.DataFrame({"x": true_cents / 100.0, "want": true_cents})
+    sdf = spark.createDataFrame(pdf)
+    bad = sdf.withColumn("got", cents("x")).where(F.col("got") != F.col("want")).count()
+    assert bad == 0

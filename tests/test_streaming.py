@@ -85,3 +85,30 @@ def test_kinesis_chunking_limits():
     assert delivered == 1234
     # every call obeyed the 500-record cap
     assert client._call >= 3
+
+
+def test_cloudtrail_pipeline_end_to_end(spark):
+    """The full reference reproduction: envelope files → unwrap →
+    chunked retrying delivery — per-type counts equal the source."""
+    out = all_queries()["cloudtrail_pipeline_e2e"](spark, SF)
+    got = {r["event_type"]: r["n"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_custom_state_final_equals_batch(spark):
+    out = all_queries()["stream_custom_state"](spark, SF)
+    batch = (
+        table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r["user_id"]: r["n"] for r in out.collect()}
+    assert got == {r["user_id"]: r["n"] for r in batch}
