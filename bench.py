@@ -48,16 +48,32 @@ def main() -> None:
 
     # Methodology (BASELINE.md §2): session start AND per-query plan
     # analysis/whole-stage-codegen compile are amortized — each query runs
-    # once untimed (compile) then once timed (hot). DuckDB likewise reuses
-    # its compiled pipelines on repeat executions; cold-start adds
-    # ~0.3-1.5s per Spark query shape and is a constant, not a scale term.
+    # once untimed (compile) then min-of-3 timed (hot). Min, not mean:
+    # the host runs a periodic harness whose CPU spikes can inflate any
+    # single run 10-30×; the minimum is the reproducible engine cost.
+    # DuckDB gets the identical warm + min-of-3 protocol below.
+    # Empty-job floor: min wall-clock of a 1-row noop action. At sf0.1
+    # most headline queries are within ~2-4× of this constant — the
+    # per-query ratios below measure Spark's scheduling floor, not the
+    # operators (see BASELINE.md §2 "honest read").
+    floor_df = spark.range(1)
+    floor_df.write.format("noop").mode("overwrite").save()
+    job_floor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        floor_df.write.format("noop").mode("overwrite").save()
+        job_floor = min(job_floor, time.perf_counter() - t0)
+
     spark_times: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: plan + codegen
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        spark_times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        spark_times[name] = round(best, 3)
 
     duck_times: dict[str, float] = {}
     try:
@@ -75,9 +91,12 @@ def main() -> None:
             if name not in oracles:
                 continue
             con.execute(oracles[name]).fetchall()  # warm (same protocol)
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            duck_times[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_times[name] = round(best, 3)
     except Exception:
         pass
 
@@ -94,6 +113,7 @@ def main() -> None:
         "sf": float(sf),
         "duckdb": duck_times,
         "ratio": ratio,
+        "spark_job_floor_sec": round(job_floor, 3),
     }
     print(json.dumps(out))
 

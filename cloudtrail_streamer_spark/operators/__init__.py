@@ -7,6 +7,7 @@ from cloudtrail_streamer_spark.operators import (  # noqa: F401
     joins,
     multimodal,
     projection,
+    relational_ext,
     scans,
     similarity,
     sorts_sets,

@@ -1,0 +1,292 @@
+"""Extended relational surface: pivot/unpivot, distribution windows,
+bivariate statistics, exact quantiles, string distance, bitwise math,
+ordered string aggregation, URL decoding, deterministic sampling.
+
+Widens SURVEY.md §2.B beyond the core inventory — every op is a pure
+built-in (whole-stage codegen, no Python in the hot path) with a DuckDB
+value-hash oracle (Tier H). ``fn_url_decode`` is the direct analog of the
+reference's S3 object-key unescaping (A-4, upstream ``main.go:~200-210``
+approx — ``url.QueryUnescape`` on event record keys).
+
+Determinism (SURVEY.md §5.3): floats rounded to 4 dp in both engines;
+quantiles/corr are tie-insensitive; the sampler uses pure integer
+arithmetic (Knuth multiplicative hash mod 100) rather than either
+engine's ``rand()``/``TABLESAMPLE``, so the sampled set is identical
+across engines and scale factors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.registry import query
+
+_PIVOT_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_pivot", oracle=_PIVOT_ORACLE, survey_id="B-20-ext")
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by status per priority. Spark's pivot with an
+    explicit value list compiles to one hash aggregate with conditional
+    counters (same plan as the oracle's FILTER clauses) — no extra pass
+    to discover pivot values, which at 100 TB would be a full scan."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+        )
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderstatus, metric, val
+FROM (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+  FROM orders GROUP BY o_orderstatus
+) UNPIVOT (val FOR metric IN (n_orders, n_custs))
+"""
+
+
+@query("set_unpivot", oracle=_UNPIVOT_ORACLE, survey_id="B-35-ext")
+def set_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-status metrics to long (metric, val)
+    rows. Narrow-side op — output is |groups|×|metrics| rows, no
+    shuffle beyond the feeding aggregate."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "n_custs"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+_DISTRIBUTION_ORACLE = """
+SELECT
+  c_custkey,
+  c_nationkey,
+  round(percent_rank() OVER w, 4) AS pct_rank,
+  round(cume_dist() OVER w, 4) AS cume,
+  CAST(ntile(10) OVER w AS BIGINT) AS decile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@query("win_distribution", oracle=_DISTRIBUTION_ORACLE, survey_id="B-28-ext")
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    per nation over account balance (c_custkey tiebreak per §5.3)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+_CORR_ORACLE = """
+SELECT
+  o_orderstatus,
+  round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS price_cust_corr,
+  round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS cov_samp,
+  round(covar_pop(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS cov_pop
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_corr_stats", oracle=_CORR_ORACLE, survey_id="B-25-ext")
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates (corr / covar_samp / covar_pop) per group —
+    single-pass partial+final hash agg, same moment accumulators in both
+    engines; 4-dp rounding absorbs summation-order ulps."""
+    o = table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("double")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.corr("o_totalprice", ck), 4).alias("price_cust_corr"),
+        F.round(F.covar_samp("o_totalprice", ck), 4).alias("cov_samp"),
+        F.round(F.covar_pop("o_totalprice", ck), 4).alias("cov_pop"),
+    )
+
+
+_QUANTILE_ORACLE = """
+SELECT
+  o_orderstatus,
+  round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+  round(median(o_totalprice), 4) AS q50,
+  round(quantile_cont(o_totalprice, 0.75), 4) AS q75
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_median_quantile", oracle=_QUANTILE_ORACLE, survey_id="B-25-ext")
+def agg_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles (linear interpolation, tie-insensitive): Spark's
+    ``percentile`` ≡ DuckDB's ``quantile_cont``. The exact form needs a
+    per-group sort — the scale path is B-27's ``percentile_approx``
+    (mergeable GK sketch, no sort); this op is the correctness anchor."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("q50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("q75"),
+    )
+
+
+_LEVENSHTEIN_ORACLE = """
+SELECT
+  p_partkey,
+  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
+  CAST(levenshtein(lower(p_name), lower(p_type)) AS BIGINT) AS name_type_dist
+FROM part
+"""
+
+
+@query("fn_levenshtein", oracle=_LEVENSHTEIN_ORACLE, survey_id="B-38-ext")
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar (fuzzy-match primitive for entity
+    resolution / near-dup triage). Row-local, codegen'd, embarrassingly
+    parallel — no shuffle."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.levenshtein(F.lower(F.col("p_name")), F.lower(F.col("p_type")))
+        .cast("long")
+        .alias("name_type_dist"),
+    )
+
+
+_BITWISE_ORACLE = """
+SELECT
+  o_orderkey,
+  xor(o_orderkey, o_custkey) AS key_xor,
+  o_orderkey & 255 AS key_and,
+  o_orderkey | 1 AS key_or,
+  o_custkey << 2 AS cust_shl,
+  o_orderkey >> 3 AS key_shr
+FROM orders
+"""
+
+
+@query("fn_bitwise", oracle=_BITWISE_ORACLE, survey_id="B-40-ext")
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface (xor/and/or/shifts) — the primitives
+    under hash bucketing (sim_search_ivf's multi-probe) and bitmap
+    filters, exposed as a first-class query."""
+    o = table(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseXOR(c).alias("key_xor"),
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(1)).alias("key_or"),
+        F.shiftleft(c, 2).alias("cust_shl"),
+        F.shiftright(k, 3).alias("key_shr"),
+    )
+
+
+_STRING_AGG_ORACLE = """
+SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@query("agg_string_concat", oracle=_STRING_AGG_ORACLE, survey_id="B-26-ext")
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect → sort_array → array_join ≡
+    DuckDB ``string_agg(... ORDER BY ...)`` (§5.3 rule 4: every collect
+    is sorted)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+_URL_DECODE_ORACLE = """
+SELECT
+  o_orderkey,
+  replace(replace(
+    'AWSLogs%2F' || CAST(o_custkey AS VARCHAR) || '%2FCloudTrail%2Fregion%3Dus-east-1%2F'
+      || CAST(o_orderkey AS VARCHAR) || '.json.gz',
+    '%2F', '/'), '%3D', '=') AS s3_key
+FROM orders
+"""
+
+
+@query("fn_url_decode", oracle=_URL_DECODE_ORACLE, survey_id="A-4")
+def fn_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 object-key URL-unescaping — reference parity for A-4 (upstream
+    ``main.go:~200-210`` approx: ``url.QueryUnescape`` on each delivered
+    key). Keys are synthesized CloudTrail-layout paths; Spark decodes
+    with the real ``url_decode``, the oracle with an equivalent escape
+    map (the synthetic keys contain only %2F and %3D escapes)."""
+    o = table(spark, sf_dir, "orders")
+    key = F.concat(
+        F.lit("AWSLogs%2F"),
+        F.col("o_custkey").cast("string"),
+        F.lit("%2FCloudTrail%2Fregion%3Dus-east-1%2F"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".json.gz"),
+    )
+    return o.select("o_orderkey", F.url_decode(key).alias("s3_key"))
+
+
+_SAMPLE_ORACLE = """
+SELECT
+  o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE (o_orderkey * 2654435761) % 100 < 10
+GROUP BY o_orderstatus
+"""
+
+
+@query("sample_hash_mod", oracle=_SAMPLE_ORACLE, survey_id="B-2-ext")
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via Knuth multiplicative hash mod 100 —
+    engine-portable (pure int64 arithmetic; no rand()/TABLESAMPLE, whose
+    streams never match across engines) and stable under repartitioning,
+    which makes pipeline A/B runs reproducible at any scale."""
+    o = table(spark, sf_dir, "orders")
+    keep = (F.col("o_orderkey") * F.lit(2654435761)) % 100 < 10
+    return (
+        o.where(keep)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
