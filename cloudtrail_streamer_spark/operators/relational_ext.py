@@ -36,10 +36,11 @@ GROUP BY o_orderpriority
 
 @query("agg_pivot", oracle=_PIVOT_ORACLE, survey_id="B-20-ext")
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: order counts by status per priority. Spark's pivot with an
-    explicit value list compiles to one hash aggregate with conditional
-    counters (same plan as the oracle's FILTER clauses) — no extra pass
-    to discover pivot values, which at 100 TB would be a full scan."""
+    """Pivot: order counts by status per priority. The explicit value
+    list matters at scale: without it Spark runs a separate job to
+    discover distinct pivot values — a full extra scan at 100 TB. With
+    it the plan is one scan + two aggregate levels, the second over only
+    |groups|x|values| pre-reduced rows (verified in tests/test_plans.py)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")

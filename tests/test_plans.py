@@ -87,3 +87,30 @@ def test_sim_topk_broadcasts_probes(spark):
     plan = _plan(spark, "sim_search_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+def test_pivot_single_scan_no_discovery_job(spark):
+    # Explicit pivot-value list => no distinct-value discovery job; the
+    # formatted output prints the tree twice, so one real scan shows as 2.
+    plan = _plan(spark, "agg_pivot")
+    assert plan.count("Scan parquet") == 2, "pivot must scan orders exactly once"
+    assert "o_orderdate" not in plan.split("ReadSchema")[1][:200], "prune unused cols"
+
+
+def test_rowlocal_fns_no_shuffle(spark):
+    # Scalar string/bitwise ops are embarrassingly parallel: zero Exchange.
+    for name in ("fn_levenshtein", "fn_bitwise", "fn_url_decode"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} must not shuffle"
+        assert "WholeStageCodegen subtrees" in _plan(spark, name, mode="codegen")
+
+
+def test_string_agg_broadcasts_dim(spark):
+    plan = _plan(spark, "agg_string_concat")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_distribution_window_single_shuffle(spark):
+    # percent_rank/cume_dist/ntile share one window spec => one Exchange
+    # (doubled in formatted output), one Window node.
+    plan = _plan(spark, "win_distribution")
+    assert plan.count("Exchange") <= 2, "all three fns must share one window pass"
