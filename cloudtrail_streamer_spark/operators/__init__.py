@@ -11,6 +11,7 @@ from cloudtrail_streamer_spark.operators import (  # noqa: F401
     scans,
     similarity,
     sorts_sets,
+    tpch,
     text,
     udfs,
     windows,

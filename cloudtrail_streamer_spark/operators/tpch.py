@@ -1,0 +1,127 @@
+"""Composite TPC-H-style pipelines: multi-operator queries exercising
+join + aggregate + top-k as ONE plan, the way real workloads compose the
+§2.B primitives. The reference has no queries at all (it is a forwarder,
+upstream ``main.go`` ~300 LoC total); these pin that the engine's
+operators compose without losing their individual plan properties
+(broadcast dims, partial agg, ordered limit) — asserted in
+tests/test_plans.py.
+
+Adapted to the driver fixtures (FIXTURES.md): orders has
+``o_orderpriority`` (no ``o_shippriority``), dates span 1995–2001.
+Money math follows the integer-cents discipline of ``agg_group_q1``
+(functions.cents — exact, merge-order independent, mirrored in the
+oracle SQL so the final double cast is bit-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.functions import cents
+from cloudtrail_streamer_spark.registry import query
+
+_Q3_ORACLE = """
+SELECT
+  l.l_orderkey,
+  CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS revenue,
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("tpch_q3_shipping_priority", oracle=_Q3_ORACLE, survey_id="B-10-ext")
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two hash joins → hash agg
+    → global top-10 (TakeOrderedAndProject). Both join filters are
+    pushed below the joins by Catalyst, so at 100 TB the lineitem scan
+    ships only post-`l_shipdate` rows into the shuffle; the filtered
+    customer side is broadcast. Top-k is total-ordered (revenue desc,
+    l_orderkey) per §5.3 rule 3."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-03-15 00:00:00").cast("timestamp")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") > cut)
+        .join(o.where(F.col("o_orderdate") < cut), l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_c).cast("double") / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = """
+SELECT
+  n.n_name,
+  CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("tpch_q5_local_supplier", oracle=_Q5_ORACLE, survey_id="B-11-ext")
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join (fact-fact lineitem⋈orders plus
+    four broadcast dims) with a correlated same-nation predicate
+    (c_nationkey = s_nationkey), per-nation revenue. Catalyst folds the
+    region filter into the nation broadcast; only the lineitem⋈orders
+    join shuffles. Output is tiny (≤25 rows) — classic reduce-heavy
+    star-join at 100 TB."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    o_filt = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        l.join(o_filt, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev_c).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

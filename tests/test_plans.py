@@ -114,3 +114,16 @@ def test_distribution_window_single_shuffle(spark):
     # (doubled in formatted output), one Window node.
     plan = _plan(spark, "win_distribution")
     assert plan.count("Exchange") <= 2, "all three fns must share one window pass"
+
+def test_tpch_q3_composite_plan(spark):
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan, "filtered customer dim must broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-10 must not global-sort"
+    assert plan.count("HashAggregate") >= 2, "partial+final agg expected"
+
+
+def test_tpch_q5_star_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "tpch_q5_local_supplier")
+    # formatted output prints the tree twice: 4 broadcast dims show as >= 8
+    assert plan.count("BroadcastHashJoin") >= 8, "all four dims must broadcast"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
