@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_exact",
     "sim_search_topk",
     "stream_tumbling",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
 ]
 
 
