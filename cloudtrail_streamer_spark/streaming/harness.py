@@ -7,11 +7,19 @@ event-time order), optionally with injected duplicates or late rows.
 with exact batch boundaries — the deterministic stand-in for the
 reference's one-Lambda-invoke-per-S3-delivery loop (upstream
 ``main.go:~190-225`` approx).
+
+The fixture write is EXECUTOR-SIDE: a partitioned ``write.json`` /
+``write.text`` (one bucket per task via ``repartition(bucket)``), so the
+harness never materializes the dataset on the driver and scales with the
+cluster. The only driver work is renaming the finished per-bucket files
+to flat, zero-padded names and stamping increasing mtimes (O(#files)
+metadata ops) so the file-stream source discovers them in bucket order.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +32,34 @@ EVENTS_SCHEMA = (
     "value DOUBLE, props STRING"
 )
 
+# Fixed deterministic mtime base for flattened fixture files. The file
+# stream source orders ties by modification time; distinct, increasing
+# stamps make discovery order == bucket order on every run.
+_MTIME_BASE = 1_700_000_000
+
+
+def flatten_partitioned(staged: str, out: str, stem: str, ext: str) -> list[str]:
+    """Move ``bucket=KEY/part-*`` files written by a partitioned save to
+    flat ``{stem}_{KEY}{ext}`` names under ``out`` with increasing mtimes.
+
+    Each bucket must hold exactly one part file (guaranteed upstream by
+    ``repartition(bucket)`` — hash partitioning puts a bucket's rows in
+    one task). Driver cost is O(#buckets) renames, independent of rows.
+    """
+    paths = []
+    dirs = sorted(d for d in os.listdir(staged) if d.startswith("bucket="))
+    for i, d in enumerate(dirs):
+        key = d.split("=", 1)[1]
+        parts = [f for f in os.listdir(os.path.join(staged, d)) if f.endswith(ext)]
+        if len(parts) != 1:
+            raise AssertionError(f"expected 1 part file per bucket, got {parts} in {d}")
+        dst = os.path.join(out, f"{stem}_{key}{ext}")
+        os.rename(os.path.join(staged, d, parts[0]), dst)
+        os.utime(dst, (_MTIME_BASE + i, _MTIME_BASE + i))
+        paths.append(dst)
+    shutil.rmtree(staged)
+    return paths
+
 
 def write_replay_files(
     spark: SparkSession,
@@ -34,7 +70,7 @@ def write_replay_files(
 ) -> str:
     """Write events as per-day json.gz files under a fresh temp dir.
 
-    duplicate: each day's rows are ALSO appended to the next day's file
+    duplicate: each day's rows are ALSO written into the next day's file
     (adjacent-file duplicates for B-49).
     hold_back_pct: rows with event_id % 100 < pct are delayed by two
     days (late arrivals for B-48).
@@ -49,26 +85,65 @@ def write_replay_files(
                 F.col("day")
             ),
         )
+    if duplicate:
+        # rows re-emitted one file later, only where that file exists
+        shifted = ev.withColumn("day", F.col("day") + F.lit(1)).join(
+            ev.select("day").distinct(), "day", "left_semi"
+        )
+        ev = ev.unionByName(shifted.select(ev.columns))
     out = tempfile.mkdtemp(prefix="cts_replay_")
-    days = [r[0] for r in ev.select("day").distinct().collect()]
-    pdf_all = ev.orderBy("ts", "event_id").toPandas()
-    import gzip
-
-    for day in sorted(days):
-        part = pdf_all[pdf_all["day"] == day].drop(columns=["day"])
-        rows = part.to_dict(orient="records")
-        if duplicate and day - 1 in days:
-            prev = pdf_all[pdf_all["day"] == day - 1].drop(columns=["day"])
-            rows = rows + prev.to_dict(orient="records")
-        path = os.path.join(out, f"events_{day:04d}.json.gz")
-        with gzip.open(path, "wt") as f:
-            import json
-
-            for r in rows:
-                r = dict(r)
-                r["ts"] = r["ts"].isoformat()
-                f.write(json.dumps(r) + "\n")
+    staged = os.path.join(out, "_staged")
+    (
+        ev.withColumn("bucket", F.format_string("%04d", F.col("day")))
+        .drop("day")
+        .repartition("bucket")
+        .sortWithinPartitions("ts", "event_id")
+        .write.partitionBy("bucket")
+        .option("compression", "gzip")
+        .json(staged)
+    )
+    flatten_partitioned(staged, out, "events", ".json.gz")
     return out
+
+
+try:
+    from pyspark.sql.streaming import StreamingQueryListener
+except ImportError:  # pragma: no cover - listener API location is stable in 3.4+
+    StreamingQueryListener = object  # type: ignore[assignment,misc]
+
+
+class BatchMetricsListener(StreamingQueryListener):
+    """A-11 analog: the reference logs per-invocation record counts and
+    failures via logrus (upstream ``main.go:~100-120`` approx); the Spark
+    idiom is a StreamingQueryListener capturing per-batch progress.
+
+    Collects ``(batch_id, num_input_rows, processed_rows_per_sec)``
+    per progress event plus any termination exception. Listener events
+    arrive on a background thread — readers should poll (see
+    tests/test_streaming.py)."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+        self.terminations: list[str | None] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API name)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self.batches.append(
+            {
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "processed_rows_per_sec": p.processedRowsPerSecond,
+            }
+        )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        self.terminations.append(event.exception)
 
 
 def run_stream_to_memory(

@@ -38,11 +38,16 @@ MAX_RECORD_BYTES = 1024 * 1024
 class KinesisStubClient:
     """Local stand-in for boto3 kinesis: persists delivered records to a
     spool dir; deterministically fails every 7th record's first attempt
-    to exercise the retry path."""
+    to exercise the retry path.
 
-    def __init__(self, spool_dir: str, fail_every: int = 7):
+    ``prefix`` namespaces the spool files — executor-side delivery opens
+    one client per (micro-batch, partition), so spool names must not
+    collide across concurrent partition tasks."""
+
+    def __init__(self, spool_dir: str, fail_every: int = 7, prefix: str = ""):
         self.spool_dir = spool_dir
         self.fail_every = fail_every
+        self.prefix = prefix
         self._seen: set[bytes] = set()
         self._call = 0
         os.makedirs(spool_dir, exist_ok=True)
@@ -53,8 +58,10 @@ class KinesisStubClient:
         if sum(len(r["Data"]) for r in Records) > MAX_BATCH_BYTES:
             raise ValueError("PutRecords batch exceeds 5 MB")
         self._call += 1
+        spool = open(
+            os.path.join(self.spool_dir, f"call_{self.prefix}{self._call:06d}.jsonl"), "w"
+        )
         out, failed = [], 0
-        spool = open(os.path.join(self.spool_dir, f"call_{self._call:06d}.jsonl"), "w")
         for i, rec in enumerate(Records):
             first_attempt = rec["Data"] not in self._seen
             if self.fail_every and first_attempt and i % self.fail_every == self.fail_every - 1:
@@ -74,23 +81,43 @@ class KinesisStubClient:
         return {"FailedRecordCount": failed, "Records": out}
 
 
-def put_records_chunked(client, stream_name: str, records: list[dict]) -> int:
+def put_records_chunked(client, stream_name: str, records) -> int:
     """The reference's batch loop (A-8/A-9): chunk to 500/5 MB, send,
-    re-enqueue failed entries until none remain. Returns delivered count."""
+    re-enqueue failed entries until none remain. Returns delivered count.
+
+    ``records`` may be any iterable (a list, or a partition iterator on
+    an executor) — it is consumed lazily, one 500-record/5 MB batch at a
+    time, so memory stays bounded by one batch plus the retry queue."""
     delivered = 0
-    pending = list(records)
-    while pending:
+    pending: list[dict] = []  # failed entries awaiting retry
+    it = iter(records)
+    exhausted = False
+    while not exhausted or pending:
         batch: list[dict] = []
         nbytes = 0
         while pending and len(batch) < MAX_BATCH_RECORDS:
             sz = len(pending[0]["Data"]) + len(pending[0]["PartitionKey"])
-            if sz > MAX_RECORD_BYTES:
-                raise ValueError("record exceeds 1 MB Kinesis limit")
             if nbytes + sz > MAX_BATCH_BYTES:
                 break
             rec = pending.pop(0)
             batch.append(rec)
             nbytes += sz
+        while not exhausted and len(batch) < MAX_BATCH_RECORDS:
+            try:
+                rec = next(it)
+            except StopIteration:
+                exhausted = True
+                break
+            sz = len(rec["Data"]) + len(rec["PartitionKey"])
+            if sz > MAX_RECORD_BYTES:
+                raise ValueError("record exceeds 1 MB Kinesis limit")
+            if nbytes + sz > MAX_BATCH_BYTES:
+                pending.append(rec)  # did not fit; goes in the next batch
+                break
+            batch.append(rec)
+            nbytes += sz
+        if not batch:
+            break
         resp = client.put_records(StreamName=stream_name, Records=batch)
         if resp["FailedRecordCount"]:
             for rec, status in zip(batch, resp["Records"]):
@@ -98,6 +125,42 @@ def put_records_chunked(client, stream_name: str, records: list[dict]) -> int:
                     pending.append(rec)
         delivered += len(batch) - resp["FailedRecordCount"]
     return delivered
+
+
+def deliver_partitions(
+    keyed: DataFrame, spool_dir: str, stream_name: str, batch_id: int, fail_every: int = 7
+) -> None:
+    """Executor-side Kinesis delivery (A-8..A-10 at cluster scale).
+
+    ``keyed`` must have columns ``pk`` (string) and ``data`` (string).
+    Every partition opens its own client and runs the chunked retrying
+    writer over its partition iterator, so delivery parallelism equals
+    the partition count and NOTHING is collected to the driver — the
+    shape that survives 100 TB (upstream ``main.go:~60-100`` approx runs
+    one Lambda per S3 object; here one task per partition). The stub
+    spools to files keyed by (batch, partition) so local-mode output is
+    collision-free and deterministic; a real ``boto3.client("kinesis")``
+    needs no shared filesystem at all.
+    """
+
+    def _send(rows) -> None:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        client = KinesisStubClient(
+            spool_dir, fail_every=fail_every, prefix=f"b{batch_id:05d}_p{pid:05d}_"
+        )
+        put_records_chunked(
+            client,
+            stream_name,
+            (
+                {"Data": r["data"].encode("utf-8"), "PartitionKey": r["pk"] or "0"}
+                for r in rows
+            ),
+        )
+
+    keyed.foreachPartition(_send)
 
 
 @query("sink_foreachbatch_kinesis", survey_id="B-6")  # Tier R: sink harness
@@ -113,18 +176,14 @@ def sink_foreachbatch_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = harness.write_replay_files(spark, sf_dir)
     stream = harness.read_replay_stream(spark, replay)
     spool = tempfile.mkdtemp(prefix="cts_kinesis_spool_")
-    client = KinesisStubClient(spool)
 
     payload = F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value", "props"))
 
     def deliver(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select(
+        keyed = batch_df.select(
             F.col("user_id").cast("string").alias("pk"), payload.alias("data")
-        ).collect()
-        records = [
-            {"Data": r["data"].encode("utf-8"), "PartitionKey": r["pk"]} for r in rows
-        ]
-        put_records_chunked(client, "cloudtrail-stream", records)
+        )
+        deliver_partitions(keyed, spool, "cloudtrail-stream", batch_id)
 
     q = (
         stream.writeStream.foreachBatch(deliver)

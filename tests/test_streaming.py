@@ -102,6 +102,45 @@ def test_cloudtrail_pipeline_end_to_end(spark):
     assert got == want
 
 
+def test_sns_dispatch_delivers_all(spark):
+    """Mixed S3-direct + SNS-enveloped feed (A-2/A-3): dispatch must
+    route both shapes and deliver every record exactly once."""
+    out = all_queries()["cloudtrail_sns_dispatch"](spark, SF)
+    got = {r["event_type"]: r["n"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_listener_captures_batch_metrics(spark):
+    """A-11 analog: the listener sees every micro-batch with its row
+    count and a throughput figure."""
+    import time
+
+    listener = harness.BatchMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        replay = harness.write_replay_files(spark, SF)
+        stream_in = harness.read_replay_stream(spark, replay)
+        harness.run_stream_to_memory(
+            tumbling_counts(stream_in), "tumb_metrics", output_mode="complete"
+        )
+        deadline = time.time() + 30
+        while time.time() < deadline and sum(
+            b["num_input_rows"] for b in listener.batches
+        ) < _events_count(spark):
+            time.sleep(0.5)  # listener events arrive on a background thread
+    finally:
+        spark.streams.removeListener(listener)
+    assert sum(b["num_input_rows"] for b in listener.batches) == _events_count(spark)
+    assert any(b["processed_rows_per_sec"] > 0 for b in listener.batches)
+
+
 def test_custom_state_final_equals_batch(spark):
     out = all_queries()["stream_custom_state"](spark, SF)
     batch = (
