@@ -270,7 +270,7 @@ SELECT
   CAST(COUNT(*) AS BIGINT) AS n_sampled,
   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM orders
-WHERE (o_orderkey * 2654435761) % 100 < 10
+WHERE ((o_orderkey & 2147483647) * 2654435761) % 100 < 10
 GROUP BY o_orderstatus
 """
 
@@ -280,9 +280,13 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% sample via Knuth multiplicative hash mod 100 —
     engine-portable (pure int64 arithmetic; no rand()/TABLESAMPLE, whose
     streams never match across engines) and stable under repartitioning,
-    which makes pipeline A/B runs reproducible at any scale."""
+    which makes pipeline A/B runs reproducible at any scale. The key is
+    masked to 31 bits BEFORE the multiply so the product peaks at
+    ~5.7e18 < int64 max: without the mask, keys past ~3.47e9 (sf ≳ 580)
+    silently wrap in Spark but raise in DuckDB/ANSI engines, and the
+    sampled set would diverge across engines."""
     o = table(spark, sf_dir, "orders")
-    keep = (F.col("o_orderkey") * F.lit(2654435761)) % 100 < 10
+    keep = (F.col("o_orderkey").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761)) % 100 < 10
     return (
         o.where(keep)
         .groupBy("o_orderstatus")

@@ -50,6 +50,62 @@ def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DPP_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+              WHEN event_type IN ('purchase', 'signup') THEN 'revenue'
+              ELSE 'ops' END AS tier
+  FROM events
+)
+SELECT e.event_type, d.tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+FROM events e
+JOIN d ON e.event_type = d.event_type
+WHERE d.tier = 'engagement'
+GROUP BY e.event_type, d.tier
+"""
+
+
+@query("join_dpp_partitioned", oracle=_DPP_ORACLE, survey_id="B-5-ext")
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the B-5 layout (SURVEY §4.2).
+
+    The fact (events) is laid out hive-partitioned by event_type; the
+    dim (event_type → tier) is a parquet scan with a selective tier
+    filter. Joining fact to dim on the partition column makes Catalyst
+    inject a DynamicPruning subquery into the fact scan's
+    PartitionFilters (asserted in tests/test_plans.py): at 100 TB the
+    fact reads ONLY the partitions whose keys survive the dim filter —
+    the dim's values are known at runtime via the reused broadcast, so
+    no static pruning could do this. This is the S3-layout payoff of
+    CloudTrail's region/date partitioning at query time."""
+    ev = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cts_dpp_")
+    fact_path = os.path.join(base, "events_parted")
+    dim_path = os.path.join(base, "event_dim")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(fact_path)
+    tier = (
+        F.when(F.col("event_type").isin("click", "view"), "engagement")
+        .when(F.col("event_type").isin("purchase", "signup"), "revenue")
+        .otherwise("ops")
+    )
+    ev.select("event_type").distinct().withColumn("tier", tier).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tier") == "engagement")
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
 @query("sink_parquet_partitioned", oracle="SELECT * FROM events", survey_id="B-5")
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned write + read-back round trip (A-9/A-10 analog).

@@ -47,8 +47,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → two hash joins → hash agg
     → global top-10 (TakeOrderedAndProject). Both join filters are
     pushed below the joins by Catalyst, so at 100 TB the lineitem scan
-    ships only post-`l_shipdate` rows into the shuffle; the filtered
-    customer side is broadcast. Top-k is total-ordered (revenue desc,
+    ships only post-`l_shipdate` rows into the shuffle. customer scales
+    with sf, so no broadcast hint is forced — size-based selection / AQE
+    broadcasts the filtered segment while it fits and falls back to a
+    shuffle join at scale. Top-k is total-ordered (revenue desc,
     l_orderkey) per §5.3 rule 3."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -59,7 +61,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") > cut)
         .join(o.where(F.col("o_orderdate") < cut), l.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            c.where(F.col("c_mktsegment") == "BUILDING"),
             o.o_custkey == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -92,12 +94,16 @@ ORDER BY revenue DESC, n_name
 
 @query("tpch_q5_local_supplier", oracle=_Q5_ORACLE, survey_id="B-11-ext")
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: six-table join (fact-fact lineitem⋈orders plus
-    four broadcast dims) with a correlated same-nation predicate
-    (c_nationkey = s_nationkey), per-nation revenue. Catalyst folds the
-    region filter into the nation broadcast; only the lineitem⋈orders
-    join shuffles. Output is tiny (≤25 rows) — classic reduce-heavy
-    star-join at 100 TB."""
+    """TPC-H Q5 shape: six-table join with a correlated same-nation
+    predicate (c_nationkey = s_nationkey), per-nation revenue.
+
+    Broadcast hints go ONLY on the bounded dims (nation ≤25 rows, region
+    ≤5 rows — fixed regardless of scale factor). customer and supplier
+    grow linearly with sf (billions of rows at 100 TB), so their join
+    strategy is left to size-based selection / AQE: at small sf they
+    broadcast on their own; at 100 TB they shuffle-join, which is the
+    only shape that doesn't OOM. Output is tiny (≤25 rows) — classic
+    reduce-heavy star-join."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
@@ -111,11 +117,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o_filt, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(
             F.broadcast(r.where(F.col("r_name") == "ASIA")),

@@ -22,6 +22,21 @@ def _plan(spark, name: str, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def _tree(plan: str) -> str:
+    """The tree section of a formatted explain, WITHOUT the per-node
+    detail section. Formatted mode prints every node name twice — once
+    in the tree, once as a "(n) NodeName" detail block — so substring
+    counts over the full output are doubled. All node-COUNT assertions
+    go through this helper so the doubling assumption lives in exactly
+    one place (ReadSchema/PushedFilters checks still use the full
+    output, where the detail section is the point)."""
+    return plan.split("\n\n(1)")[0]
+
+
+def _nodes(spark, name: str) -> str:
+    return _tree(_plan(spark, name))
+
+
 def test_scan_pruned_pushdown(spark):
     plan = _plan(spark, "scan_pruned")
     assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan, plan
@@ -80,7 +95,7 @@ def test_asof_is_single_window_pass(spark):
     assert "Join" not in plan.split("AdaptiveSparkPlan")[0] or "Window" in plan
     assert "Window" in plan
     # exactly one shuffle: the user_id repartition for the window
-    assert plan.count("Exchange") <= 2
+    assert _tree(plan).count("Exchange") <= 1
 
 
 def test_sim_topk_broadcasts_probes(spark):
@@ -89,10 +104,9 @@ def test_sim_topk_broadcasts_probes(spark):
     assert "CartesianProduct" not in plan
 
 def test_pivot_single_scan_no_discovery_job(spark):
-    # Explicit pivot-value list => no distinct-value discovery job; the
-    # formatted output prints the tree twice, so one real scan shows as 2.
+    # Explicit pivot-value list => no distinct-value discovery job.
     plan = _plan(spark, "agg_pivot")
-    assert plan.count("Scan parquet") == 2, "pivot must scan orders exactly once"
+    assert _tree(plan).count("Scan parquet") == 1, "pivot must scan orders exactly once"
     assert "o_orderdate" not in plan.split("ReadSchema")[1][:200], "prune unused cols"
 
 
@@ -110,20 +124,34 @@ def test_string_agg_broadcasts_dim(spark):
 
 
 def test_distribution_window_single_shuffle(spark):
-    # percent_rank/cume_dist/ntile share one window spec => one Exchange
-    # (doubled in formatted output), one Window node.
-    plan = _plan(spark, "win_distribution")
-    assert plan.count("Exchange") <= 2, "all three fns must share one window pass"
+    # percent_rank/cume_dist/ntile share one window spec => one Exchange,
+    # one Window node.
+    plan = _nodes(spark, "win_distribution")
+    assert plan.count("Exchange") <= 1, "all three fns must share one window pass"
+
+def test_dpp_prunes_fact_partitions(spark):
+    """SURVEY §4.2: joining the hive-partitioned fact on its partition
+    column against a selectively-filtered dim must inject a
+    DynamicPruning subquery into the fact scan's PartitionFilters —
+    at scale the fact reads only surviving partitions."""
+    plan = _plan(spark, "join_dpp_partitioned")
+    assert "dynamicpruning" in plan.lower(), "DPP must reach the partitioned scan"
+
 
 def test_tpch_q3_composite_plan(spark):
     plan = _plan(spark, "tpch_q3_shipping_priority")
-    assert "BroadcastHashJoin" in plan, "filtered customer dim must broadcast"
+    # no forced hint: size-based selection broadcasts the filtered
+    # customer segment at this sf; at 100 TB it may legitimately shuffle
+    assert "BroadcastHashJoin" in plan, "filtered customer dim should broadcast at sf0.001"
     assert "TakeOrderedAndProject" in plan, "top-10 must not global-sort"
-    assert plan.count("HashAggregate") >= 2, "partial+final agg expected"
+    assert _tree(plan).count("HashAggregate") >= 2, "partial+final agg expected"
 
 
-def test_tpch_q5_star_join_broadcasts_all_dims(spark):
-    plan = _plan(spark, "tpch_q5_local_supplier")
-    # formatted output prints the tree twice: 4 broadcast dims show as >= 8
-    assert plan.count("BroadcastHashJoin") >= 8, "all four dims must broadcast"
+def test_tpch_q5_star_join_scale_safe(spark):
+    """The scale-correct Q5 shape: the bounded dims (nation, region) are
+    hint-broadcast; customer/supplier strategy is left to size-based
+    selection / AQE (forcing them broadcast would OOM at 100 TB, where
+    they scale with sf). No plan may degenerate to a cartesian/BNLJ."""
+    plan = _nodes(spark, "tpch_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2, "nation+region must broadcast"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
