@@ -105,6 +105,249 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(table(spark, sf_dir, "documents"))
 
 
+# Seeded near-dup mutation (SURVEY B-56 recall check): truncate to the
+# first ceil(0.9n) tokens and substitute the token at floor(n/2) —
+# pure integer/list arithmetic so tests/test_engine.py can recompute the
+# IDENTICAL corpus in DuckDB and cross-check the exact-Jaccard truth set.
+_MUTATE_SQL = """
+concat_ws(' ',
+  transform(
+    slice(split(lower(text), ' '), 1,
+          greatest(3, cast(ceil(size(split(lower(text), ' ')) * 0.9) AS INT))),
+    (tok, i) -> IF(i = cast(floor(size(split(lower(text), ' ')) / 2.0) AS INT),
+                   'xqzsubstituted', tok)))
+"""
+
+_SEED_OFFSET = 1000000
+
+
+def seeded_neardup_corpus(docs: DataFrame) -> DataFrame:
+    """Originals plus deterministic near-duplicate mutations (mutated ids
+    offset by _SEED_OFFSET). The mutation leaves most 3-shingles intact,
+    so (doc, mutation) pairs land around Jaccard 0.6-0.9 — exactly the
+    band the 8×4 LSH parameters are tuned to catch."""
+    base = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    mutated = base.select(
+        (F.col("doc_id") + _SEED_OFFSET).alias("doc_id"),
+        F.expr(_MUTATE_SQL).alias("text"),
+    )
+    return base.unionByName(mutated)
+
+
+@query("dedup_minhash_recall", survey_id="B-56")  # Tier R (recall metric; xxhash64 is Spark-only)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall against an exact-Jaccard truth set on a seeded
+    near-dup corpus — the B-56 verification SURVEY §5 calls for.
+
+    Truth = seeded (doc, mutation) pairs whose EXACT 3-shingle Jaccard
+    ≥ 0.6 (linear in N — only seeded pairs are scored, so the check
+    itself stays scale-safe; tests/test_engine.py recomputes the same
+    truth set in DuckDB and asserts recall ≥ 0.9). Returns one row
+    (n_truth, n_caught, recall)."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = seeded_neardup_corpus(docs)
+    cands = minhash_candidates(corpus).where(
+        F.col("id_b") == F.col("id_a") + _SEED_OFFSET
+    )
+    sh = _shingles(corpus)
+    a = sh.where(F.col("doc_id") < _SEED_OFFSET).select(
+        "doc_id", F.col("shingles").alias("sa")
+    )
+    b = sh.where(F.col("doc_id") >= _SEED_OFFSET).select(
+        (F.col("doc_id") - _SEED_OFFSET).alias("doc_id"), F.col("shingles").alias("sb")
+    )
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    truth = a.join(b, "doc_id").where(jac >= 0.6).select("doc_id")
+    flagged = truth.join(
+        cands.select(F.col("id_a").alias("doc_id"), F.lit(1).alias("caught")),
+        "doc_id",
+        "left",
+    )
+    n_caught = F.sum(F.coalesce("caught", F.lit(0)))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        n_caught.cast("long").alias("n_caught"),
+        F.round(n_caught / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, rounds: int = 5
+) -> DataFrame:
+    """Connected components over an undirected edge list — the dedup
+    GROUPING step: near-dup candidate pairs form a graph; each component
+    is one duplicate cluster and min(id) its canonical representative.
+
+    Min-label propagation fused with pointer jumping: each round (1)
+    lowers every node's label to the minimum over its neighbors' labels,
+    then (2) rewrites label[v] ← label[label[v]]. Jumping doubles the
+    distance a label travels per round, so convergence is O(log diameter)
+    rounds — ``rounds=5`` covers diameter ≈ 2⁵; at 100 TB this is the
+    GraphX/large-star shape: every step is an equi-join + min-aggregate
+    keyed by node id, no driver loop-carried data. Lineage is truncated
+    per round (localCheckpoint) so the plan doesn't deepen geometrically.
+
+    edges: columns (id_a, id_b); nodes: column (id). Returns (id, comp).
+    """
+    und = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionByName(
+        edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    )
+    labels = nodes.select("id", F.col("id").alias("comp"))
+    for _ in range(rounds):
+        nb = (
+            und.join(labels.select(F.col("id").alias("b"), "comp"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        labels = (
+            labels.join(nb, labels.id == nb.a, "left")
+            .select(
+                "id", F.least("comp", F.coalesce("nb_comp", "comp")).alias("comp")
+            )
+        )
+        ptr = labels.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
+        labels = (
+            labels.join(ptr, labels.comp == ptr.pid, "left")
+            .select("id", F.coalesce("pcomp", "comp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def _second_mutation(m1: DataFrame) -> DataFrame:
+    """Mutation applied to the already-mutated text (ids offset again) —
+    m2 stays near m1 but drifts far enough from the original that the
+    (base, m2) edge usually fails the 0.7 bar while (base, m1) and
+    (m1, m2) pass: components only form through TRANSITIVITY."""
+    return m1.select(
+        (F.col("doc_id") + _SEED_OFFSET).alias("doc_id"),
+        F.expr(_MUTATE_SQL).alias("text"),
+    )
+
+
+_CC_EDGE_THRESHOLD = 0.7
+
+# DuckDB mirrors of _MUTATE_SQL and _shingles (1-based list lambdas).
+_DUCK_MUTATE = """
+array_to_string(
+  list_transform(
+    (string_split({t}, ' '))[1:greatest(3,
+        CAST(ceil(len(string_split({t}, ' ')) * 0.9) AS INT))],
+    (x, i) -> CASE WHEN i - 1 = CAST(floor(len(string_split({t}, ' ')) / 2.0) AS INT)
+                   THEN 'xqzsubstituted' ELSE x END),
+  ' ')
+"""
+
+_DUCK_SHINGLES = """
+list_distinct(CASE WHEN len(string_split({t}, ' ')) >= 3
+  THEN list_transform(
+         (string_split({t}, ' '))[1:len(string_split({t}, ' ')) - 2],
+         (x, i) -> concat(x, ' ', string_split({t}, ' ')[i + 1],
+                          ' ', string_split({t}, ' ')[i + 2]))
+  ELSE [{t}] END)
+"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, lower(text) AS text FROM documents
+),
+m1 AS (
+  SELECT id + 1000000 AS id, {_DUCK_MUTATE.format(t="text")} AS text FROM base
+),
+m2 AS (
+  SELECT id + 1000000 AS id, {_DUCK_MUTATE.format(t="text")} AS text FROM m1
+),
+nodes AS (
+  SELECT id, text FROM base
+  UNION ALL SELECT id, text FROM m1
+  UNION ALL SELECT id, text FROM m2
+),
+sh AS (
+  SELECT id, {_DUCK_SHINGLES.format(t="text")} AS s FROM nodes
+),
+pairs AS (
+  SELECT id AS id_a, id + 1000000 AS id_b FROM base
+  UNION ALL SELECT id + 1000000, id + 2000000 FROM base
+  UNION ALL SELECT id, id + 2000000 FROM base
+),
+edges AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.id = p.id_a
+  JOIN sh sb ON sb.id = p.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(sa.s || sb.s)) >= {_CC_EDGE_THRESHOLD}
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION SELECT id_b, id_a FROM edges
+),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+)
+SELECT src AS id, CAST(MIN(dst) AS BIGINT) AS comp
+FROM reach GROUP BY src ORDER BY id
+"""
+
+
+@query("dedup_groups_connected", oracle=_CC_ORACLE, survey_id="north-star")
+def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: seeded 3-node families (doc,
+    mutation, double-mutation) → exact-Jaccard edges at 0.7 → connected
+    components → (id, comp) with comp = canonical min id.
+
+    The oracle recomputes the identical corpus, edges, and components
+    with a DuckDB recursive CTE — transitive closure then MIN — so the
+    iterative Spark algorithm is hash-checked against a declarative
+    fixpoint. Tier H."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    m1 = base.select(
+        (F.col("doc_id") + _SEED_OFFSET).alias("doc_id"),
+        F.expr(_MUTATE_SQL).alias("text"),
+    )
+    m2 = _second_mutation(m1)
+    corpus = base.unionByName(m1).unionByName(m2)
+    sh = _shingles(corpus)
+    fam = base.select(F.col("doc_id").alias("d"))
+    pairs = fam.select(
+        F.col("d"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("d").alias("id_a"),
+                    (F.col("d") + _SEED_OFFSET).alias("id_b"),
+                ),
+                F.struct(
+                    (F.col("d") + _SEED_OFFSET).alias("id_a"),
+                    (F.col("d") + 2 * _SEED_OFFSET).alias("id_b"),
+                ),
+                F.struct(
+                    F.col("d").alias("id_a"),
+                    (F.col("d") + 2 * _SEED_OFFSET).alias("id_b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.id_a", "p.id_b")
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    edges = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= _CC_EDGE_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    return connected_components(edges, nodes, rounds=5).orderBy("id")
+
+
 def simhash_candidates(docs: DataFrame) -> DataFrame:
     """SimHash near-dup candidates over any (doc_id, text) DataFrame.
 

@@ -1,22 +1,33 @@
 """Multimodal-column operators (north star: image/audio/video as opaque
 binary columns with typed metadata).
 
-The Spark-side plumbing is real and tested: BinaryType payload columns,
-typed metadata structs, Arrow-batched ``mapInPandas`` with an explicit
-output schema, and partition-count preservation. The actual media codecs
-are NOT in this container, so the decode kernel is a deterministic fake
-behind the same signature (`decode_image_batch`), with the real-codec
-entry point stubbed as NotImplementedError — swapping in PIL/ffmpeg
-changes only the kernel body, not the Spark plan.
+The decode kernel is REAL: payloads are synthesized as structurally
+valid image files (PNG with correct CRC-checked IHDR/IDAT/IEND chunks,
+24-bpp BMP with a full pixel array, GIF89a with logical-screen
+descriptor + image descriptor — pixel stream minimal), and metadata is
+recovered by parsing those bytes (PNG big-endian IHDR dims, GIF
+little-endian LSD, BMP little-endian BITMAPINFOHEADER). No codec
+libraries needed — header parsing is pure Python ``struct``. Full
+pixel-level decode (PIL/ffmpeg) would slot into the same kernel without
+touching the Spark plan.
 
 At 100 TB: payloads stay in executor-local Arrow batches end-to-end
-(never driver-side); metadata extraction is a mapInPandas pass with
-columnar batch shape (spark.sql.execution.arrow.maxRecordsPerBatch
-bounds memory per batch regardless of payload size).
+(never driver-side); synthesis and metadata extraction are both
+``mapInPandas`` passes with columnar batch shape
+(spark.sql.execution.arrow.maxRecordsPerBatch bounds memory per batch
+regardless of payload size).
+
+Correctness is H-tier: payload dimensions are a pure function of doc_id
+(width = 64 + doc_id % 192, height = 64 + doc_id*7 % 192, format by
+doc_id % 3), so the DuckDB oracle recomputes the expected metadata
+arithmetically while Spark round-trips it through real bytes — a broken
+synthesizer OR parser hash-mismatches.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,62 +38,132 @@ from pyspark.sql import functions as F
 from cloudtrail_streamer_spark.catalog import table
 from cloudtrail_streamer_spark.registry import query
 
-IMAGE_META_SCHEMA = (
-    "doc_id long, n_bytes long, format string, width long, height long, "
-    "n_frames long, checksum string"
-)
+IMAGE_META_SCHEMA = "doc_id long, format string, width long, height long, n_bytes long, n_frames long"
 
 
-def decode_image_real(payload: bytes) -> dict:
-    """Real-codec decode — requires PIL/ffmpeg, not present in this
-    environment. Kept as the production entry point."""
-    raise NotImplementedError(
-        "media codecs unavailable in this container; use decode_image_batch's "
-        "deterministic fake (same schema) for plumbing tests"
+# ---------------------------------------------------------------- synthesis
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
     )
 
 
+def make_png(w: int, h: int) -> bytes:
+    """Fully valid 8-bit grayscale PNG (correct chunk CRCs, zlib IDAT)."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"\x00" * ((1 + w) * h)  # filter byte + w pixels, per row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 1))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_gif(w: int, h: int) -> bytes:
+    """GIF89a with correct logical-screen + image descriptors and a
+    2-entry global color table; LZW pixel stream is minimal (header
+    fidelity — strict pixel decoders would report a short raster)."""
+    lsd = struct.pack("<HH", w, h) + bytes([0xF0, 0x00, 0x00])
+    gct = b"\x00\x00\x00\xff\xff\xff"
+    imgdesc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    lzw = b"\x02\x02\x44\x01\x00"  # min code size 2; clear, pixel, end
+    return b"GIF89a" + lsd + gct + imgdesc + lzw + b"\x3b"
+
+
+def make_bmp(w: int, h: int) -> bytes:
+    """Fully valid 24-bpp bottom-up BMP with zeroed pixel array."""
+    row = (3 * w + 3) // 4 * 4
+    size = 54 + row * h
+    file_header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + b"\x00" * (row * h)
+
+
+def synth_payload(doc_id: int) -> bytes:
+    """Deterministic image payload for a document id — dims/format are a
+    pure function of the id (mirrored arithmetically in the oracle)."""
+    w = 64 + doc_id % 192
+    h = 64 + (doc_id * 7) % 192
+    return (make_png, make_gif, make_bmp)[doc_id % 3](w, h)
+
+
+# ------------------------------------------------------------------ decode
+def parse_image_header(raw: bytes) -> tuple[str, int, int]:
+    """Real header parse: PNG IHDR (big-endian), GIF logical screen
+    (little-endian u16), BMP BITMAPINFOHEADER (little-endian i32)."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        if raw[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        w, h = struct.unpack(">II", raw[16:24])
+        return "png", w, h
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", raw[6:10])
+        return "gif", w, h
+    if raw[:2] == b"BM":
+        w, h = struct.unpack("<ii", raw[18:26])
+        return "bmp", w, abs(h)  # negative height = top-down BMP
+    raise ValueError("unsupported image format")
+
+
+def synth_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id → valid image bytes (BinaryType)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_payload(int(i)) for i in pdf["doc_id"]],
+            }
+        )
+
+
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: binary payload → typed image metadata.
-
-    Deterministic fake decode: dimensions derived from the payload's
-    sha256 prefix (stable across runs/engines); real decode would call
-    decode_image_real per payload with identical batch shape.
-    """
-    import hashlib
-
+    """mapInPandas kernel: binary payload → typed image metadata, by
+    parsing the actual bytes. n_frames: these payloads are single-frame
+    (animated-GIF block walking would extend the parser, not the plan)."""
     for pdf in batches:
         metas = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             raw = bytes(payload)
-            digest = hashlib.sha256(raw).digest()
+            fmt, w, h = parse_image_header(raw)
             metas.append(
                 {
                     "doc_id": int(doc_id),
+                    "format": fmt,
+                    "width": w,
+                    "height": h,
                     "n_bytes": len(raw),
-                    "format": ("png", "jpeg", "webp")[digest[0] % 3],
-                    "width": 64 + digest[1] % 192,
-                    "height": 64 + digest[2] % 192,
-                    "n_frames": 1 + digest[3] % 4,
-                    "checksum": digest.hex()[:16],
+                    "n_frames": 1,
                 }
             )
         yield pd.DataFrame(metas)
 
 
-@query("multimodal_image_meta", survey_id="north-star")  # Tier R (fake decode)
+_IMG_ORACLE = """
+SELECT
+  doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+  CAST(64 + doc_id % 192 AS BIGINT) AS width,
+  CAST(64 + (doc_id * 7) % 192 AS BIGINT) AS height
+FROM documents
+"""
+
+
+@query("multimodal_image_meta", oracle=_IMG_ORACLE, survey_id="B-63/north-star")
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary decode pipeline: documents → synthetic payload bytes
-    → mapInPandas metadata extraction → per-format aggregate."""
-    d = table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    """Opaque-binary decode pipeline: documents → synthesized VALID image
+    payloads (BinaryType) → mapInPandas header decode → per-doc typed
+    metadata. The oracle recomputes dims arithmetically from doc_id; the
+    Spark path must recover them from the bytes themselves."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(synth_image_batch, schema="doc_id long, payload binary")
     meta = payloads.mapInPandas(decode_image_batch, schema=IMAGE_META_SCHEMA)
-    return meta.groupBy("format").agg(
-        F.count(F.lit(1)).alias("n_images"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.max("width").alias("max_width"),
-        F.max("height").alias("max_height"),
-    )
+    return meta.select("doc_id", "format", "width", "height")
 
 
 def sample_frames(meta_df: DataFrame, every_n: int = 2) -> DataFrame:

@@ -99,6 +99,7 @@ _WINDOW_PRIORITY: list[str] = [
     # new round-2 entries
     "join_dpp_partitioned",
     "dedup_minhash_recall",
+    "dedup_groups_connected",
     "multimodal_image_meta",
     # round-1-verified core ops re-checked with the remaining slots
     "scan_parquet",
@@ -113,7 +114,6 @@ _WINDOW_PRIORITY: list[str] = [
     "filter_compound",
     "fn_string",
     "fn_json",
-    "sim_search_topk",
 ]
 
 

@@ -118,3 +118,121 @@ def test_lang_id_covers_all_docs(spark):
     assert out.count() == docs.count()
     langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
     assert {r["pred_lang"] for r in out.select("pred_lang").distinct().collect()} <= langs
+
+
+def test_image_header_roundtrip():
+    """Synthesized payloads are real files: the parser must recover the
+    exact dims from the bytes for every format, and reject garbage."""
+    import pytest
+
+    from cloudtrail_streamer_spark.operators.multimodal import (
+        parse_image_header,
+        synth_payload,
+    )
+
+    for doc_id in [0, 1, 2, 3, 191, 192, 193, 1000, 99999]:
+        fmt, w, h = parse_image_header(synth_payload(doc_id))
+        assert fmt == ("png", "gif", "bmp")[doc_id % 3]
+        assert w == 64 + doc_id % 192
+        assert h == 64 + (doc_id * 7) % 192
+    with pytest.raises(ValueError):
+        parse_image_header(b"not an image")
+
+
+def test_png_payload_is_strictly_valid():
+    """The PNG synthesizer emits chunk-CRC-correct, zlib-decodable IDAT —
+    a strict decoder (not just a header sniffer) accepts it."""
+    import struct
+    import zlib
+
+    from cloudtrail_streamer_spark.operators.multimodal import make_png
+
+    raw = make_png(65, 70)
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks, idat = 8, [], b""
+    while pos < len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        tag = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", raw[pos + 8 + length : pos + 12 + length])
+        assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF, f"bad CRC on {tag}"
+        chunks.append(tag)
+        if tag == b"IDAT":
+            idat += data
+        pos += 12 + length
+    assert chunks == [b"IHDR", b"IDAT", b"IEND"]
+    assert len(zlib.decompress(idat)) == (1 + 65) * 70  # filter byte + row
+
+
+def test_minhash_recall_vs_duckdb_truth(spark):
+    """B-56 recall gate: LSH must catch >= 90% of the seeded near-dup
+    pairs whose EXACT 3-shingle Jaccard >= 0.6 — and the truth-set size
+    Spark computes must equal DuckDB's independent recomputation of the
+    identical mutation + exact Jaccard."""
+    import duckdb
+
+    row = all_queries()["dedup_minhash_recall"](spark, SF).collect()[0]
+    assert row["n_truth"] > 0, "seeded corpus must produce truth pairs"
+    assert row["recall"] >= 0.9, f"LSH recall {row['recall']} below bound"
+
+    truth_sql = f"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS text
+      FROM read_parquet('{SF}/documents.parquet')
+    ),
+    mut AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 (string_split(text, ' '))[1:greatest(3,
+                    CAST(ceil(len(string_split(text, ' ')) * 0.9) AS INT))],
+                 (x, i) -> CASE WHEN i - 1 = CAST(floor(len(string_split(text, ' ')) / 2.0) AS INT)
+                                THEN 'xqzsubstituted' ELSE x END),
+               ' ') AS text
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(
+                      (string_split(text, ' '))[1:len(string_split(text, ' ')) - 2],
+                      (x, i) -> concat(x, ' ', string_split(text, ' ')[i + 1],
+                                       ' ', string_split(text, ' ')[i + 2]))
+               ELSE [text] END) AS s
+      FROM base
+    ),
+    shm AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+               THEN list_transform(
+                      (string_split(text, ' '))[1:len(string_split(text, ' ')) - 2],
+                      (x, i) -> concat(x, ' ', string_split(text, ' ')[i + 1],
+                                       ' ', string_split(text, ' ')[i + 2]))
+               ELSE [text] END) AS s
+      FROM mut
+    )
+    SELECT COUNT(*) AS n_truth
+    FROM sh JOIN shm USING (doc_id)
+    WHERE CAST(len(list_intersect(sh.s, shm.s)) AS DOUBLE)
+          / len(list_distinct(sh.s || shm.s)) >= 0.6
+    """
+    n_truth_duck = duckdb.connect().execute(truth_sql).fetchone()[0]
+    assert n_truth_duck == row["n_truth"], (
+        f"Spark truth set {row['n_truth']} != DuckDB truth set {n_truth_duck}"
+    )
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 21-node chain (diameter 20) must fully converge in 5 rounds —
+    pointer jumping makes label travel double per round."""
+    from cloudtrail_streamer_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(21)], "id long")
+    labels = connected_components(edges, nodes, rounds=5).collect()
+    assert len(labels) == 21
+    assert all(r["comp"] == 0 for r in labels), sorted(
+        (r["id"], r["comp"]) for r in labels
+    )
