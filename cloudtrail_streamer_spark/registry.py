@@ -93,6 +93,7 @@ _WINDOW_PRIORITY: list[str] = [
     "source_json_gz",
     "source_stream_files",
     "sink_foreachbatch_kinesis",
+    "source_kinesis_stub",
     "cloudtrail_pipeline_e2e",
     "cloudtrail_sns_dispatch",
     "stream_custom_state",
@@ -113,7 +114,6 @@ _WINDOW_PRIORITY: list[str] = [
     "project_compute",
     "filter_compound",
     "fn_string",
-    "fn_json",
 ]
 
 

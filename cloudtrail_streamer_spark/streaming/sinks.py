@@ -163,14 +163,11 @@ def deliver_partitions(
     keyed.foreachPartition(_send)
 
 
-@query("sink_foreachbatch_kinesis", survey_id="B-6")  # Tier R: sink harness
-def sink_foreachbatch_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch Kinesis delivery of the events stream (stubbed sink):
-    JSON-serialize each event (partition key = user_id, A-10 analog),
-    deliver through the chunked retrying writer, then read the spool back
-    and count per event_type — equals the source counts despite injected
-    partial failures (at-least-once, exactly-once here since the stub
-    dedups by payload)."""
+def deliver_events_to_spool(spark: SparkSession, sf_dir: str) -> str:
+    """Run the full B-6 delivery path — events replayed as a file stream,
+    JSON-serialized (partition key = user_id, A-10 analog), delivered
+    through the executor-side chunked retrying writer — and return the
+    spool dir the stub 'stream' now holds."""
     from cloudtrail_streamer_spark.streaming import harness
 
     replay = harness.write_replay_files(spark, sf_dir)
@@ -192,7 +189,17 @@ def sink_foreachbatch_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    return spool
 
+
+@query("sink_foreachbatch_kinesis", survey_id="B-6")  # Tier R: sink harness
+def sink_foreachbatch_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch Kinesis delivery of the events stream (stubbed sink):
+    deliver through the chunked retrying writer, then read the spool back
+    and count per event_type — equals the source counts despite injected
+    partial failures (at-least-once, exactly-once here since the stub
+    dedups by payload)."""
+    spool = deliver_events_to_spool(spark, sf_dir)
     delivered = spark.read.json(spool)
     return (
         delivered.select(F.get_json_object("data", "$.event_type").alias("event_type"))

@@ -35,6 +35,69 @@ def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harness.run_stream_to_memory(counts, name, output_mode="complete")
 
 
+# Kinesis consumer record shape: the spool rows carry (pk, data); the
+# consumer adds shard routing. A real connector swap changes only the
+# readStream format string, not this schema or anything downstream.
+KINESIS_RECORD_SCHEMA = "pk string, data string"
+N_SHARDS = 4
+
+
+def read_kinesis_stream(
+    spark: SparkSession, spool_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Structured-Streaming consumer over a Kinesis-shaped spool — the
+    source-side counterpart of sinks.deliver_partitions (the reference is
+    producer-only; a capability superset needs the consumer too).
+
+    Shard routing mirrors Kinesis' hash-of-partition-key model
+    (crc32(pk) % n_shards standing in for the MD5 hash-key range split):
+    all records of one partition key land in one shard, in spool order —
+    Kinesis' per-key ordering guarantee. Incremental consumption (the
+    GetRecords loop analog) comes from the file source's listing
+    checkpoint + maxFilesPerTrigger."""
+    raw = (
+        spark.readStream.schema(KINESIS_RECORD_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(spool_dir)
+    )
+    return raw.withColumn(
+        "shard_id", (F.crc32(F.col("pk").cast("binary")) % n_shards).cast("int")
+    )
+
+
+_KINESIS_RT_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("source_kinesis_stub", oracle=_KINESIS_RT_ORACLE, survey_id="B-6-ext")
+def source_kinesis_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full produce→consume round trip through the Kinesis stub: events
+    are delivered by the executor-side chunked retrying sink (B-6), then
+    the streaming consumer reads the shard spool back with Kinesis
+    record schema + shard routing and aggregates per event_type. H-tier:
+    per-type counts must equal the original events table exactly —
+    despite chunking, injected partial failures, and resharding."""
+    from cloudtrail_streamer_spark.streaming import harness
+    from cloudtrail_streamer_spark.streaming.sinks import deliver_events_to_spool
+
+    spool = deliver_events_to_spool(spark, sf_dir)
+    consumer = read_kinesis_stream(spark, spool)
+    counts = (
+        consumer.select(
+            F.get_json_object("data", "$.event_type").alias("event_type")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    import uuid
+
+    name = f"src_kinesis_{uuid.uuid4().hex[:8]}"
+    return harness.run_stream_to_memory(counts, name, output_mode="complete")
+
+
 _JSON_GZ_ORACLE = """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

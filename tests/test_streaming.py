@@ -102,6 +102,32 @@ def test_cloudtrail_pipeline_end_to_end(spark):
     assert got == want
 
 
+def test_kinesis_source_roundtrip_and_sharding(spark):
+    """Produce→consume through the Kinesis stub: counts survive the
+    round trip, and shard routing is a pure function of partition key
+    (Kinesis' per-key ordering unit)."""
+    out = all_queries()["source_kinesis_stub"](spark, SF)
+    n = out.agg(F.sum("n")).collect()[0][0]
+    assert n == _events_count(spark)
+
+    from cloudtrail_streamer_spark.streaming.sinks import deliver_events_to_spool
+    from cloudtrail_streamer_spark.streaming.sources import read_kinesis_stream
+
+    spool = deliver_events_to_spool(spark, SF)
+    consumed = harness.run_stream_to_memory(
+        read_kinesis_stream(spark, spool), "kin_shards"
+    )
+    per_key = consumed.groupBy("pk").agg(
+        F.countDistinct("shard_id").alias("n_shards")
+    )
+    assert per_key.where(F.col("n_shards") > 1).count() == 0, (
+        "a partition key must never split across shards"
+    )
+    assert consumed.select("shard_id").distinct().count() > 1, (
+        "multiple shards must be in use"
+    )
+
+
 def test_sns_dispatch_delivers_all(spark):
     """Mixed S3-direct + SNS-enveloped feed (A-2/A-3): dispatch must
     route both shapes and deliver every record exactly once."""
