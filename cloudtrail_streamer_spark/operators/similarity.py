@@ -247,3 +247,46 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") >= 0.95)
         .select("id_a", "id_b", "score")
     )
+
+
+_QUANT_ORACLE = """
+WITH rng AS (
+  SELECT vec_id,
+         list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+         list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT vec_id, mn, mx,
+       list_transform(e, x -> CASE WHEN mx = mn THEN 0
+         ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
+         END) AS codes
+FROM rng
+"""
+
+
+@query("embed_quantize_int8", oracle=_QUANT_ORACLE, survey_id="north-star")
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-vector min/max) int8 quantization of embeddings — the
+    storage/bandwidth lever for 100 TB ANN: 4-byte floats become 1-byte
+    codes plus two floats, cutting shuffle and index size ~4×.
+
+    Row-local higher-order functions, zero shuffle. floor() (not round)
+    so Spark and DuckDB agree bit-for-bit — round() ties break
+    differently across engines; floor of the same IEEE double does not."""
+    em = table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    mn = F.array_min(e)
+    mx = F.array_max(e)
+    codes = F.transform(
+        e,
+        lambda x: F.when(mx == mn, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(255).cast("long"),
+                F.floor((x - mn) * 255.0 / (mx - mn)).cast("long"),
+            )
+        ),
+    )
+    return em.select(
+        "vec_id", mn.alias("mn"), mx.alias("mx"), codes.alias("codes")
+    )

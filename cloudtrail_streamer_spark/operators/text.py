@@ -334,3 +334,108 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
     )
+
+
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+)
+SELECT shard * 100000 + CAST(floor(start_off / 2048.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM off
+GROUP BY 1
+"""
+
+
+@query("text_pack_sequences", oracle=_PACK_ORACLE, survey_id="north-star")
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    fixed-token-budget bins (2048 tokens) by prefix-sum of token counts.
+
+    The scale shape: docs are sharded (doc_id % 8 here; a hash prefix at
+    100 TB), the running offset is a per-shard window — so the only
+    shuffle is keyed by shard and no global sort exists. Each bin is a
+    training sequence; a straddling doc starts the next bin (greedy
+    offset packing, the deterministic variant of what data loaders do)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = toks.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    bin_id = (F.col("shard") * 100000 + F.floor(F.col("start_off") / 2048.0)).cast(
+        "long"
+    )
+    return (
+        off.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
+
+
+_SCRUB_ORACLE = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://site' || CAST(doc_id AS VARCHAR)
+                  || '.example/path?id=' || CAST(doc_id * 7919 AS VARCHAR),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'),
+         '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+FROM documents
+"""
+
+
+@query("text_scrub_pii", oracle=_SCRUB_ORACLE, survey_id="north-star")
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data scrubbing: mask emails, URLs, and long digit runs
+    (deterministically injected per doc so the op provably fires on
+    every row). Row-local regexp_replace — zero shuffle, whole-stage
+    codegen; the same patterns run in Java regex and RE2 (oracle), which
+    agree on this character-class subset."""
+    d = table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://site"),
+        F.col("doc_id").cast("string"),
+        F.lit(".example/path?id="),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                dirty, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+            ),
+            r"https?://[^ ]+",
+            "<URL>",
+        ),
+        r"[0-9]{6,}",
+        "<NUM>",
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed"))

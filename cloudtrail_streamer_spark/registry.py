@@ -102,18 +102,18 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_minhash_recall",
     "dedup_groups_connected",
     "multimodal_image_meta",
+    "text_pack_sequences",
+    "text_scrub_pii",
+    "embed_quantize_int8",
+    "stream_stream_join",
     # round-1-verified core ops re-checked with the remaining slots
     "scan_parquet",
     "scan_pruned",
     "sink_parquet_partitioned",
     "agg_group_q1",
-    "agg_approx",
     "join_inner_hash",
     "join_broadcast",
     "join_asof",
-    "project_compute",
-    "filter_compound",
-    "fn_string",
 ]
 
 

@@ -238,3 +238,57 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "n", "total_value")
     )
+
+
+@query("stream_stream_join", survey_id="north-star")  # Tier R: dual-stream join
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: clicks
+    joined to purchases by the same user within [0, 1h] BEFORE the
+    purchase. Both sides carry watermarks so the join state is bounded —
+    Spark buffers only rows inside the watermark horizon (the 100 TB
+    requirement for any stream-stream join; unbounded state otherwise).
+    AvailableNow replay makes the result equal the batch join
+    (asserted in tests/test_streaming.py)."""
+    from cloudtrail_streamer_spark.streaming import harness
+
+    replay = harness.write_replay_files(spark, sf_dir)
+
+    def sides(df):
+        clicks = (
+            df.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("click_ts", "2 hours")
+        )
+        purchases = (
+            df.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        cond = (
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        return clicks.join(purchases, cond).select(
+            "p_user", "purchase_id", "click_id"
+        )
+
+    stream = harness.read_replay_stream(spark, replay)
+    import uuid
+
+    joined = harness.run_stream_to_memory(
+        sides(stream), f"ss_join_{uuid.uuid4().hex[:8]}"
+    )
+    return (
+        joined.groupBy("p_user")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("p_user")
+    )

@@ -167,6 +167,36 @@ def test_listener_captures_batch_metrics(spark):
     assert any(b["processed_rows_per_sec"] > 0 for b in listener.batches)
 
 
+def test_stream_stream_join_equals_batch(spark):
+    """Dual-watermarked stream-stream inner join over AvailableNow
+    replay must equal the batch range join exactly."""
+    out = all_queries()["stream_stream_join"](spark, SF)
+    ev = table(spark, SF, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    batch = (
+        clicks.join(purchases, cond)
+        .groupBy("p_user")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    got = {r["p_user"]: r["n_pairs"] for r in out.collect()}
+    want = {r["p_user"]: r["n_pairs"] for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_custom_state_final_equals_batch(spark):
     out = all_queries()["stream_custom_state"](spark, SF)
     batch = (
