@@ -228,3 +228,85 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last(sig_ts, ignorenulls=True).over(w).alias("last_signup_ts"),
     )
+
+
+_BUCKETED_ORACLE = """
+SELECT c.c_custkey,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@query("join_bucketed_colocated", oracle=_BUCKETED_ORACLE, survey_id="B-10-ext")
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-FREE join via bucketing — the co-location strategy for
+    repeated joins at 100 TB: both sides are written bucketed by the
+    join key (8 buckets, sorted), so the join AND the follow-up
+    aggregation on the same key run with ZERO Exchange (asserted in
+    tests/test_plans.py). Writing buckets costs one shuffle once;
+    every subsequent join on that key is free — the break-even is two
+    queries. The merge hint pins SMJ so size-based broadcast doesn't
+    mask the demonstration at test scale."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="cts_bucketed_")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    (
+        o.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/orders")
+        .saveAsTable(f"orders_bkt_{tag}")
+    )
+    (
+        c.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/customer")
+        .saveAsTable(f"customer_bkt_{tag}")
+    )
+    ob = spark.table(f"orders_bkt_{tag}")
+    cb = spark.table(f"customer_bkt_{tag}")
+    from cloudtrail_streamer_spark.functions import cents
+
+    return (
+        cb.hint("merge")
+        .join(ob, cb.c_custkey == ob.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(cents("o_totalprice")).cast("long").alias("total_cents"),
+        )
+    )
+
+
+_SKEW_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("join_skew_salted", oracle=_SKEW_ORACLE, survey_id="B-10-ext")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation: the orders⋈customer join run through
+    ``salted_join`` — the large side's shuffle key is (custkey, salt)
+    with a deterministic 8-way salt, the small side replicated per salt,
+    so no single task can own a hot key. Row-identical to the plain
+    join (this oracle is the plain join), which is the point: salting
+    changes the partitioning, never the result."""
+    from cloudtrail_streamer_spark.functions import cents
+    from cloudtrail_streamer_spark.functions.skew import salted_join
+
+    o = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = table(spark, sf_dir, "customer")
+    joined = salted_join(o, c, "c_custkey", salt_from=F.col("o_orderkey"), n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).cast("long").alias("total_cents"),
+    )

@@ -106,13 +106,13 @@ _WINDOW_PRIORITY: list[str] = [
     "text_scrub_pii",
     "embed_quantize_int8",
     "stream_stream_join",
+    "join_bucketed_colocated",
+    "join_skew_salted",
     # round-1-verified core ops re-checked with the remaining slots
     "scan_parquet",
     "scan_pruned",
     "sink_parquet_partitioned",
     "agg_group_q1",
-    "join_inner_hash",
-    "join_broadcast",
     "join_asof",
 ]
 

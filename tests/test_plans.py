@@ -129,6 +129,17 @@ def test_distribution_window_single_shuffle(spark):
     plan = _nodes(spark, "win_distribution")
     assert plan.count("Exchange") <= 1, "all three fns must share one window pass"
 
+def test_bucketed_join_zero_exchange(spark):
+    """Bucketed co-location: join + same-key aggregation must run with
+    ZERO Exchange — the scan's bucketing satisfies the distribution
+    requirement end to end."""
+    plan = _plan(spark, "join_bucketed_colocated")
+    assert "SelectedBucketsCount" in plan, "scan must be bucket-aware"
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 0, "bucketed join must not shuffle"
+    assert "SortMergeJoin" in tree
+
+
 def test_dpp_prunes_fact_partitions(spark):
     """SURVEY §4.2: joining the hive-partitioned fact on its partition
     column against a selectively-filtered dim must inject a
