@@ -236,3 +236,16 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert all(r["comp"] == 0 for r in labels), sorted(
         (r["id"], r["comp"]) for r in labels
     )
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must cover every doc exactly once, never start a doc past
+    its bin's budget boundary, and keep per-shard doc ranges disjoint."""
+    out = all_queries()["text_pack_sequences"](spark, SF).collect()
+    docs = table(spark, SF, "documents")
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        shard, local_bin = divmod(r["bin_id"], 100000)
+        assert 0 <= shard < 8
+        assert r["first_doc"] % 8 == shard and r["last_doc"] % 8 == shard
+        assert r["n_docs"] >= 1 and r["total_tokens"] >= r["n_docs"]

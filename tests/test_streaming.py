@@ -207,3 +207,43 @@ def test_custom_state_final_equals_batch(spark):
     )
     got = {r["user_id"]: r["n"] for r in out.collect()}
     assert got == {r["user_id"]: r["n"] for r in batch}
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Restart tolerance (the reference's Lambda-redelivery analog):
+    a file-sink stream stopped after a partial feed and resumed from the
+    same checkpoint must produce every source row exactly once."""
+    import os
+    import shutil
+    import tempfile
+
+    replay = harness.write_replay_files(spark, SF)
+    held = tempfile.mkdtemp(prefix="cts_held_")
+    files = sorted(os.listdir(replay))
+    for f in files[len(files) // 2 :]:  # hold back the second half
+        shutil.move(os.path.join(replay, f), os.path.join(held, f))
+
+    out = tempfile.mkdtemp(prefix="cts_recov_out_")
+    ckpt = tempfile.mkdtemp(prefix="cts_recov_ckpt_")
+
+    def run_once():
+        q = (
+            harness.read_replay_stream(spark, replay)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    for f in os.listdir(held):  # deliver the rest, then resume
+        shutil.move(os.path.join(held, f), os.path.join(replay, f))
+    run_once()
+
+    sunk = spark.read.schema(harness.EVENTS_SCHEMA).parquet(out)
+    assert sunk.count() == _events_count(spark)
+    assert sunk.select("event_id").distinct().count() == _events_count(spark), (
+        "resume from checkpoint must not duplicate rows"
+    )
