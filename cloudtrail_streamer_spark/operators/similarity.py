@@ -290,3 +290,65 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id", mn.alias("mn"), mx.alias("mx"), codes.alias("codes")
     )
+
+
+_IVF_ASSIGN_ORACLE = """
+WITH c AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id < 16
+),
+v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+d AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_aggregate(
+           list_transform(v.e, (x, i) -> (x - c.ce[i]) * (x - c.ce[i])),
+           'sum') AS dist2
+  FROM v CROSS JOIN c
+)
+SELECT vec_id, centroid_id, round(dist2, 4) AS dist2
+FROM (
+  SELECT vec_id, centroid_id, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(dist2, 6), centroid_id) AS rn
+  FROM d
+) t
+WHERE rn = 1
+"""
+
+
+@query("embed_ivf_assign", oracle=_IVF_ASSIGN_ORACLE, survey_id="north-star")
+def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ASSIGNMENT step (the Lloyd's-iteration kernel
+    the sign-bit quantizer in sim_search_ivf upgrades to when trained):
+    every vector gets its nearest of 16 fixed centroids (vec_id < 16) by
+    exact L2 — a broadcast of k centroids against N vectors, so the big
+    side never shuffles and the cost is O(N·k·dim) JVM fold work. At
+    100 TB, iterate: re-aggregate centroids per cell, reassign — each
+    iteration is this same broadcast join + one keyed agg.
+
+    Ranking uses round(dist2, 6) + centroid tiebreak so engine ulp noise
+    cannot flip near-equal cells (SURVEY §5.3)."""
+    em = table(spark, sf_dir, "embeddings")
+    cent = em.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("ce"),
+    )
+    v = em.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    dist2 = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round(F.col("dist2"), 6), "centroid_id")
+    return (
+        v.join(F.broadcast(cent))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.round("dist2", 4).alias("dist2"))
+    )

@@ -439,3 +439,62 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<NUM>",
     )
     return d.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+_NGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(t[1:len(t) - 1],
+                (x, i) -> struct_pack(w1 := x, w2 := t[i + 1]))) AS b
+  FROM toks WHERE len(t) >= 2
+),
+cnt AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_pair FROM bi GROUP BY 1, 2
+),
+uni AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM cnt GROUP BY w1
+)
+SELECT c.w1, c.w2, CAST(c.n_pair AS BIGINT) AS n_pair,
+       round(CAST(c.n_pair AS DOUBLE) / u.n_ctx, 6) AS p_cond
+FROM cnt c JOIN uni u USING (w1)
+ORDER BY n_pair DESC, w1, w2
+LIMIT 100
+"""
+
+
+@query("text_ngram_lm", oracle=_NGRAM_LM_ORACLE, survey_id="north-star")
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: P(w2 | w1) = count(w1 w2) / count(w1·),
+    top-100 pairs — the count-based statistic that backs corpus-quality
+    heuristics (perplexity-ish filters) in training-data pipelines.
+
+    Two keyed aggregations (pair, then context marginal as a re-agg of
+    the PAIR counts, never a second corpus pass) + one broadcast-size
+    join; the probability is a ratio of exact BIGINTs so both engines
+    produce identical doubles."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower(F.col("text")), " ").alias("t")).where(
+        F.size("t") >= 2
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    cnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = cnt.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_ctx"))
+    return (
+        cnt.join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_ctx"), 6).alias("p_cond"),
+        )
+        .orderBy(F.col("n_pair").desc(), "w1", "w2")
+        .limit(100)
+    )

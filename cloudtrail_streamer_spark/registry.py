@@ -108,12 +108,12 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_stream_join",
     "join_bucketed_colocated",
     "join_skew_salted",
+    "embed_ivf_assign",
+    "text_ngram_lm",
     # round-1-verified core ops re-checked with the remaining slots
     "scan_parquet",
     "scan_pruned",
     "sink_parquet_partitioned",
-    "agg_group_q1",
-    "join_asof",
 ]
 
 
