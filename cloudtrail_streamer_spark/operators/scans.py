@@ -128,3 +128,39 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+_CSV_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("scan_csv_roundtrip", oracle=_CSV_ORACLE, survey_id="B-1-ext")
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source breadth: orders written as headered CSV (ISO timestamps,
+    shortest-repr doubles), read back with an EXPLICIT schema — never
+    inferSchema, which costs a full extra scan at 100 TB — and
+    aggregated. H-tier: the round trip is lossless for this schema, so
+    integer-cents totals match the parquet-sourced oracle exactly."""
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="cts_csv_"), "orders_csv")
+    o.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss"
+    ).csv(out)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in o.schema.fields)
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+        .csv(out)
+    )
+    from cloudtrail_streamer_spark.functions import cents
+
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).cast("long").alias("total_cents"),
+    )

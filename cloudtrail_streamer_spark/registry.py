@@ -110,8 +110,8 @@ _WINDOW_PRIORITY: list[str] = [
     "join_skew_salted",
     "embed_ivf_assign",
     "text_ngram_lm",
+    "scan_csv_roundtrip",
     # round-1-verified core ops re-checked with the remaining slots
-    "scan_parquet",
     "scan_pruned",
     "sink_parquet_partitioned",
 ]
