@@ -180,3 +180,96 @@ def sample_frames(meta_df: DataFrame, every_n: int = 2) -> DataFrame:
         .where(F.col("frame_idx") % every_n == 0)
         .select("doc_id", "frame_idx")
     )
+
+
+# ------------------------------------------------------------------ audio
+def make_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """Fully valid 16-bit PCM WAV (canonical RIFF/fmt/data layout)."""
+    bits = 16
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(raw: bytes) -> tuple[int, int, int]:
+    """Real RIFF chunk walk (not fixed offsets, so extra chunks like
+    LIST/INFO parse too): returns (sample_rate, channels, n_samples)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, block_align, data_size = 12, None, None, None, None
+    while pos + 8 <= len(raw):
+        tag = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if tag == b"fmt ":
+            _, channels, rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", raw[pos + 8 : pos + 24]
+            )
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, data_size // block_align
+
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+_AUDIO_ORACLE = """
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(100 + doc_id % 1000 AS BIGINT) AS n_samples
+FROM documents
+"""
+
+
+def synth_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    make_wav(
+                        _WAV_RATES[int(i) % 4], 1 + int(i) % 2, 100 + int(i) % 1000
+                    )
+                    for i in pdf["doc_id"]
+                ],
+            }
+        )
+
+
+def decode_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, channels, n_samples = parse_wav_header(bytes(payload))
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "sample_rate": rate,
+                    "channels": channels,
+                    "n_samples": n_samples,
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_audio_meta", oracle=_AUDIO_ORACLE, survey_id="north-star")
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio counterpart of multimodal_image_meta: valid 16-bit PCM WAV
+    payloads synthesized per doc (params a pure function of doc_id), then
+    metadata recovered by a REAL RIFF chunk walk in an Arrow-batched
+    mapInPandas kernel. The oracle recomputes the params arithmetically —
+    a broken writer OR parser hash-mismatches."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(synth_audio_batch, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode_audio_batch,
+        schema="doc_id long, sample_rate long, channels long, n_samples long",
+    )

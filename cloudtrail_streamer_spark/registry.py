@@ -111,8 +111,8 @@ _WINDOW_PRIORITY: list[str] = [
     "embed_ivf_assign",
     "text_ngram_lm",
     "scan_csv_roundtrip",
-    # round-1-verified core ops re-checked with the remaining slots
-    "scan_pruned",
+    "multimodal_audio_meta",
+    # round-1-verified core ops re-checked with the remaining slot
     "sink_parquet_partitioned",
 ]
 

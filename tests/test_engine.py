@@ -249,3 +249,25 @@ def test_pack_sequences_invariants(spark):
         assert 0 <= shard < 8
         assert r["first_doc"] % 8 == shard and r["last_doc"] % 8 == shard
         assert r["n_docs"] >= 1 and r["total_tokens"] >= r["n_docs"]
+
+
+def test_wav_parser_walks_chunks():
+    """The RIFF parser must walk chunks (incl. word-aligned odd-size
+    extras), not read fixed offsets, and reject non-WAV bytes."""
+    import struct
+
+    import pytest
+
+    from cloudtrail_streamer_spark.operators.multimodal import (
+        make_wav,
+        parse_wav_header,
+    )
+
+    assert parse_wav_header(make_wav(22050, 2, 777)) == (22050, 2, 777)
+    raw = make_wav(8000, 1, 100)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size + pad
+    patched = raw[:12] + extra + raw[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert parse_wav_header(patched) == (8000, 1, 100)
+    with pytest.raises(ValueError):
+        parse_wav_header(b"RIFFxxxxJUNK")
