@@ -112,8 +112,9 @@ _WINDOW_PRIORITY: list[str] = [
     "text_ngram_lm",
     "scan_csv_roundtrip",
     "multimodal_audio_meta",
-    # round-1-verified core ops re-checked with the remaining slot
-    "sink_parquet_partitioned",
+    # Q5's join strategy changed this round (AQE-picked); its oracle
+    # re-check outranks re-verifying the round-1-green parquet sink.
+    "tpch_q5_local_supplier",
 ]
 
 
