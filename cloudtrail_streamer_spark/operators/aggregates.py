@@ -249,3 +249,35 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5).alias("median_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_TIME_BUCKET_ORACLE = """
+SELECT make_timestamp(CAST(floor(epoch_us(ts) / 300000000.0) AS BIGINT) * 300000000)
+         AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("agg_time_bucket", oracle=_TIME_BUCKET_ORACLE, survey_id="B-20-ext")
+def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: events into epoch-aligned
+    5-minute buckets per type — the continuous-aggregate shape
+    (timescale's time_bucket / Spark's window()) as a plain keyed agg.
+    Bucket boundaries computed in exact integer microseconds on both
+    engines, so bucket membership is bit-identical. One partial+final
+    hash agg; at 100 TB pre-partition the sink by bucket date for
+    pruned reads downstream."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / 300000000.0) * 300000000).cast("long")
+    )
+    return ev.groupBy(
+        bucket.alias("bucket_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
