@@ -164,3 +164,22 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(cents("o_totalprice")).cast("long").alias("total_cents"),
     )
+
+
+@query("scan_orc_roundtrip", oracle=_CSV_ORACLE, survey_id="B-1-ext")
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source breadth: the same lossless round-trip contract as CSV,
+    through Spark's built-in columnar ORC reader/writer (vectorized,
+    predicate-pushdown-capable like parquet). Oracle is the parquet-
+    sourced aggregate — if ORC round-tripping dropped or mangled rows,
+    the integer-cents totals would mismatch."""
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="cts_orc_"), "orders_orc")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    from cloudtrail_streamer_spark.functions import cents
+
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).cast("long").alias("total_cents"),
+    )

@@ -175,3 +175,45 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_udtf e, LATERAL explode_props(e.props) p
         """
     )
+
+
+_ARROW_BATCH_ORACLE = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+       CAST(o_orderkey % 97 AS BIGINT) AS bucket
+FROM orders
+"""
+
+
+def _arrow_price_cents(batches):
+    """mapInArrow kernel: operates directly on pyarrow RecordBatches —
+    no pandas materialization at all, the leanest Python hop Spark
+    offers. Arithmetic via pyarrow.compute (vectorized C++)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        key = batch.column("o_orderkey")
+        cents_col = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        # no modulo kernel in this pyarrow build; numpy view is zero-copy
+        bucket = pa.array(np.asarray(key) % 97, type=pa.int64())
+        yield pa.RecordBatch.from_arrays(
+            [key, cents_col, bucket], ["o_orderkey", "price_cents", "bucket"]
+        )
+
+
+@query("udf_arrow_batch", oracle=_ARROW_BATCH_ORACLE, survey_id="B-52-ext")
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth rung of the Python-UDF ladder (after scalar, pandas,
+    applyInPandas): mapInArrow processes raw Arrow RecordBatches with
+    zero pandas conversion overhead — the right shape when the kernel is
+    itself columnar (pyarrow.compute / numpy on buffers). Hash-checked
+    against plain SQL arithmetic."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return o.mapInArrow(
+        _arrow_price_cents,
+        schema="o_orderkey long, price_cents long, bucket long",
+    )

@@ -15,5 +15,6 @@ from cloudtrail_streamer_spark.streaming import (  # noqa: F401
     cloudtrail,
     sinks,
     sources,
+    spool_source,
     windows_stream,
 )

@@ -247,3 +247,25 @@ def test_checkpoint_recovery_exactly_once(spark):
     assert sunk.select("event_id").distinct().count() == _events_count(spark), (
         "resume from checkpoint must not duplicate rows"
     )
+
+
+def test_custom_datasource_partitioning_and_shard_agreement(spark):
+    """The Python Data Source must plan one partition per shard and
+    route every partition key to the SAME shard as the streaming
+    consumer (both hash UTF-8 bytes with crc32)."""
+    from cloudtrail_streamer_spark.streaming.sinks import deliver_events_to_spool
+    from cloudtrail_streamer_spark.streaming.sources import read_kinesis_stream
+    from cloudtrail_streamer_spark.streaming.spool_source import register
+
+    spool = deliver_events_to_spool(spark, SF)
+    register(spark)
+    ds = spark.read.format("kinesis_spool").option("path", spool).load()
+    assert ds.rdd.getNumPartitions() == 4, "one input partition per shard"
+
+    streamed = harness.run_stream_to_memory(
+        read_kinesis_stream(spark, spool), "kin_agree"
+    )
+    a = ds.select("pk", F.col("shard_id").alias("s1")).distinct()
+    b = streamed.select("pk", F.col("shard_id").alias("s2")).distinct()
+    disagree = a.join(b, "pk").where(F.col("s1") != F.col("s2")).count()
+    assert disagree == 0, "both consumers must route keys identically"
