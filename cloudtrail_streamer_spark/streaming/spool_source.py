@@ -26,7 +26,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from cloudtrail_streamer_spark.registry import query
@@ -116,6 +118,53 @@ class KinesisSpoolStreamReader(DataSourceStreamReader):
         pass  # immutable spool; real Kinesis would persist shard iterators
 
 
+class _SpoolCommit(WriterCommitMessage):
+    def __init__(self, n_delivered: int):
+        self.n_delivered = n_delivered
+
+
+class KinesisSpoolStreamWriter(DataSourceStreamWriter):
+    """Custom streaming SINK: ``writeStream.format("kinesis_spool")``.
+
+    ``write`` runs per partition ON THE EXECUTOR and pushes its
+    partition iterator through the same 500-record/5 MB chunked
+    retrying client as the foreachBatch path (spool files namespaced by
+    the globally-unique task attempt id); per-task delivered counts
+    travel back as commit messages, and ``commit`` is where a boto3
+    implementation would record batch delivery for idempotence."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.stream_name = options.get("stream", "cloudtrail-stream")
+
+    def write(self, iterator) -> "_SpoolCommit":
+        from pyspark import TaskContext
+
+        from cloudtrail_streamer_spark.streaming.sinks import (
+            KinesisStubClient,
+            put_records_chunked,
+        )
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        client = KinesisStubClient(self.path, fail_every=7, prefix=f"w{attempt:010d}_")
+        n = put_records_chunked(
+            client,
+            self.stream_name,
+            (
+                {"Data": row.data.encode("utf-8"), "PartitionKey": row.pk or "0"}
+                for row in iterator
+            ),
+        )
+        return _SpoolCommit(n)
+
+    def commit(self, messages, batchId) -> None:
+        pass  # spool is append-only; boto3 impl would record batch here
+
+    def abort(self, messages, batchId) -> None:
+        pass
+
+
 class KinesisSpoolDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -129,6 +178,9 @@ class KinesisSpoolDataSource(DataSource):
 
     def streamReader(self, schema) -> KinesisSpoolStreamReader:
         return KinesisSpoolStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> KinesisSpoolStreamWriter:
+        return KinesisSpoolStreamWriter(self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -176,6 +228,52 @@ def source_kinesis_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return harness.run_stream_to_memory(
         counts, f"kin_ds_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )
+
+
+@query(
+    "sink_kinesis_custom_stream",
+    oracle=_CUSTOM_SOURCE_ORACLE,
+    survey_id="B-6-ext",
+)
+def sink_kinesis_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink-side north star — ``writeStream.format("kinesis_spool")``:
+    a custom STREAMING sink whose ``write`` runs per partition on the
+    executor, pushing records through the chunked retrying Kinesis
+    client (no driver collect anywhere). The delivered spool is read
+    back through the batch connector and aggregated. H-tier: per-type
+    counts equal the source table."""
+    import tempfile
+
+    from cloudtrail_streamer_spark.catalog import table
+    from cloudtrail_streamer_spark.streaming import harness
+
+    register(spark)
+    replay = harness.write_replay_files(spark, sf_dir)
+    out_spool = tempfile.mkdtemp(prefix="cts_dswriter_spool_")
+    events = harness.read_replay_stream(spark, replay)
+    q = (
+        events.select(
+            F.col("user_id").cast("string").alias("pk"),
+            F.to_json(F.struct(*events.columns)).alias("data"),
+        )
+        .writeStream.format("kinesis_spool")
+        .option("path", out_spool)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cts_ckpt_dsw_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    delivered = (
+        spark.read.format("kinesis_spool")
+        .option("path", out_spool)
+        .option("shards", "4")
+        .load()
+    )
+    return (
+        delivered.select(F.get_json_object("data", "$.event_type").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

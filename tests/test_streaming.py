@@ -249,6 +249,38 @@ def test_checkpoint_recovery_exactly_once(spark):
     )
 
 
+def test_custom_datasource_stream_writer_roundtrip(spark):
+    """writeStream.format('kinesis_spool') must deliver every source row
+    executor-side (chunked retrying client, no driver collect); reading
+    the delivered spool back through the batch connector recovers the
+    exact event_id set."""
+    import tempfile
+
+    from cloudtrail_streamer_spark.streaming.spool_source import register
+
+    register(spark)
+    replay = harness.write_replay_files(spark, SF)
+    out_spool = tempfile.mkdtemp(prefix="cts_dsw_test_")
+    events = harness.read_replay_stream(spark, replay)
+    q = (
+        events.select(
+            F.col("user_id").cast("string").alias("pk"),
+            F.to_json(F.struct(*events.columns)).alias("data"),
+        )
+        .writeStream.format("kinesis_spool")
+        .option("path", out_spool)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cts_ckpt_dswt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = (
+        spark.read.format("kinesis_spool").option("path", out_spool).load()
+    ).select(F.get_json_object("data", "$.event_id").cast("long").alias("event_id"))
+    assert back.count() == _events_count(spark)
+    assert back.distinct().count() == _events_count(spark)
+
+
 def test_custom_datasource_partitioning_and_shard_agreement(spark):
     """The Python Data Source must plan one partition per shard and
     route every partition key to the SAME shard as the streaming
