@@ -260,6 +260,182 @@ def decode_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(rows)
 
 
+_MP4_TIMESCALES = (600, 1200, 30000, 90000)  # all divisible by the 24 fps
+_UNITY_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def make_mp4(w: int, h: int, timescale: int, duration_s: int, n_frames: int) -> bytes:
+    """Minimal structurally valid ISO-BMFF (MP4):
+    ``ftyp + moov[mvhd, trak[tkhd, mdia[minf[stbl[stts]]]]]`` with
+    correct box sizes, version-0 full boxes, 16.16 fixed-point track
+    dims, and a one-entry stts carrying the real frame count."""
+    duration = timescale * duration_s
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + _UNITY_MATRIX
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0; enabled | in-movie | in-preview
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track_ID
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">hhh", 0, 0, 0)  # layer, alternate_group, volume
+        + b"\x00" * 2
+        + _UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+    )
+    stts = _box(
+        b"stts",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", 1)
+        + struct.pack(">II", n_frames, duration // n_frames),
+    )
+    trak = _box(b"trak", tkhd + _box(b"mdia", _box(b"minf", _box(b"stbl", stts))))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + _box(b"moov", mvhd + trak)
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def parse_mp4_meta(raw: bytes) -> dict:
+    """Real recursive ISO-BMFF box walk (size-prefixed boxes, container
+    descent) — handles mvhd v0/v1 timescale+duration, tkhd 16.16 track
+    dims, and stts total sample count. Any box order / extra boxes parse
+    fine; this is the same walk a production demuxer starts with."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    meta: dict = {}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", raw[pos : pos + 4])
+            tag = raw[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                raise ValueError(f"malformed box {tag!r}")
+            b0, b1 = pos + 8, pos + size
+            if tag in _MP4_CONTAINERS:
+                walk(b0, b1)
+            elif tag == b"mvhd":
+                if raw[b0] == 1:  # version 1: 64-bit times
+                    ts, dur = struct.unpack(">IQ", raw[b0 + 20 : b0 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", raw[b0 + 12 : b0 + 20])
+                meta["timescale"], meta["duration"] = ts, dur
+            elif tag == b"tkhd":
+                wfx, hfx = struct.unpack(">II", raw[b1 - 8 : b1])
+                meta["width"], meta["height"] = wfx >> 16, hfx >> 16
+            elif tag == b"stts":
+                (n_entries,) = struct.unpack(">I", raw[b0 + 4 : b0 + 8])
+                meta["n_frames"] = sum(
+                    struct.unpack(">I", raw[b0 + 8 + 8 * i : b0 + 12 + 8 * i])[0]
+                    for i in range(n_entries)
+                )
+            pos += size
+
+    walk(0, len(raw))
+    return meta
+
+
+def synth_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    make_mp4(
+                        160 + int(i) % 480,
+                        90 + (int(i) * 3) % 270,
+                        _MP4_TIMESCALES[int(i) % 4],
+                        1 + int(i) % 30,
+                        24 * (1 + int(i) % 30),
+                    )
+                    for i in pdf["doc_id"]
+                ],
+            }
+        )
+
+
+def decode_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = parse_mp4_meta(bytes(payload))
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": m["width"],
+                    "height": m["height"],
+                    "duration_s": m["duration"] // m["timescale"],
+                    "n_frames": m["n_frames"],
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, width long, height long, duration_s long, n_frames long"
+)
+
+_VIDEO_ORACLE = """
+SELECT doc_id,
+       CAST(160 + doc_id % 480 AS BIGINT) AS width,
+       CAST(90 + (doc_id * 3) % 270 AS BIGINT) AS height,
+       CAST(1 + doc_id % 30 AS BIGINT) AS duration_s,
+       CAST(24 * (1 + doc_id % 30) AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+@query("multimodal_video_meta", oracle=_VIDEO_ORACLE, survey_id="north-star")
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video counterpart completing the image/audio/video triple: minimal
+    VALID MP4 payloads (correct ISO-BMFF box structure) synthesized per
+    doc, then metadata recovered by a REAL recursive box walk — mvhd
+    timescale/duration, tkhd 16.16 dims, stts frame count — in an
+    Arrow-batched mapInPandas kernel. Oracle recomputes arithmetically;
+    a broken muxer OR demuxer hash-mismatches."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(synth_video_batch, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(decode_video_batch, schema=VIDEO_META_SCHEMA)
+
+
+_FRAME_ORACLE = """
+SELECT doc_id,
+       UNNEST(range(0, 24 * (1 + doc_id % 30), 8)) AS frame_idx
+FROM documents
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE, survey_id="north-star")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over decoded video metadata: every 8th frame index
+    per video via posexplode(sequence(...)) — pure relational fan-out, no
+    pixel decode until the sampled frames are actually fetched. At 100 TB
+    the fan-out happens executor-side after the metadata pass; no frame
+    list ever materializes on the driver."""
+    meta = multimodal_video_meta(spark, sf_dir)
+    return sample_frames(meta, every_n=8).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 @query("multimodal_audio_meta", oracle=_AUDIO_ORACLE, survey_id="north-star")
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio counterpart of multimodal_image_meta: valid 16-bit PCM WAV

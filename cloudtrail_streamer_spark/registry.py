@@ -89,17 +89,18 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_session",
     "stream_watermark_late",
     "stream_dedup_stateful",
-    "stream_agg_update",
+    # B-50's driver evidence comes via the H-tier upsert variant (the
+    # at-scale shape); the memory-sink harness stream_agg_update stays
+    # registered but outside the window.
+    "stream_upsert_keyed",
     "source_json_gz",
     "source_stream_files",
     "sink_foreachbatch_kinesis",
     "source_kinesis_stub",
     "cloudtrail_pipeline_e2e",
     "cloudtrail_sns_dispatch",
-    "stream_custom_state",
     # new round-2 entries
     "join_dpp_partitioned",
-    "dedup_minhash_recall",
     "dedup_groups_connected",
     "multimodal_image_meta",
     "text_pack_sequences",
@@ -112,6 +113,8 @@ _WINDOW_PRIORITY: list[str] = [
     "text_ngram_lm",
     "scan_csv_roundtrip",
     "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "multimodal_frame_sample",
     # Q5's join strategy changed this round (AQE-picked); its oracle
     # re-check outranks re-verifying the round-1-green parquet sink.
     "tpch_q5_local_supplier",

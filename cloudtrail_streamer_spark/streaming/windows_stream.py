@@ -185,6 +185,69 @@ def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPSERT_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_upsert_keyed", oracle=_UPSERT_ORACLE, survey_id="B-50-ext")
+def stream_upsert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert into a keyed parquet store — the idiomatic
+    at-scale shape for update-mode final state (the Delta/Iceberg MERGE
+    analog with plain parquet + versioned snapshot dirs), vs the
+    memory-sink harness in ``stream_agg_update`` which accumulates every
+    per-batch update on the driver.
+
+    Each micro-batch is reduced to a per-key partial aggregate
+    (count + exact cents sum), merged with the previous snapshot by
+    re-aggregation, and written as a NEW versioned snapshot dir —
+    readers never see a half-written store and a failed batch leaves the
+    prior version intact (commit = updating the current-version
+    pointer). All heavy work (snapshot read, union, re-agg, write) runs
+    on executors; the driver holds only the version path. State volume
+    is O(|keys|), independent of stream length."""
+    import os
+
+    from cloudtrail_streamer_spark.functions import cents
+
+    replay = harness.write_replay_files(spark, sf_dir)
+    stream = harness.read_replay_stream(spark, replay)
+    base = tempfile.mkdtemp(prefix="cts_upsert_")
+    current: dict[str, str | None] = {"path": None}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("cts")
+        )
+        if current["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(current["path"])
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("user_id")
+                .agg(F.sum("n").cast("long").alias("n"), F.sum("cts").alias("cts"))
+            )
+        new_path = os.path.join(base, f"v{batch_id:05d}")
+        partial.write.mode("overwrite").parquet(new_path)
+        current["path"] = new_path  # the "commit": atomic pointer swap
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cts_ckpt_upsert_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(current["path"]).select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        (F.col("cts").cast("double") / 100).alias("total_value"),
+    )
+
+
 def _running_user_state(key, pdf_iter, state):
     """applyInPandasWithState update fn: per-user running count + cents
     sum. State is a (count, cents) tuple; emits the post-batch state."""
