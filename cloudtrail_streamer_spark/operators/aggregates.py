@@ -251,6 +251,48 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_BOUNDS_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS hll_within_5pct,
+       TRUE AS gk_within_5pct
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("agg_approx_bounds", oracle=_APPROX_BOUNDS_ORACLE, survey_id="B-27-ext")
+def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible error-bound certificate for the B-27 sketches:
+    one pass computes BOTH the sketch estimate (HLL++ count-distinct,
+    GK approximate median) and the exact value, then emits the exact
+    values plus within-5%% booleans. The DuckDB oracle recomputes the
+    exact columns and pins the booleans to TRUE, so a sketch drifting
+    past its error bound hash-mismatches in the correctness gate —
+    unlike ``agg_approx`` (rows-only), whose <5%% assertion lives only
+    in tests/test_engine.py. Sketches are deterministic for fixed
+    input, so the booleans are stable across runs."""
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        # rsd=0.01 → the 5% certificate is a 5σ bound; the default 0.05
+        # rsd is a 1σ bound that genuinely misses 5% at small groups.
+        F.approx_count_distinct("o_custkey", 0.01).alias("hll_customers"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+        F.percentile_approx("o_totalprice", 0.5).alias("gk_median"),
+    )
+    rel_err = lambda est, exact: F.abs(F.col(est) - F.col(exact)) / F.col(exact)  # noqa: E731
+    return agg.select(
+        "status",
+        "n",
+        "exact_customers",
+        (rel_err("hll_customers", "exact_customers") <= 0.05).alias("hll_within_5pct"),
+        (rel_err("gk_median", "exact_median") <= 0.05).alias("gk_within_5pct"),
+    )
+
+
 _TIME_BUCKET_ORACLE = """
 SELECT make_timestamp(CAST(floor(epoch_us(ts) / 300000000.0) AS BIGINT) * 300000000)
          AS bucket_start,

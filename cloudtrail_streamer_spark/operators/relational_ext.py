@@ -295,3 +295,82 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+_QUOTA_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id & 2147483647) * 2654435761) % 1000000007, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 40
+GROUP BY source
+"""
+
+
+@query("sample_quota_per_source", oracle=_QUOTA_ORACLE, survey_id="B-2-ext")
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling — the domain-cap step of a training-data
+    pipeline (no single crawl domain may dominate the corpus): keep at
+    most K docs per source, chosen by a deterministic hash order rather
+    than arrival order, so the kept set is a uniform-ish draw that is
+    identical across engines, runs, and repartitionings. One window
+    shuffle on (source); at 100 TB source-key skew is bounded because
+    the window only needs rank ≤ K — Spark pushes a per-partition
+    top-K (WindowGroupLimit) below the shuffle, so each map task emits
+    at most K rows per source rather than the full group."""
+    d = table(spark, sf_dir, "documents")
+    hord = (F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761)) % F.lit(
+        1000000007
+    )
+    rn = F.row_number().over(Window.partitionBy("source").orderBy(hord, F.col("doc_id")))
+    return (
+        d.select("source", "doc_id", rn.alias("rn"))
+        .where(F.col("rn") <= 40)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT n_chars, ((doc_id & 2147483647) * 2654435761) % 100 AS b
+  FROM documents
+)
+GROUP BY 1
+"""
+
+
+@query("split_train_val_test", oracle=_SPLIT_ORACLE, survey_id="B-2-ext")
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 train/val/test assignment by key hash — the
+    split must be a pure function of the document id (not rand(), not
+    row position) so that re-runs, backfills, and incremental appends
+    never migrate a document across splits and leak eval data into
+    training. Same overflow-masked multiplicative hash as
+    ``sample_hash_mod``; zero shuffles beyond the final 3-group agg."""
+    d = table(spark, sf_dir, "documents")
+    b = (F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761)) % 100
+    split = (
+        F.when(b < 96, "train").when(b < 98, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

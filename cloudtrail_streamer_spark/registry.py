@@ -106,7 +106,10 @@ _WINDOW_PRIORITY: list[str] = [
     "text_pack_sequences",
     "text_scrub_pii",
     "embed_quantize_int8",
-    "stream_stream_join",
+    # VERDICT r01 "wrong #5": the sketch error bound must be visible in a
+    # driver row, so the H-tier certificate outranks the extra R-tier
+    # stream-stream join (still registered, covered by tests).
+    "agg_approx_bounds",
     "join_bucketed_colocated",
     "join_skew_salted",
     "embed_ivf_assign",

@@ -166,3 +166,20 @@ def test_tpch_q5_star_join_scale_safe(spark):
     plan = _nodes(spark, "tpch_q5_local_supplier")
     assert plan.count("BroadcastHashJoin") >= 2, "nation+region must broadcast"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quota_sample_pushes_group_limit_below_shuffle(spark):
+    """sample_quota_per_source claims each map task emits ≤K rows per
+    source: the rank ≤ 40 predicate must compile to WindowGroupLimit
+    (Partial before the exchange, Final after), not a full window over
+    every row of a skewed source."""
+    tree = _nodes(spark, "sample_quota_per_source")
+    assert "WindowGroupLimit" in tree
+    assert tree.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_split_assignment_no_extra_shuffle(spark):
+    """split_train_val_test is a pure row-local hash + one 3-group agg:
+    exactly one exchange (the final agg), nothing from the CASE."""
+    tree = _nodes(spark, "split_train_val_test")
+    assert tree.count("Exchange") <= 1
