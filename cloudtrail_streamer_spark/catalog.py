@@ -46,13 +46,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts stored as TIMESTAMP(NANOS): read as nanos-long (see
-        # session.RUNTIME_CONFS) and truncate to micros — the same
-        # truncation DuckDB applies, keeping the oracle comparable.
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ts stored as TIMESTAMP(NANOS): read as nanos-long (see
+            # session.RUNTIME_CONFS) and truncate to micros — the same
+            # truncation DuckDB applies, keeping the oracle comparable.
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # ts stored as TIMESTAMP(MICROS) without tz adjustment: Spark
+            # reads TIMESTAMP_NTZ, which rejects epoch functions like
+            # unix_micros. Session tz is pinned UTC (session.RUNTIME_CONFS),
+            # so the cast to LTZ is wall-clock-identity and epoch math
+            # matches DuckDB's epoch_us over the same naive values.
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
