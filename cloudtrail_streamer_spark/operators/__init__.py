@@ -6,6 +6,7 @@ from cloudtrail_streamer_spark.operators import (  # noqa: F401
     functions_ops,
     joins,
     multimodal,
+    pipeline_ext,
     projection,
     relational_ext,
     scans,

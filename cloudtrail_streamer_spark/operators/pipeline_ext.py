@@ -1,0 +1,391 @@
+"""Pipeline/maintenance surface: column profiling, MERGE-style upsert,
+SCD2 interval history, LLM-document chunking, time-series gap fill,
+exact z-score outlier detection, and range-clustered layout.
+
+These are the table-maintenance and training-data-pipeline operations a
+100 TB deployment runs *around* the analytical queries — the reference's
+forwarder feeds a lake that still needs profiling, CDC merge, history
+tracking, and layout clustering downstream (SURVEY.md §2.B "-ext"
+widening; upstream has no analog, this is the north-star surface).
+
+Determinism (SURVEY.md §5.3): money stays in integer cents (BIGINT /
+DECIMAL(38,0) — exact on both engines), interval endpoints carry
+unique-key tiebreaks, the outlier test is exact integer arithmetic
+(no float σ threshold), and chunk boundaries are pure integer division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.functions import cents
+from cloudtrail_streamer_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# profile_columns — data-quality profiling (null rate + exact cardinality)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_custkey",
+    "o_orderdate",
+    "o_orderkey",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+)
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_columns", oracle=_PROFILE_ORACLE, survey_id="B-25-ext")
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift / data-quality profile: per-column null count and
+    EXACT distinct cardinality in one scan. The multi-column distinct
+    compiles to a single Expand-based partial+final aggregate — one pass
+    over the fact table, |cols|× expanded rows shuffled but pre-reduced
+    map-side. At 100 TB prefer approx_count_distinct per column (HLL,
+    mergeable, no Expand blowup) when ±2% cardinality suffices; exact
+    mode here is the oracle-checkable contract."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    one = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS)
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_null, n_distinct)",
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert — MERGE INTO semantics as a full-outer join
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH tgt AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 3 <> 0
+), src AS (
+  SELECT o_orderkey,
+         (CAST(round(o_totalprice * 100, 0) AS BIGINT) * 110) // 100
+           AS new_cents
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(tgt.o_orderkey, src.o_orderkey) AS o_orderkey,
+       COALESCE(src.new_cents, tgt.price_cents) AS price_cents,
+       CASE WHEN tgt.o_orderkey IS NOT NULL AND src.o_orderkey IS NOT NULL
+              THEN 'update'
+            WHEN src.o_orderkey IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM tgt FULL JOIN src USING (o_orderkey)
+"""
+
+
+@query("merge_upsert", oracle=_MERGE_ORACLE, survey_id="B-5-ext")
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (upsert) semantics: a change feed applied to a target
+    snapshot via ONE full-outer join — matched rows take the source
+    value, unmatched source rows insert, unmatched target rows persist.
+    This is the batch kernel behind every foreachBatch-upsert sink
+    (streaming/windows_stream.py stream_upsert_keyed). At 100 TB: a
+    single sort-merge join on the primary key; bucket both sides by key
+    (join_bucketed_colocated shape) and the merge is zero-exchange.
+    Prices stay in integer cents; the 10% uplift is integer DIV — exact
+    on both engines at any scale."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("price_cents")
+    )
+    tgt = o.filter(F.col("o_orderkey") % 3 != 0)
+    src = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.expr("price_cents * 110 DIV 100").alias("new_cents")
+    )
+    m = tgt.alias("t").join(src.alias("s"), "o_orderkey", "full_outer")
+    has_t = F.col("t.price_cents").isNotNull()
+    has_s = F.col("s.new_cents").isNotNull()
+    return m.select(
+        "o_orderkey",
+        F.coalesce("s.new_cents", "t.price_cents").alias("price_cents"),
+        F.when(has_t & has_s, "update")
+        .when(has_s, "insert")
+        .otherwise("keep")
+        .alias("action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals — slowly-changing-dimension type-2 history
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM seq GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_events
+FROM runs
+"""
+
+
+@query("scd2_intervals", oracle=_SCD2_ORACLE, survey_id="B-28-ext")
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each user's event stream into
+    validity intervals per consecutive event_type run (gaps-and-islands
+    via the difference of two row_numbers), then chain valid_to from the
+    next interval's valid_from. Open intervals end NULL. One shuffle on
+    user_id serves all three window passes AND the groupBy (same
+    partitioning, no re-exchange); ordering ties broken by unique
+    event_id (SURVEY §5.3). At 100 TB this is the standard
+    dimension-history materialization — partition the sink by
+    valid_from date for pruned as-of lookups."""
+    ev = table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_user) - F.row_number().over(w_run)).alias("island"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_chain = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_chain).alias("valid_to"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_documents — fixed-budget overlapping chunks for LLM training
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48  # 16-token overlap
+
+_CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT doc_id,
+       CAST(gs AS BIGINT) AS chunk_id,
+       CAST(gs * {_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST(gs * {_STRIDE} + {_CHUNK}, n_tokens) AS BIGINT) AS end_tok,
+       CAST(LEAST(gs * {_STRIDE} + {_CHUNK}, n_tokens) - gs * {_STRIDE} AS BIGINT)
+         AS chunk_tokens
+FROM (SELECT doc_id, n_tokens,
+             unnest(generate_series(0, (n_tokens - 1) // {_STRIDE})) AS gs
+      FROM d)
+"""
+
+
+@query("text_chunk_documents", oracle=_CHUNK_ORACLE, survey_id="B-59-ext")
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-data chunking: split each document into 64-token
+    windows on a 48-token stride (16-token overlap), emitting exact
+    token offsets. Boundaries are pure integer division over the
+    whitespace token count — no string reassembly, so the chunk spec is
+    oracle-checkable and the (later, Python-side) slice step stays an
+    embarrassingly-parallel map. Explode fan-out is bounded by
+    n_tokens/stride per row; at 100 TB this runs scan→explode with zero
+    shuffles and no skew (chunk count is proportional to doc length)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    exploded = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"(n_tokens - 1) DIV {_STRIDE}"))
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _STRIDE
+    end = F.least(start + _CHUNK, F.col("n_tokens"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - start).cast("long").alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_gap_fill — dense hourly spine with zero-filled gaps
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+           AS hour_start
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+), counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.hour_start, COALESCE(c.n, 0) AS n
+FROM spine s LEFT JOIN counts c USING (event_type, hour_start)
+"""
+
+
+@query("events_gap_fill", oracle=_GAP_FILL_ORACLE, survey_id="B-20-ext")
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense (event_type × hour) spine over the
+    observed range, left-joined to hourly counts, zeros where no events
+    landed. The spine is generated DISTRIBUTED — global bounds come from
+    a broadcast 1-row aggregate (the tfidf no-collect pattern), crossed
+    with the distinct-type dim and exploded via sequence(); no driver
+    round-trip. Counts pre-aggregate before the join, so the join input
+    is |types|·|hours| rows regardless of fact size — at 100 TB the
+    spine side is still tiny and broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(
+        "event_type", hour.alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour_start"),
+    )
+    return spine.join(counts, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_outlier_zscore — exact integer 2σ outlier test (no float threshold)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(vc AS HUGEINT)) AS sm,
+         SUM(CAST(vc AS HUGEINT) * vc) AS q
+  FROM v GROUP BY event_type
+)
+SELECT v.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (
+         WHERE (s.n * vc - s.sm) * (s.n * vc - s.sm) > 4 * (s.n * q - s.sm * s.sm)
+       ) AS BIGINT) AS n_outliers,
+       CAST(COALESCE(SUM(vc) FILTER (
+         WHERE (s.n * vc - s.sm) * (s.n * vc - s.sm) > 4 * (s.n * q - s.sm * s.sm)
+       ), 0) AS BIGINT) AS outlier_cents
+FROM v JOIN s USING (event_type)
+GROUP BY v.event_type
+"""
+
+_D38 = "decimal(38,0)"
+
+
+@query("agg_outlier_zscore", oracle=_OUTLIER_ORACLE, survey_id="B-25-ext")
+def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 2σ outlier detection with an EXACT integer test:
+    |v − μ| > 2σ  ⟺  (n·v − S)² > 4·(n·Q − S²)  over integer cents
+    (S = Σv, Q = Σv²), so no float σ is ever compared — the engines
+    can't disagree on a boundary value. Arithmetic runs in DECIMAL(38,0)
+    (Spark Decimal128 / DuckDB HUGEINT): exact up to ~1e38, which covers
+    n·Q at 100 TB row counts. Two passes: a 5-row stats aggregate
+    broadcast back onto the feed, then a partial+final count — the
+    standard scale shape for any μ/σ-dependent filter."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("vc")
+    )
+    vd = F.col("vc").cast(_D38)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n_d"),
+        F.sum(vd).cast(_D38).alias("sm"),
+        F.sum(vd * F.col("vc")).cast(_D38).alias("q"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    dev = F.col("n_d") * vd - F.col("sm")
+    is_out = (dev * dev) > (
+        F.lit(4).cast(_D38) * (F.col("n_d") * F.col("q") - F.col("sm") * F.col("sm"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(is_out.cast("long")).cast("long").alias("n_outliers"),
+        F.coalesce(F.sum(F.when(is_out, F.col("vc"))), F.lit(0))
+        .cast("long")
+        .alias("outlier_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout_cluster_ranges — range-clustered write layout (R-tier)
+# ---------------------------------------------------------------------------
+
+
+@query("layout_cluster_ranges", survey_id="B-5-ext")
+def layout_cluster_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout for scan locality: repartitionByRange on
+    the cluster key + sortWithinPartitions gives each output file a
+    disjoint key range (min/max per file → parquet footer stats →
+    row-group skipping on key predicates downstream). This is the write
+    path that makes `scan_pruned`-style reads cheap at 100 TB; Z-order
+    generalizes it to 2 keys. Emits per-partition (range) summaries;
+    Tier R — partition boundaries are engine-internal (sampled range
+    split points), but disjointness/coverage are asserted in
+    tests/test_engine.py."""
+    ev = table(spark, sf_dir, "events")
+    clustered = ev.repartitionByRange(8, "user_id").sortWithinPartitions(
+        "user_id", "ts"
+    )
+    return (
+        clustered.select(
+            F.spark_partition_id().alias("pid"), "user_id"
+        )
+        .groupBy("pid")
+        .agg(
+            F.min("user_id").alias("min_key"),
+            F.max("user_id").alias("max_key"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
