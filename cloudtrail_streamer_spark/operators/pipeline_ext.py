@@ -135,18 +135,20 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_ORACLE = """
 WITH seq AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
            - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                 ORDER BY ts, event_id) AS island
   FROM events
 ), runs AS (
   SELECT user_id, event_type, MIN(ts) AS valid_from,
+         MIN(event_id) AS first_event_id,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM seq GROUP BY user_id, event_type, island
 )
 SELECT user_id, event_type, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       LEAD(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, first_event_id)
          AS valid_to,
        n_events
 FROM runs
@@ -171,13 +173,19 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
+        "event_id",
         (F.row_number().over(w_user) - F.row_number().over(w_run)).alias("island"),
     )
     runs = seq.groupBy("user_id", "event_type", "island").agg(
         F.min("ts").alias("valid_from"),
+        # Unique chain tiebreak: two runs of one user can share valid_from
+        # when same-ts events of different event_types exist; ordering the
+        # LEAD chain by (valid_from, first_event_id) in BOTH engines keeps
+        # valid_to deterministic (ADVICE r02 #1).
+        F.min("event_id").alias("first_event_id"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    w_chain = Window.partitionBy("user_id").orderBy("valid_from")
+    w_chain = Window.partitionBy("user_id").orderBy("valid_from", "first_event_id")
     return runs.select(
         "user_id",
         "event_type",
@@ -351,7 +359,9 @@ def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(is_out.cast("long")).cast("long").alias("n_outliers"),
+        # coalesce like outlier_cents: an all-NULL value group yields SUM=NULL
+        # in Spark but 0 from the oracle's COUNT(*) FILTER (ADVICE r02 #3).
+        F.coalesce(F.sum(is_out.cast("long")), F.lit(0)).cast("long").alias("n_outliers"),
         F.coalesce(F.sum(F.when(is_out, F.col("vc"))), F.lit(0))
         .cast("long")
         .alias("outlier_cents"),

@@ -223,6 +223,40 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_RECALL_ORACLE = f"""
+WITH truth AS ({_TOPK_ORACLE}), ivf AS ({_IVF_ORACLE})
+SELECT CAST(COUNT(DISTINCT truth.probe_id) AS BIGINT) AS n_probes,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_caught,
+       round(COUNT(ivf.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
+FROM truth LEFT JOIN ivf
+  ON truth.probe_id = ivf.probe_id AND truth.neighbor_id = ivf.neighbor_id
+"""
+
+
+@query("sim_ivf_recall", oracle=_IVF_RECALL_ORACLE, survey_id="north-star")
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality certificate, driver-visible (VERDICT r02 next-#8, the
+    dedup_minhash_recall pattern applied to vector search): one row
+    (n_probes, n_truth, n_caught, recall) scoring sim_search_ivf's
+    bucketed top-5 against sim_search_topk's exact brute-force truth.
+    H-tier — BOTH sides are deterministic SQL, so DuckDB recomputes the
+    whole certificate (truth, candidate set, and the overlap) and the
+    recall number itself is hash-checked, not just asserted in tests."""
+    truth = sim_search_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    ivf = sim_search_ivf(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("caught")
+    )
+    j = truth.join(ivf, ["probe_id", "neighbor_id"], "left")
+    n_caught = F.sum(F.coalesce("caught", F.lit(0)))
+    return j.agg(
+        F.count_distinct("probe_id").cast("long").alias("n_probes"),
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        n_caught.cast("long").alias("n_caught"),
+        F.round(n_caught / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
 _NEARDUP_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_D_COS} AS score
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -258,9 +292,10 @@ WITH rng AS (
   FROM embeddings
 )
 SELECT vec_id, mn, mx,
-       list_transform(e, x -> CASE WHEN mx = mn THEN 0
-         ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
-         END) AS codes
+       array_to_string(
+         list_transform(e, x -> CAST(CASE WHEN mx = mn THEN 0
+           ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
+           END AS VARCHAR)), ',') AS codes
 FROM rng
 """
 
@@ -273,7 +308,12 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Row-local higher-order functions, zero shuffle. floor() (not round)
     so Spark and DuckDB agree bit-for-bit — round() ties break
-    differently across engines; floor of the same IEEE double does not."""
+    differently across engines; floor of the same IEEE double does not.
+
+    ``codes`` is emitted as a comma-joined string (not a raw ARRAY): the
+    external driver's canonicalizer sorts/hashes scalar cells and cannot
+    factorize numpy arrays (VERDICT r02 "what's wrong #1"); the array
+    form round-trips losslessly via split(codes, ',')."""
     em = table(spark, sf_dir, "embeddings")
     e = as_double(F.col("embedding"))
     mn = F.array_min(e)
@@ -288,7 +328,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return em.select(
-        "vec_id", mn.alias("mn"), mx.alias("mx"), codes.alias("codes")
+        "vec_id",
+        mn.alias("mn"),
+        mx.alias("mx"),
+        F.array_join(F.transform(codes, lambda c: c.cast("string")), ",").alias("codes"),
     )
 
 

@@ -106,6 +106,75 @@ GROUP BY event_type
 """
 
 
+_CORRUPT_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_id % 50 <> 0
+GROUP BY event_type
+UNION ALL
+SELECT '_quarantined' AS event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_id % 50 = 0
+"""
+
+
+@query("source_corrupt_records", oracle=_CORRUPT_ORACLE, survey_id="A-11")
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine (A-11's missing half, VERDICT r02
+    next-#6): real feeds go bad — the reference's answer is logrus + a
+    whole-file Lambda retry (upstream ``main.go:~100-120`` approx); the
+    Spark-first answer is PERMISSIVE parsing with
+    ``columnNameOfCorruptRecord``, so one malformed line quarantines ONE
+    record, not the file.
+
+    Every 50th event's JSON line is deterministically mangled (truncated
+    + unescaped quote → unparseable) before the gzip write. The read
+    back classifies each line in ONE scan/agg — good rows keep their
+    event_type, corrupt rows land in the '_quarantined' bucket (the
+    label references both a data column and the corrupt column, which
+    also satisfies Spark's no-corrupt-column-only-queries rule without a
+    cache). Raw corrupt lines are additionally spooled to a quarantine
+    dir for replay/debugging, the badRecordsPath pattern. H-tier: the
+    oracle recomputes both partitions of the count arithmetically."""
+    import os
+
+    ev = table(spark, sf_dir, "events")
+    line = F.to_json(
+        F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    mangled = F.concat(F.lit('{"broken": "'), F.substring(line, 1, 20))
+    txt = ev.select(
+        F.when(F.col("event_id") % 50 == 0, mangled).otherwise(line).alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="cts_corrupt_")
+    feed = os.path.join(base, "feed")
+    txt.write.mode("overwrite").option("compression", "gzip").text(feed)
+
+    back = (
+        spark.read.schema(harness.EVENTS_SCHEMA + ", _corrupt_record STRING")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("mode", "PERMISSIVE")
+        .json(feed)
+    )
+    # The quarantine projection keeps a REAL data column referenced
+    # (coalesce with event_type, null on corrupt rows, so the emitted
+    # line is just the raw text): Spark refuses plans whose file scan
+    # references only the internal corrupt-record column
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the
+    # parsed frame is cached first — and a cache is the wrong tool at
+    # 100 TB when one extra pruned column does the job.
+    quarantine = back.where(F.col("_corrupt_record").isNotNull()).select(
+        F.concat(
+            F.coalesce(F.col("event_type"), F.lit("")), F.col("_corrupt_record")
+        ).alias("value")
+    )
+    quarantine.write.mode("overwrite").text(os.path.join(base, "quarantine"))
+    label = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("_quarantined")
+    ).otherwise(F.col("event_type"))
+    return back.groupBy(label.alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 @query("source_json_gz", oracle=_JSON_GZ_ORACLE, survey_id="B-4")
 def source_json_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gzipped JSON-lines round trip (A-6/A-7 analog): write events as

@@ -125,9 +125,14 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     5% of events are delayed two files (days) in the replay; with a
     1-hour watermark their windows have already been finalized when they
-    arrive, so append-mode drops them. Returns the accepted per-window
-    counts (total < source count — asserted in tests/test_streaming.py).
-    """
+    arrive, so append-mode drops them.
+
+    Returns a ONE-ROW semantic certificate (n_windows, n_on_time,
+    n_source, n_late_dropped) rather than the per-window detail, so the
+    driver's rows-only record itself proves late-drop happened
+    (VERDICT r02 next-#7): n_on_time < n_source and
+    n_on_time + n_late_dropped == n_source by construction. Per-window
+    detail remains asserted in tests/test_streaming.py."""
     replay = harness.write_replay_files(spark, sf_dir, hold_back_pct=5)
     stream = harness.read_replay_stream(spark, replay)
     agg = (
@@ -137,7 +142,20 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n")
     )
     name = f"wm_late_{uuid.uuid4().hex[:8]}"
-    return harness.run_stream_to_memory(agg, name, output_mode="append")
+    accepted = harness.run_stream_to_memory(agg, name, output_mode="append")
+    acc = accepted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_on_time"),
+    )
+    src = table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    return acc.crossJoin(F.broadcast(src)).select(
+        "n_windows",
+        "n_on_time",
+        "n_source",
+        (F.col("n_source") - F.col("n_on_time")).alias("n_late_dropped"),
+    )
 
 
 @query("stream_dedup_stateful", survey_id="B-49")  # Tier R: replay harness
@@ -145,8 +163,11 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over a replay where every event is
     emitted twice in adjacent files. State is bounded by the 2-day
     watermark (the at-least-once → effectively-once upgrade of the
-    reference's retry semantics, A-9). Returns per-type counts == source.
-    """
+    reference's retry semantics, A-9).
+
+    Output carries the semantic per driver row (VERDICT r02 next-#7):
+    per event_type, (n, n_input, n_source) with n == n_source < n_input —
+    the duplicated replay input collapsed back to exactly the source."""
     replay = harness.write_replay_files(spark, sf_dir, duplicate=True)
     stream = harness.read_replay_stream(spark, replay)
     deduped = stream.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(
@@ -154,7 +175,21 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     out = harness.run_stream_to_memory(deduped, name, output_mode="append")
-    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    delivered = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    n_input = (
+        spark.read.schema(harness.EVENTS_SCHEMA)
+        .json(replay)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+    )
+    n_source = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_source"))
+    )
+    return delivered.join(n_input, "event_type").join(n_source, "event_type")
 
 
 @query("stream_agg_update", survey_id="B-50")  # Tier R: replay harness

@@ -271,3 +271,48 @@ def test_wav_parser_walks_chunks():
     assert parse_wav_header(patched) == (8000, 1, 100)
     with pytest.raises(ValueError):
         parse_wav_header(b"RIFFxxxxJUNK")
+
+
+def test_layout_cluster_ranges_disjoint_and_covering(spark):
+    """layout_cluster_ranges invariants (ADVICE r02 #2): per-partition key
+    ranges are pairwise disjoint in pid order (boundary duplicates of an
+    equal key allowed — range partitioning never splits a key), and the
+    partition row counts cover the whole table."""
+    rows = sorted(
+        all_queries()["layout_cluster_ranges"](spark, SF).collect(),
+        key=lambda r: r["pid"],
+    )
+    n_events = table(spark, SF, "events").count()
+    assert sum(r["n_rows"] for r in rows) == n_events, "partitions must cover all rows"
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["min_key"] <= prev["max_key"]
+        assert prev["max_key"] <= cur["min_key"], (
+            f"pid {prev['pid']} range overlaps pid {cur['pid']}"
+        )
+
+
+def test_bucketed_join_leaves_no_catalog_residue(spark):
+    """join_bucketed_colocated uses fixed overwrite tables (VERDICT r02
+    wrong-#3): invoking it twice must not grow the catalog or the bucket
+    directory set."""
+    import os
+    import tempfile
+
+    q = all_queries()["join_bucketed_colocated"]
+    q(spark, SF).count()
+    tables_after_1 = {t.name for t in spark.catalog.listTables()}
+    base = os.path.join(tempfile.gettempdir(), "cts_bucketed")
+    dirs_after_1 = set(os.listdir(base))
+    q(spark, SF).count()
+    assert {t.name for t in spark.catalog.listTables()} == tables_after_1
+    assert set(os.listdir(base)) == dirs_after_1
+    assert {"orders_bkt", "customer_bkt"} <= tables_after_1
+
+
+def test_coverage_md_matches_registry():
+    """COVERAGE.md is generated; it must track the registry exactly
+    (VERDICT r02 wrong-#2 — it drifted to 116 of 123 queries in r2)."""
+    import tools.gen_coverage as g
+
+    with open("/root/repo/COVERAGE.md") as f:
+        assert f.read() == g.render()

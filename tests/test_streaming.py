@@ -39,17 +39,21 @@ def test_stream_tumbling_batch_equivalence(spark):
 
 
 def test_watermark_drops_late(spark):
-    out = all_queries()["stream_watermark_late"](spark, SF)
-    accepted = out.agg(F.sum("n")).collect()[0][0]
-    total = _events_count(spark)
-    assert accepted < total, "late rows beyond the watermark must be dropped"
-    assert accepted > total * 0.80, "only the held-back tail should drop"
+    row = all_queries()["stream_watermark_late"](spark, SF).collect()[0]
+    assert row["n_source"] == _events_count(spark)
+    assert row["n_late_dropped"] > 0, "late rows beyond the watermark must be dropped"
+    assert row["n_on_time"] + row["n_late_dropped"] == row["n_source"]
+    assert row["n_on_time"] > row["n_source"] * 0.80, "only the held-back tail should drop"
 
 
 def test_stateful_dedup_restores_source(spark):
-    out = all_queries()["stream_dedup_stateful"](spark, SF)
-    n = out.agg(F.sum("n")).collect()[0][0]
-    assert n == _events_count(spark), "adjacent-file duplicates must be dropped"
+    rows = all_queries()["stream_dedup_stateful"](spark, SF).collect()
+    assert sum(r["n"] for r in rows) == _events_count(spark), (
+        "adjacent-file duplicates must be dropped"
+    )
+    for r in rows:
+        assert r["n"] == r["n_source"], f"{r['event_type']}: dedup must restore source"
+        assert r["n_input"] > r["n"], f"{r['event_type']}: replay must contain dupes"
 
 
 def test_update_mode_final_state_equals_batch(spark):
