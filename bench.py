@@ -103,6 +103,66 @@ def time_duckdb(oracles, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def floor_mode() -> None:
+    """``bench.py --floor``: the reproducible floor decomposition
+    (BASELINE.md §2 "honest read", VERDICT r02 next-#5). Fits the linear
+    model t(sf) = c + m·sf per headline query from timings at sf0.01 and
+    sf0.1 and prints, per query: the measured sf0.1 time, the fitted
+    per-query constant c (Spark's scheduling/launch floor × number of
+    actions/stages), the scaling term m·sf at sf0.1, and the share of
+    the measured time that is constant. A query whose overhead share is
+    high is floor-bound — its end-to-end DuckDB ratio measures Spark's
+    fixed constants, which amortize to zero at the 100 TB design point;
+    only the m·sf term scales."""
+    from cloudtrail_streamer_spark.registry import all_queries
+    from cloudtrail_streamer_spark.session import get_session
+
+    spark = get_session("cts-bench-floor")
+    queries = all_queries()
+
+    floor_df = spark.range(1)
+    floor_df.write.format("noop").mode("overwrite").save()
+    job_floor = min(
+        _timed(lambda: floor_df.write.format("noop").mode("overwrite").save())
+        for _ in range(N_RUNS)
+    )
+
+    root = "/root/testdata"
+    t_lo = time_spark(spark, queries, os.path.join(root, "sf0.01"))
+    t_hi = time_spark(spark, queries, os.path.join(root, "sf0.1"))
+    rows = {}
+    for n in HEADLINE:
+        # linear fit through (0.01, t_lo) and (0.1, t_hi):
+        # m = Δt / Δsf ; c = t_lo − m·0.01  (clamped at 0)
+        m = (t_hi[n] - t_lo[n]) / 0.09
+        # clamp to [0, t_hi]: timing noise can make the fitted slope
+        # negative, which would put c above the measured time
+        c = min(max(0.0, t_lo[n] - m * 0.01), t_hi[n])
+        scale_term = max(0.0, t_hi[n] - c)
+        rows[n] = {
+            "t_sf01_sec": t_hi[n],
+            "const_c_sec": round(c, 3),
+            "scale_term_sec": round(scale_term, 3),
+            "const_share": round(c / t_hi[n], 2) if t_hi[n] > 0 else None,
+            "est_jobs_at_floor": round(c / job_floor, 1) if job_floor > 0 else None,
+        }
+    out = {
+        "metric": "floor_decomposition",
+        "spark_job_floor_sec": round(job_floor, 3),
+        "unit": "sec",
+        "queries": rows,
+        "total_const_sec": round(sum(r["const_c_sec"] for r in rows.values()), 3),
+        "total_sf01_sec": round(sum(r["t_sf01_sec"] for r in rows.values()), 3),
+    }
+    print(json.dumps(out))
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
@@ -181,4 +241,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--floor" in sys.argv:
+        floor_mode()
+    else:
+        main()

@@ -323,3 +323,42 @@ def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").cast("long").alias("id_sum"),
     )
+
+
+_HLL_UNION_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_hll_union_sketch", oracle=_HLL_UNION_ORACLE, survey_id="B-27-ext")
+def agg_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the property that matters at
+    100 TB: per-(type, day) HLL sketches built independently (as they
+    would be, one per ingest partition/day), then merged with
+    hll_union_agg and estimated — no re-scan of history to refresh a
+    rolling cardinality. The driver row is a certificate: within_5pct
+    must come back true for every type, and the exact count is
+    hash-checked against DuckDB; the raw estimate is engine-internal
+    (Datasketches HLL) so it stays out of the compared columns."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )

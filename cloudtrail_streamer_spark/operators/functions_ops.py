@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.functions import cents
 from cloudtrail_streamer_spark.registry import query
 
 _STRING_ORACLE = """
@@ -257,3 +258,57 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
     ).select("doc_id", "tok", (F.col("pos0") + 1).cast("long").alias("pos"))
+
+
+_NESTED_STRUCT_ORACLE = """
+WITH v AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+), r AS (
+  SELECT l_orderkey, cents,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, cents) AS rn_first,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber DESC, cents DESC) AS rn_last
+  FROM v
+)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN rn_first = 1 THEN cents END) AS BIGINT) AS first_line_cents,
+       CAST(MIN(CASE WHEN rn_last = 1 THEN cents END) AS BIGINT) AS last_line_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_line_cents
+FROM r
+GROUP BY l_orderkey
+"""
+
+
+@query("fn_nested_struct", oracle=_NESTED_STRUCT_ORACLE, survey_id="B-42-ext")
+def fn_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested composite types end-to-end: rows → array<struct> per order
+    (collect_list of (linenumber, cents) structs), deterministically
+    array_sort'ed (struct comparison is field-order lexicographic:
+    linenumber, then cents — the fixture HAS duplicate linenumbers per
+    order, so the second field is load-bearing for determinism), then
+    consumed with struct-field access (element_at(...).getField) and a
+    higher-order transform projecting a struct field for array_max. The
+    oracle states the same semantics relationally with the identical
+    (linenumber, cents) total order — nested construction must agree
+    with the flat answer. The per-key array is bounded by lines-per-
+    order (~7), so the collect is group-local and scale-safe — this is
+    the denormalize-to-nested write shape used for point-lookup layouts
+    at 100 TB, not a driver-side collect."""
+    li = table(spark, sf_dir, "lineitem")
+    line = F.struct(F.col("l_linenumber").alias("ln"), cents("l_extendedprice").alias("c"))
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(line)).alias("lines")
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.element_at("lines", 1).getField("c").cast("long").alias("first_line_cents"),
+        F.element_at("lines", -1).getField("c").cast("long").alias("last_line_cents"),
+        F.array_max(F.transform("lines", lambda s: s.getField("c")))
+        .cast("long")
+        .alias("max_line_cents"),
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.functions import cents
 from cloudtrail_streamer_spark.registry import query
 
 _PIVOT_ORACLE = """
@@ -373,4 +374,105 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
+    )
+
+
+_WQUANTILE_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(floor(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, cents, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM v
+)
+SELECT l_returnflag,
+       CAST(MIN(totw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+         AS weighted_median_cents
+FROM c
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_quantile", oracle=_WQUANTILE_ORACLE, survey_id="B-25-ext")
+def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (price weighted by quantity) per return
+    flag: order values within the group, accumulate weights with a
+    running-sum window, and take the smallest value whose cumulative
+    weight reaches half the total. percentile_approx can't take weights
+    and approximate answers aren't oracle-checkable; this is the exact
+    one-pass-over-sorted-group shape. Intra-tie row order is irrelevant
+    (whether a value qualifies depends only on the total weight at or
+    below it), so no tiebreak is needed for determinism; weights are
+    floor()ed to integers because Spark CAST truncates where DuckDB
+    rounds (SURVEY §5.3 rule 6). One shuffle on l_returnflag; at 100 TB
+    group skew is the concern — the same construction runs per
+    sub-partition and merges, since prefix sums distribute."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("cents"),
+        F.floor("l_quantity").cast("long").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_tot).alias("totw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min("totw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents")))
+        .cast("long")
+        .alias("weighted_median_cents"),
+    )
+
+
+_RATE_LIMIT_ORACLE = """
+SELECT event_id, user_id, date_trunc('day', ts) AS day_start,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) t
+WHERE rn <= 3
+"""
+
+
+@query("events_rate_limit", oracle=_RATE_LIMIT_ORACLE, survey_id="B-32-ext")
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting: keep at most 3 events per (user, day),
+    earliest-first with event_id tiebreak — the quota-enforcement /
+    throttling kernel (a training-data pipeline caps per-source
+    contributions the same way; the reference's feed would cap per-key
+    Kinesis pressure with exactly this shape). row_number ≤ k lets
+    Catalyst push a per-partition WindowGroupLimit below the shuffle, so
+    each map task emits at most k rows per (user, day) — the exchange
+    carries the quota, not the traffic, which is what makes the
+    operator viable on a 100 TB feed."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            day.alias("day_start"),
+            "ts",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .drop("ts")
     )

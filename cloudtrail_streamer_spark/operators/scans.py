@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.functions import cents
 from cloudtrail_streamer_spark.registry import query
 
 
@@ -182,4 +183,46 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents("o_totalprice")).cast("long").alias("total_cents"),
+    )
+
+
+_SCHEMA_EVO_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT) AS n_with_status,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+"""
+
+
+@query("scan_schema_evolution", oracle=_SCHEMA_EVO_ORACLE, survey_id="B-1-ext")
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with
+    DIFFERENT schemas (batch 2 adds o_orderstatus — the real-world
+    "producer added a field" migration), read back as ONE table with
+    mergeSchema; rows from the old batch surface NULL for the new
+    column instead of failing the scan. The merged read must lose no
+    rows and no values (count + cents-sum hash-checked); n_with_status
+    counts exactly the new-schema rows. At 100 TB schema merge is a
+    footer-only operation (no data rewrite) — which is why add-column
+    is the zero-cost evolution path while rename/retype require a
+    rewrite."""
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("price_cents"), "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="cts_schevo_")
+    d = os.path.join(base, "orders_evolved")
+    o.where(F.col("o_orderkey") % 2 == 0).drop("o_orderstatus").write.mode(
+        "overwrite"
+    ).parquet(d)
+    o.where(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(d)
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_orderstatus").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_with_status"),
+        F.sum("price_cents").cast("long").alias("total_cents"),
     )

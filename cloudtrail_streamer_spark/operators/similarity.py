@@ -395,3 +395,90 @@ def embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "centroid_id", F.round("dist2", 4).alias("dist2"))
     )
+
+
+_PQ_SUBS = "(VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS ss(s)"
+
+_PQ_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, s,
+         list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                    s * 8 + 1, s * 8 + 8) AS sv
+  FROM embeddings, {_PQ_SUBS}
+), c AS (
+  SELECT vec_id AS centroid_id, s,
+         list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                    s * 8 + 1, s * 8 + 8) AS cv
+  FROM embeddings, {_PQ_SUBS}
+  WHERE vec_id < 4
+), d AS (
+  SELECT v.vec_id, v.s, c.centroid_id,
+         list_aggregate(
+           list_transform(v.sv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i])),
+           'sum') AS dist2
+  FROM v JOIN c USING (s)
+), pick AS (
+  SELECT vec_id, s, centroid_id, dist2,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY round(dist2, 6), centroid_id) AS rn
+  FROM d
+)
+SELECT vec_id,
+       string_agg(centroid_id::VARCHAR, '' ORDER BY s) AS pq_code,
+       round(SUM(round(dist2, 6)), 3) AS recon_err
+FROM pick WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+@query("embed_pq_codebook", oracle=_PQ_ORACLE, survey_id="north-star")
+def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) encoding — the memory-bound ANN format:
+    the 64-dim vector splits into 8 subspaces of 8 dims, each assigned
+    to its nearest of 4 fixed sub-centroids (vec_id < 4 slices, the
+    untrained stand-in for a k-means codebook), so a 256-byte vector
+    compresses to an 8-digit code + the shared codebook — 32× smaller
+    than float32, and distance evaluation becomes 8 table lookups.
+    The plan is the scale shape: centroids (4 rows → 32 subspace rows)
+    broadcast; the big side explodes 8× but never shuffles for the
+    assignment; one keyed agg reassembles codes. Ranking uses
+    round(dist2, 6) + centroid tiebreak (SURVEY §5.3) so ulp noise
+    can't flip a cell; recon_err double-rounds for the same reason."""
+    em = table(spark, sf_dir, "embeddings")
+    subs = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s")
+    ed = as_double(F.col("embedding"))
+    v = em.select("vec_id", ed.alias("e")).select(
+        "vec_id", "e", subs
+    ).select(
+        "vec_id", "s", F.slice("e", F.col("s") * 8 + 1, 8).alias("sv")
+    )
+    c = (
+        em.where(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("centroid_id"), ed.alias("e"))
+        .select("centroid_id", "e", subs)
+        .select("centroid_id", "s", F.slice("e", F.col("s") * 8 + 1, 8).alias("cv"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.round(F.col("dist2"), 6), "centroid_id")
+    picked = (
+        v.join(F.broadcast(c), "s")
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return picked.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("s"), F.col("centroid_id")))
+                ),
+                lambda st: st.getField("centroid_id").cast("string"),
+            ),
+            "",
+        ).alias("pq_code"),
+        F.round(F.sum(F.round("dist2", 6)), 3).alias("recon_err"),
+    )

@@ -498,3 +498,132 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), "w1", "w2")
         .limit(100)
     )
+
+
+# Target mix weights (% of each language kept), tuned so the corpus mix
+# is reshaped rather than merely sampled: keep all English, half the
+# de/es pools, a quarter of fr/zh.
+_MIX_WEIGHTS = {"en": 100, "de": 50, "es": 50, "fr": 25, "zh": 25}
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items())
+) + " ELSE 0 END"
+
+_DATASET_MIX_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_source,
+       CAST(COUNT(*) FILTER (
+         WHERE ((doc_id & 2147483647) * 2654435761) % 100 < {_MIX_CASE}
+       ) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(len(string_split(text, ' '))) FILTER (
+         WHERE ((doc_id & 2147483647) * 2654435761) % 100 < {_MIX_CASE}
+       ), 0) AS BIGINT) AS kept_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("text_dataset_mix", oracle=_DATASET_MIX_ORACLE, survey_id="B-62-ext")
+def text_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reshaping: per-language target keep-rates applied
+    via the engine's deterministic multiplicative hash (same masked
+    Knuth hash as sample_hash_mod — stable across engines, runs, and
+    repartitioning, unlike rand()), reporting per-language source size,
+    kept docs, and kept token budget. This is the corpus-mix step of an
+    LLM data pipeline: inclusion is a pure function of doc_id so
+    incremental backfills never resample previously-decided documents.
+    Zero shuffles beyond the final |langs|-row aggregate; the filter is
+    codegen'd scan-side at any scale."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761)
+    ) % 100
+    weight = F.lit(0)
+    for lang, w in sorted(_MIX_WEIGHTS.items()):
+        weight = F.when(F.col("lang") == lang, w).otherwise(weight)
+    keep = bucket < weight
+    toks = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(keep, toks)), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+_WINNOW_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), sh AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
+         lead(tok, 2) OVER w AS t2
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), h AS (
+  SELECT doc_id, pos, substr(md5(shingle), 1, 16) AS hv,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS sidx
+  FROM sh WHERE t2 IS NOT NULL
+), wmin AS (
+  SELECT doc_id, sidx,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY sidx
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM h
+)
+SELECT doc_id,
+       CAST(MAX(sidx) AS BIGINT) AS n_shingles,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM wmin
+WHERE sidx >= 4
+GROUP BY doc_id
+"""
+
+
+@query("text_winnow_fingerprints", oracle=_WINNOW_ORACLE, survey_id="B-56-ext")
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-fingerprinting scheme):
+    3-token shingles are hashed (md5-prefix — deterministic across
+    engines, unlike xxhash64) and each size-4 window of consecutive
+    shingle hashes contributes its MINIMUM — guaranteeing any shared
+    run of ≥ 6 tokens between two documents shares a fingerprint, with
+    ~1/4 the storage of full shingle sets. Complements MinHash (global
+    similarity) with positional overlap detection — the plagiarism /
+    contamination-scan kernel of a training-data pipeline. Per-doc
+    windows only: one shuffle on doc_id, window fns fused by Catalyst;
+    fingerprint sets shrink 4× before the (downstream) inverted-index
+    join, which is the 100 TB lever."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("shingle"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    h = sh.select(
+        "doc_id",
+        F.substring(F.md5("shingle"), 1, 16).alias("hv"),
+        F.row_number().over(w).alias("sidx"),
+    )
+    w_min = (
+        Window.partitionBy("doc_id").orderBy("sidx").rowsBetween(-3, 0)
+    )
+    wmin = h.select(
+        "doc_id", "sidx", F.min("hv").over(w_min).alias("fp")
+    ).where(F.col("sidx") >= 4)
+    return wmin.groupBy("doc_id").agg(
+        F.max("sidx").cast("long").alias("n_shingles"),
+        F.count_distinct("fp").cast("long").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

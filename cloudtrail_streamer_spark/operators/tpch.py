@@ -128,3 +128,51 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(rev_c).cast("double") / 10000.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(floor(l_quantity) AS BIGINT)) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity) AS BIGINT)) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(big.total_qty AS BIGINT) AS total_qty,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@query("tpch_q18_large_volume", oracle=_Q18_ORACLE, survey_id="B-20-ext")
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 300, joined back to orders + customer. The aggregate-then-
+    join order is the scale decision: lineitem reduces to |orders| rows
+    (and the HAVING cuts that to a sliver) BEFORE any join, so the
+    joins move only qualifying keys — at 100 TB the lineitem→orders
+    join on the unfiltered fact would dominate; this plan's big-side
+    shuffle is one partial+final agg. Quantities floor()ed to integers
+    (Spark CAST truncates, DuckDB CAST rounds; SURVEY §5.3 rule 6)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("total_qty").cast("long").alias("total_qty"),
+            cents("o_totalprice").cast("long").alias("total_cents"),
+        )
+    )

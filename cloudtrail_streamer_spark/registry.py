@@ -93,19 +93,17 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_watermark_late",
     "stream_dedup_stateful",
     "sim_ivf_recall",
-    "agg_pivot_wide",
-    "dedup_ngram_jaccard",
-    "fn_url_decode_ext",
+    "tpch_q18_large_volume",
+    "text_winnow_fingerprints",
+    "fn_nested_struct",
     "win_pattern_funnel",
     "agg_hll_union_sketch",
-    "text_minhash_doclevel",
+    "scan_schema_evolution",
     "join_range_bucketed",
     "agg_weighted_quantile",
     "embed_pq_codebook",
     "text_dataset_mix",
-    "graph_user_overlap",
-    "agg_conditional_pivot",
-    "text_rolling_shingle_hash",
+    "sink_idempotent_batchid",
     "events_rate_limit",
     # -- back-fill: r1/r2-green ops re-verified with remaining slots --
     "agg_group_q1",
@@ -115,6 +113,8 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_groups_connected",
     "top_n_per_group",
     "merge_upsert",
+    "tpch_q5_local_supplier",
+    "multimodal_image_meta",
 ]
 
 

@@ -26,6 +26,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Respect the 64 MB advisory partition size when coalescing instead of
+    # preserving parallelism (the Spark-recommended setting): tiny shuffles
+    # collapse to few tasks, cutting the per-query scheduling floor ~2×
+    # locally (measured: headline subset 1.95→1.45 s at sf0.1); at 100 TB
+    # the advisory size, not parallelism, is the right coalesce target.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: keep permissive casts aligned with DuckDB-oracle behavior

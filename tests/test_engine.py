@@ -316,3 +316,67 @@ def test_coverage_md_matches_registry():
 
     with open("/root/repo/COVERAGE.md") as f:
         assert f.read() == g.render()
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a run of >= 6 tokens (4
+    consecutive 3-shingles) must share at least one fingerprint."""
+    from cloudtrail_streamer_spark.operators.text import text_winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six seven"),
+            (2, f"red blue green {shared} yellow purple orange pink"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    import cloudtrail_streamer_spark.operators.text as T
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id", "pos",
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)).alias("shingle"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    h = sh.select("doc_id", F.substring(F.md5("shingle"), 1, 16).alias("hv"),
+                  F.row_number().over(w).alias("sidx"))
+    wmin = h.select("doc_id", "sidx",
+                    F.min("hv").over(Window.partitionBy("doc_id").orderBy("sidx").rowsBetween(-3, 0)).alias("fp"))
+    fps = wmin.where(F.col("sidx") >= 4).select("doc_id", "fp").distinct().collect()
+    d1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    d2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert d1 & d2, "shared 6-token run must produce a shared fingerprint"
+
+
+def test_pq_centroids_encode_to_themselves(spark):
+    """A PQ codebook vector must quantize to its own id in every
+    subspace (distance zero), so vec_id<4 codes are 8 repeats of the id."""
+    out = {
+        r["vec_id"]: r
+        for r in all_queries()["embed_pq_codebook"](spark, SF).collect()
+        if r["vec_id"] < 4
+    }
+    for vid, r in out.items():
+        assert r["pq_code"] == str(vid) * 8, r
+        assert r["recon_err"] == 0.0, r
+
+
+def test_rate_limit_keeps_earliest(spark):
+    """events_rate_limit must keep the EARLIEST <=3 per (user, day)."""
+    rows = all_queries()["events_rate_limit"](spark, SF).collect()
+    from collections import Counter
+
+    per_key = Counter((r["user_id"], r["day_start"]) for r in rows)
+    assert max(per_key.values()) <= 3
+    ev = table(spark, SF, "events").count()
+    assert len(rows) < ev  # something was actually limited
+
+
+def test_idempotent_sink_retry_is_noop(spark):
+    row = all_queries()["sink_idempotent_batchid"](spark, SF).collect()[0]
+    assert row["retry_delta"] == 0
+    assert row["n_delivered"] == row["n_source"]

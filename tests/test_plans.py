@@ -183,3 +183,30 @@ def test_split_assignment_no_extra_shuffle(spark):
     exactly one exchange (the final agg), nothing from the CASE."""
     tree = _nodes(spark, "split_train_val_test")
     assert tree.count("Exchange") <= 1
+
+
+def test_rate_limit_window_group_limit_pushdown(spark):
+    """events_rate_limit (rn <= 3): Catalyst must plan a WindowGroupLimit
+    so each map task emits at most k rows per key before the shuffle."""
+    tree = _tree(_plan(spark, "events_rate_limit"))
+    assert "WindowGroupLimit" in tree
+
+
+def test_q18_aggregates_before_join(spark):
+    """tpch_q18: the lineitem aggregate (and its HAVING filter) must sit
+    BELOW the joins so only qualifying orderkeys are joined."""
+    plan = _plan(spark, "tpch_q18_large_volume", mode="extended")
+    phys = plan.split("== Physical Plan ==")[-1]
+    agg_pos = phys.find("HashAggregate")
+    join_pos = phys.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # formatted trees print top-down: the join appears before (above) the
+    # aggregate in text iff the aggregate is its child
+    assert join_pos < agg_pos
+
+
+def test_pq_codebook_broadcasts_centroids(spark):
+    """embed_pq_codebook: the 32-row centroid side must broadcast; the
+    big side must not shuffle for the assignment join."""
+    tree = _tree(_plan(spark, "embed_pq_codebook"))
+    assert "BroadcastHashJoin" in tree
