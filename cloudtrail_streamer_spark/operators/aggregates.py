@@ -10,7 +10,7 @@ pre-aggregated group states, not rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudtrail_streamer_spark.catalog import table
@@ -361,4 +361,81 @@ def agg_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx") - F.col("n_exact"))
             <= 0.05 * F.col("n_exact")
         ).alias("within_5pct"),
+    )
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+)
+SELECT event_type,
+       CAST(LEAST(9, CAST(floor((value - mn) * 10 / (mx - mn)) AS BIGINT))
+            AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events, b
+GROUP BY 1, 2
+"""
+
+
+@query("agg_histogram", oracle=_HISTOGRAM_ORACLE, survey_id="B-25-ext")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 buckets over the observed global range)
+    per event_type. The global min/max come from a 1-row aggregate
+    broadcast back onto the feed (the engine's standard no-collect
+    pattern for global-stat-dependent transforms), then one partial+
+    final count keyed by (type, bucket) — two passes total, both
+    scan-shaped, which is the profile-at-100 TB requirement. Bucket
+    arithmetic is floor() on the same double expression in both engines
+    (SURVEY §5.3 rule 6)."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bucket = F.least(
+        F.lit(9),
+        F.floor((F.col("value") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn"))).cast(
+            "long"
+        ),
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_MODE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority,
+       CAST(n AS BIGINT) AS n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+) t
+WHERE rn = 1
+"""
+
+
+@query("agg_mode_argmax", oracle=_MODE_ORACLE, survey_id="B-25-ext")
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact mode per group. Built-in mode() is
+    tie-nondeterministic in BOTH engines, so the engine's contract form
+    is count-then-argmax with a total-order tiebreak (count desc, then
+    value) — two keyed aggregations that shuffle only |groups x values|
+    rows after map-side partials; never a per-row sort at scale."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n"),
+        )
     )

@@ -455,3 +455,38 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
     )
+
+
+@query("pipeline_dedup_e2e", survey_id="north-star")  # Tier R (xxhash LSH inside)
+def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup pipeline as one query — the shape a training-
+    data run actually executes, end to end: normalize → exact dedup
+    (md5, keep min doc_id) → MinHash-LSH near-dup candidates over the
+    exact survivors → connected components → one canonical doc per
+    cluster. Emits the funnel (n_input, n_after_exact, n_clusters_multi,
+    n_final); each stage's own op is independently oracle-checked
+    (dedup_exact H, dedup_minhash_recall, dedup_groups_connected H), so
+    this query certifies the COMPOSITION: stages chain without
+    re-reading the corpus — one scan feeds exact-hash, survivors feed
+    shingling, and everything after the LSH join is |candidates|-sized.
+    Tier R because the MinHash stage rides on Spark-only xxhash64."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("text")
+    )
+    n_input = docs.count()
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    n_after_exact = survivors.count()
+    cands = minhash_candidates(survivors)
+    comps = connected_components(
+        cands, survivors.select(F.col("doc_id").alias("id"))
+    )
+    per_cluster = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    n_final = per_cluster.count()
+    n_multi = per_cluster.where(F.col("sz") > 1).count()
+    return spark.createDataFrame(
+        [(n_input, n_after_exact, n_multi, n_final)],
+        "n_input long, n_after_exact long, n_clusters_multi long, n_final long",
+    )

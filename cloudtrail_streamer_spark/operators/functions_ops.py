@@ -312,3 +312,32 @@ def fn_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_line_cents"),
     )
+
+
+_INTERVAL_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_month,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+FROM orders
+"""
+
+
+@query("fn_interval_arith", oracle=_INTERVAL_ORACLE, survey_id="B-39-ext")
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware interval arithmetic — the B-39 widening that pins
+    the cross-engine EDGE semantics rather than happy paths: add-month
+    end-of-month clamping (Jan 31 + 1 month = Feb 28 in both engines),
+    last_day, ISO week truncation (Monday start in both), and quarter
+    extraction. All four are codegen'd built-ins; the oracle runs the
+    ANSI equivalents so any clamping/week-origin divergence fails the
+    hash."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 1).cast("timestamp").alias("plus_month"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    )

@@ -30,6 +30,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -448,4 +449,133 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode_audio_batch,
         schema="doc_id long, sample_rate long, channels long, n_samples long",
+    )
+
+
+THUMB = 32  # thumbnail edge (NN-resize target)
+
+
+def make_patterned_bmp(doc_id: int, w: int, h: int) -> bytes:
+    """24-bpp bottom-up BMP whose pixel (x, y) [top-left origin] carries
+    value (x*31 + y*17 + doc_id) % 256 in all three channels — a
+    deterministic pattern the resize oracle can mirror arithmetically."""
+    row_stride = (3 * w + 3) // 4 * 4
+    size = 54 + row_stride * h
+    file_header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_stride * h, 2835, 2835, 0, 0
+    )
+    px = np.zeros((h, row_stride), dtype=np.uint8)
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    vals = ((xs * 31 + ys * 17 + doc_id) % 256).astype(np.uint8)
+    # bottom-up storage: file row r holds image row (h-1-r)
+    for c in range(3):
+        px[:, c : 3 * w : 3] = vals[::-1]
+    return file_header + info_header + px.tobytes()
+
+
+def _decode_bmp_pixels(raw: bytes) -> "np.ndarray":
+    """Parse a 24-bpp bottom-up BMP into an (h, w) array of the blue
+    channel (all channels equal in the patterned payloads) — walking the
+    actual header offsets and row padding, not assuming layout."""
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", raw[10:14])
+    w, h = struct.unpack("<ii", raw[18:26])
+    (bpp,) = struct.unpack("<H", raw[28:30])
+    if bpp != 24 or h <= 0:
+        raise ValueError("expected 24-bpp bottom-up BMP")
+    row_stride = (3 * w + 3) // 4 * 4
+    px = np.frombuffer(raw, dtype=np.uint8, count=row_stride * h, offset=data_off)
+    px = px.reshape(h, row_stride)[:, 0 : 3 * w : 3]  # blue channel
+    return px[::-1]  # back to top-left origin
+
+
+def resize_thumb_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: BMP payload → real nearest-neighbor THUMBxTHUMB
+    resize (numpy fancy indexing over the decoded pixel array) → integer
+    checksum of the resized pixels."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            pix = _decode_bmp_pixels(bytes(payload))
+            h, w = pix.shape
+            sx = (np.arange(THUMB) * w) // THUMB
+            sy = (np.arange(THUMB) * h) // THUMB
+            thumb = pix[np.ix_(sy, sx)]
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": w,
+                    "height": h,
+                    "thumb_w": THUMB,
+                    "thumb_h": THUMB,
+                    "thumb_checksum": int(thumb.astype(np.int64).sum() * 3),
+                }
+            )
+        yield pd.DataFrame(out)
+
+
+_RESIZE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS w,
+         16 + (doc_id * 7) % 48 AS h
+  FROM documents
+), grid AS (
+  SELECT doc_id, w, h, tx.g AS tx, ty.g AS ty
+  FROM dims,
+       (SELECT unnest(generate_series(0, {THUMB - 1})) AS g) tx,
+       (SELECT unnest(generate_series(0, {THUMB - 1})) AS g) ty
+)
+SELECT doc_id,
+       CAST(MIN(w) AS BIGINT) AS width,
+       CAST(MIN(h) AS BIGINT) AS height,
+       CAST({THUMB} AS BIGINT) AS thumb_w,
+       CAST({THUMB} AS BIGINT) AS thumb_h,
+       CAST(SUM(3 * ((((tx * w) // {THUMB}) * 31 + ((ty * h) // {THUMB}) * 17
+                      + doc_id) % 256)) AS BIGINT) AS thumb_checksum
+FROM grid
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_image_resize", oracle=_RESIZE_ORACLE, survey_id="north-star")
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level image processing through the multimodal column
+    plumbing: patterned 24-bpp BMPs are synthesized per document,
+    decoded from their actual bytes (header offsets, bottom-up rows, row
+    padding), nearest-neighbor-resized to a 32x32 thumbnail with numpy,
+    and checksummed — all inside Arrow-batched mapInPandas kernels, one
+    executor-local pass, zero shuffles before the final projection. The
+    oracle recomputes the checksum arithmetically from the deterministic
+    pixel pattern, so a single flipped byte anywhere in decode/resize
+    fails the hash. This is the pattern a real decoder (PIL/ffmpeg)
+    drops into: the Spark plan, batch shape, and schema stay identical;
+    only the kernel body changes (SURVEY north star: multimodal decode /
+    resize as Pandas UDFs over binary columns)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        make_patterned_bmp(
+                            int(i), 16 + int(i) % 48, 16 + (int(i) * 7) % 48
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        resize_thumb_batch,
+        schema=(
+            "doc_id long, width long, height long, thumb_w long, "
+            "thumb_h long, thumb_checksum long"
+        ),
     )

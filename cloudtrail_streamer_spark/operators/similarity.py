@@ -482,3 +482,144 @@ def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pq_code"),
         F.round(F.sum(F.round("dist2", 6)), 3).alias("recon_err"),
     )
+
+
+# Deterministic pseudo-random hyperplanes: hp(i, d) in [-0.5, 0.5), a pure
+# integer-arithmetic function of (plane i, dim d) — identical in both
+# engines, no RNG stream to disagree on (d is 0-based here; the oracle's
+# 1-based list index is shifted). The fixture embeddings are near-random
+# (max pairwise cosine 0.49 at sf0.01), so the truth set is SEEDED: each
+# probe vector gets a deterministic ±3% per-dim multiplicative mutation
+# (cosine ≈ 0.999) — the dedup_minhash_recall pattern applied to vectors.
+_LSH_SEED_OFFSET = 1000000
+
+_LSH_RECALL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), mut AS (
+  SELECT vec_id + {_LSH_SEED_OFFSET} AS mid,
+         list_transform(e, (x, di) ->
+           x * (1 + (((di - 1) * 31 + vec_id) % 7 - 3) / 100.0)) AS e
+  FROM base WHERE vec_id <= 99
+), corpus AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT mid AS vec_id, e FROM mut
+), planes AS (
+  SELECT unnest(generate_series(0, 15)) AS i
+), bits AS (
+  SELECT c.vec_id, p.i,
+         CASE WHEN list_aggregate(
+           list_transform(c.e, (x, di) ->
+             x * ((((p.i * 64 + (di - 1)) * 2654435761) % 1000003)
+                  / 1000003.0 - 0.5)),
+           'sum') > 0 THEN 1 ELSE 0 END AS bit
+  FROM corpus c, planes p
+), bands AS (
+  SELECT vec_id, i // 4 AS band,
+         SUM(bit * CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+           AS bval
+  FROM bits GROUP BY vec_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval
+   AND b.vec_id = a.vec_id + {_LSH_SEED_OFFSET}
+  WHERE a.vec_id <= 99
+), truth AS (
+  SELECT b.vec_id AS id_a
+  FROM base b JOIN mut m ON m.mid = b.vec_id + {_LSH_SEED_OFFSET}
+  WHERE round(list_dot_product(b.e, m.e)
+              / (sqrt(list_dot_product(b.e, b.e))
+                 * sqrt(list_dot_product(m.e, m.e))), 4) >= 0.95
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(cand.id_a) AS BIGINT) AS n_caught,
+       round(COALESCE(COUNT(cand.id_a) * 1.0 / NULLIF(COUNT(*), 0), 0), 4)
+         AS recall
+FROM truth LEFT JOIN cand USING (id_a)
+"""
+
+
+@query("embed_lsh_recall", oracle=_LSH_RECALL_ORACLE, survey_id="north-star")
+def embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH for embedding near-dup detection, with a
+    driver-visible recall certificate: 16 sign bits from deterministic
+    arithmetic hyperplanes, banded 4x4 (a pair is a candidate if ANY
+    4-bit band matches — banding trades precision for recall exactly as
+    MinHash-LSH does for Jaccard). The fixture embeddings are
+    near-random (no cosine≥0.95 pairs exist), so the truth set is
+    SEEDED: every probe vector gets a deterministic ±3% per-dim
+    mutation (cosine ≈ 0.999), mixed into the full table as
+    distractors; truth keeps only seeded pairs whose EXACT cosine
+    clears 0.95 — computed, not assumed. H-tier: hyperplanes, bits,
+    bands, mutation, truth, and the recall number itself are all
+    reproduced independently in DuckDB. At 100 TB the band join is the
+    whole point: candidates come from an equi-join on (band, bval),
+    never an all-pairs scan."""
+    em = table(spark, sf_dir, "embeddings")
+    base = em.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    mut = base.where(F.col("vec_id") <= 99).select(
+        (F.col("vec_id") + _LSH_SEED_OFFSET).alias("vec_id"),
+        F.transform(
+            "e",
+            lambda x, di: x
+            * (1 + ((di * 31 + F.col("vec_id")) % 7 - 3) / 100.0),
+        ).alias("e"),
+    )
+    corpus = base.unionByName(mut)
+    planes = spark.range(16).select(F.col("id").cast("int").alias("i"))
+    dot = F.aggregate(
+        F.transform(
+            F.col("e"),
+            lambda x, di: x
+            * (
+                (((F.col("i") * 64 + di) * 2654435761) % 1000003) / 1000003.0
+                - 0.5
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = corpus.crossJoin(F.broadcast(planes)).select(
+        "vec_id", "i", F.when(dot > 0, 1).otherwise(0).alias("bit")
+    )
+    weight = (
+        F.when(F.col("i") % 4 == 0, 8)
+        .when(F.col("i") % 4 == 1, 4)
+        .when(F.col("i") % 4 == 2, 2)
+        .otherwise(1)
+    )
+    bands = bits.groupBy(
+        "vec_id", (F.col("i") / 4).cast("int").alias("band")
+    ).agg(F.sum(F.col("bit") * weight).alias("bval"))
+    a = bands.where(F.col("vec_id") <= 99).select(
+        F.col("vec_id").alias("id_a"), "band", "bval"
+    )
+    b = bands.select(F.col("vec_id").alias("id_b"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("id_b") == F.col("id_a") + _LSH_SEED_OFFSET)
+        .select("id_a")
+        .distinct()
+    )
+    pair = base.join(
+        mut.select(
+            (F.col("vec_id") - _LSH_SEED_OFFSET).alias("vec_id"),
+            F.col("e").alias("me"),
+        ),
+        "vec_id",
+    )
+    truth = pair.where(
+        F.round(cosine(F.col("e"), F.col("me")), 4) >= 0.95
+    ).select(F.col("vec_id").alias("id_a"))
+    j = truth.join(cand.withColumn("caught", F.lit(1)), "id_a", "left")
+    n_caught = F.sum(F.coalesce("caught", F.lit(0)))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        n_caught.cast("long").alias("n_caught"),
+        F.round(
+            F.coalesce(n_caught / F.nullif(F.count(F.lit(1)), F.lit(0)), F.lit(0.0)), 4
+        ).alias("recall"),
+    )

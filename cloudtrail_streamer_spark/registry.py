@@ -105,16 +105,17 @@ _WINDOW_PRIORITY: list[str] = [
     "text_dataset_mix",
     "sink_idempotent_batchid",
     "events_rate_limit",
+    # -- wave-3 ops (first driver rows) --
+    "multimodal_image_resize",
+    "agg_histogram",
+    "agg_mode_argmax",
+    "fn_interval_arith",
+    "embed_lsh_recall",
+    "pipeline_dedup_e2e",
     # -- back-fill: r1/r2-green ops re-verified with remaining slots --
     "agg_group_q1",
     "join_asof",
     "sim_search_topk",
-    "text_tfidf",
-    "dedup_groups_connected",
-    "top_n_per_group",
-    "merge_upsert",
-    "tpch_q5_local_supplier",
-    "multimodal_image_meta",
 ]
 
 

@@ -380,3 +380,34 @@ def test_idempotent_sink_retry_is_noop(spark):
     row = all_queries()["sink_idempotent_batchid"](spark, SF).collect()[0]
     assert row["retry_delta"] == 0
     assert row["n_delivered"] == row["n_source"]
+
+
+def test_bmp_resize_kernel_roundtrip():
+    """The BMP pixel decoder must recover the exact pattern (incl. row
+    padding and bottom-up order), and the NN resize must sample it."""
+    import numpy as np
+
+    from cloudtrail_streamer_spark.operators.multimodal import (
+        _decode_bmp_pixels,
+        make_patterned_bmp,
+    )
+
+    # w=17 forces a non-trivial row stride (3*17=51 -> padded 52)
+    pix = _decode_bmp_pixels(make_patterned_bmp(7, 17, 9))
+    assert pix.shape == (9, 17)
+    ys = np.arange(9)[:, None]
+    xs = np.arange(17)[None, :]
+    assert (pix == ((xs * 31 + ys * 17 + 7) % 256)).all()
+
+
+def test_dedup_pipeline_funnel_monotone(spark):
+    row = all_queries()["pipeline_dedup_e2e"](spark, SF).collect()[0]
+    assert row["n_input"] >= row["n_after_exact"] >= row["n_final"]
+    assert row["n_clusters_multi"] > 0  # fixture has near-dups by construction
+    assert row["n_final"] + row["n_clusters_multi"] <= row["n_after_exact"]
+
+
+def test_lsh_recall_certificate(spark):
+    row = all_queries()["embed_lsh_recall"](spark, SF).collect()[0]
+    assert row["n_truth"] > 0, "seeded truth set must be non-empty"
+    assert row["recall"] >= 0.9, f"banded hyperplane LSH recall too low: {row}"
