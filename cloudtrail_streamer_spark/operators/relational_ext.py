@@ -476,3 +476,104 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("ts")
     )
+
+
+_ZORDER_ORACLE = """
+WITH keyed AS (
+  SELECT event_id, user_id % 256 AS a,
+         CAST(date_part('day', ts) AS BIGINT) AS b
+  FROM events
+), bits AS (
+  SELECT event_id, a, b, unnest(generate_series(0, 7)) AS k FROM keyed
+), z AS (
+  SELECT event_id, a, b,
+         SUM(((a // power(2, k)::BIGINT) % 2) * power(2, 2 * k)::BIGINT
+             + ((b // power(2, k)::BIGINT) % 2) * power(2, 2 * k + 1)::BIGINT)
+           AS zval
+  FROM bits GROUP BY event_id, a, b
+)
+SELECT CAST(zval // 4096 AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(a) AS BIGINT) AS a_min, CAST(MAX(a) AS BIGINT) AS a_max,
+       CAST(MIN(b) AS BIGINT) AS b_min, CAST(MAX(b) AS BIGINT) AS b_max
+FROM z
+GROUP BY 1
+"""
+
+
+@query("layout_zorder_buckets", oracle=_ZORDER_ORACLE, survey_id="B-5-ext")
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for TWO-dimensional scan locality
+    — the 2-D generalization of layout_cluster_ranges: interleave the
+    bits of (user bucket, day) so writing sorted by zval co-locates
+    rows that are close in BOTH dimensions; per z-bucket min/max ranges
+    (the parquet footer stats a z-ordered write would carry) show each
+    bucket covering a tight (a, b) rectangle, which is what lets either
+    a user-predicate OR a date-predicate skip most files at 100 TB.
+    The interleave is pure integer arithmetic (explode 8 bit positions,
+    sum the shifted bits) — identical in both engines, no bit-twiddling
+    builtins needed."""
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        F.dayofmonth("ts").cast("long").alias("b"),
+    )
+    bits = keyed.select(
+        "event_id", "a", "b", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
+    )
+    term = F.expr(
+        "((a DIV CAST(pow(2, k) AS BIGINT)) % 2) * CAST(pow(2, 2 * k) AS BIGINT)"
+        " + ((b DIV CAST(pow(2, k) AS BIGINT)) % 2)"
+        "   * CAST(pow(2, 2 * k + 1) AS BIGINT)"
+    )
+    z = bits.groupBy("event_id", "a", "b").agg(F.sum(term).alias("zval"))
+    return (
+        z.groupBy((F.col("zval") / 4096).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("a").cast("long").alias("a_min"),
+            F.max("a").cast("long").alias("a_max"),
+            F.min("b").cast("long").alias("b_min"),
+            F.max("b").cast("long").alias("b_max"),
+        )
+    )
+
+
+_COHORT_ORACLE = """
+WITH firstw AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk FROM events e
+)
+SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN firstw f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("win_retention_cohort", oracle=_COHORT_ORACLE, survey_id="B-29-ext")
+def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each subsequent activity week — the canonical product-analytics
+    rollup. Two keyed aggregations (first-week per user; distinct
+    user-weeks) joined on user_id: both sides reduce to |users|-scale
+    before the join, so the fact table is scanned twice but never
+    joined at event grain — at 100 TB the join input is users, not
+    events. Week truncation is ISO-Monday in both engines; the offset
+    is exact integer day-arithmetic divided by 7."""
+    ev = table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    j = act.join(firstw, "user_id")
+    return j.groupBy(
+        "cohort_week",
+        (F.datediff("wk", "cohort_week") / 7).cast("long").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

@@ -623,3 +623,76 @@ def embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(n_caught / F.nullif(F.count(F.lit(1)), F.lit(0)), F.lit(0.0)), 4
         ).alias("recall"),
     )
+
+
+_CENTROID_UPDATE_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id < 16
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), d AS (
+  SELECT v.vec_id, v.e, c.centroid_id,
+         list_aggregate(
+           list_transform(v.e, (x, i) -> (x - c.ce[i]) * (x - c.ce[i])),
+           'sum') AS dist2
+  FROM v CROSS JOIN c
+), assign AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT vec_id, e, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(dist2, 6), centroid_id) AS rn
+    FROM d
+  ) t WHERE rn = 1
+), pos AS (
+  SELECT centroid_id,
+         unnest(e) AS val,
+         generate_subscripts(e, 1) AS p
+  FROM assign
+), mean_pos AS (
+  SELECT centroid_id, p, SUM(val) / COUNT(*) AS m,
+         COUNT(*) AS n_members
+  FROM pos GROUP BY centroid_id, p
+)
+SELECT centroid_id,
+       CAST(MIN(n_members) AS BIGINT) AS n_members,
+       round(MIN(CASE WHEN p = 1 THEN m END), 4) AS c_first,
+       round(MIN(CASE WHEN p = 64 THEN m END), 4) AS c_last
+FROM mean_pos
+GROUP BY centroid_id
+"""
+
+
+@query("embed_centroid_update", oracle=_CENTROID_UPDATE_ORACLE, survey_id="north-star")
+def embed_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPDATE half of a Lloyd's k-means iteration (embed_ivf_assign
+    is the assignment half): per assigned cell, the new centroid is the
+    element-wise mean of its member vectors. Shape: the assignment is
+    the broadcast join from embed_ivf_assign (big side never
+    shuffles), then posexplode to (cell, dim) rows feeding ONE keyed
+    partial+final aggregate — the 64x row expansion happens map-side
+    and is immediately reduced by the partial agg, so the shuffle
+    carries at most |cells|x64 partial sums per map task, independent
+    of vector count. Emits per-cell member count and the first/last
+    mean components, rounded to 1e-4 (per-position sums are
+    order-commutative well past that). This plus embed_ivf_assign is
+    one full Lloyd's iteration — repeat to convergence at 100 TB."""
+    assigned = embed_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    em = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    j = em.join(assigned, "vec_id")
+    pos = j.select(
+        "centroid_id", F.posexplode("e").alias("p0", "val")
+    ).select("centroid_id", (F.col("p0") + 1).alias("p"), "val")
+    mean_pos = pos.groupBy("centroid_id", "p").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return mean_pos.groupBy("centroid_id").agg(
+        F.min("n_members").cast("long").alias("n_members"),
+        F.round(F.min(F.when(F.col("p") == 1, F.col("m"))), 4).alias("c_first"),
+        F.round(F.min(F.when(F.col("p") == 64, F.col("m"))), 4).alias("c_last"),
+    )

@@ -176,3 +176,38 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents("o_totalprice").cast("long").alias("total_cents"),
         )
     )
+
+
+# One ANSI-SQL text, two engines: this exact string runs through
+# spark.sql() AND as the DuckDB oracle — the strongest possible parity
+# statement for the engine's SQL entry point (SURVEY §3.2 path 2: the
+# DataFrame and SQL surfaces converge after parse; here the SQL surface
+# itself is hash-checked cross-engine with zero dialect translation).
+_Q1_SQL_BOTH_ENGINES = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_tpch_q1", oracle=_Q1_SQL_BOTH_ENGINES, survey_id="B-20/SQL")
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (SURVEY §3.2 path 2), proven with ZERO
+    dialect translation: the identical ANSI text executes via
+    spark.sql() here and verbatim in DuckDB as its own oracle. Spark's
+    parser → the same unresolved-logical-plan chain the DataFrame API
+    feeds, so plan properties (partial agg, pushdown) are inherited,
+    and the integer-cents money discipline works unchanged in pure SQL.
+    Catalog binding via a temp view over the parquet scan — on a real
+    deployment this is a metastore table; nothing else changes."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL_BOTH_ENGINES)

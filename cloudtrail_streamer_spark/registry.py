@@ -112,10 +112,10 @@ _WINDOW_PRIORITY: list[str] = [
     "fn_interval_arith",
     "embed_lsh_recall",
     "pipeline_dedup_e2e",
-    # -- back-fill: r1/r2-green ops re-verified with remaining slots --
-    "agg_group_q1",
-    "join_asof",
-    "sim_search_topk",
+    # -- wave-4 ops (first driver rows; zorder + cohort rotate in r4) --
+    "sql_tpch_q1",
+    "multimodal_audio_features",
+    "embed_centroid_update",
 ]
 
 
