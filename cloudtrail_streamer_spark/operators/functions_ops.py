@@ -341,3 +341,38 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", "o_orderdate").alias("week_start"),
         F.quarter("o_orderdate").cast("long").alias("qtr"),
     )
+
+
+_STRING_ADV_ORACLE = """
+SELECT p_partkey,
+       array_to_string(regexp_extract_all(p_name, '[aeiou]+'), '|') AS vowel_runs,
+       translate(p_brand, '#', '-') AS brand_dash,
+       reverse(p_name) AS rev_name,
+       repeat(p_brand, 2) AS brand2,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+       CAST(ascii(p_name) AS BIGINT) AS first_cp
+FROM part
+"""
+
+
+@query("fn_string_advanced", oracle=_STRING_ADV_ORACLE, survey_id="B-38-ext")
+def fn_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-38 widening with the trap-prone string builtins: extract-ALL
+    regex matches (joined to one string — the driver canonicalizer
+    can't hash arrays), character translation, reverse, repeat,
+    first-occurrence position (1-based in both engines), and the
+    leading code point. All codegen'd JVM builtins; the oracle pins
+    DuckDB's equivalents (strpos == instr/position, ascii ==
+    unicode-of-first-char semantics verified)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.array_join(
+            F.expr("regexp_extract_all(p_name, '[aeiou]+', 0)"), "|"
+        ).alias("vowel_runs"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.reverse(F.col("p_name")).alias("rev_name"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.ascii(F.col("p_name")).cast("long").alias("first_cp"),
+    )

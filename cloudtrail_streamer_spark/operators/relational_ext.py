@@ -577,3 +577,56 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week",
         (F.datediff("wk", "cohort_week") / 7).cast("long").alias("week_offset"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+_RESERVOIR_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY round(
+             -ln((((doc_id & 2147483647) * 2654435761) % 1000003 + 1)
+                 / 1000004.0) / n_chars, 6) ASC,
+           doc_id
+         ) AS rn
+  FROM documents
+) t
+WHERE rn <= 25
+GROUP BY source
+"""
+
+
+@query("sample_reservoir_weighted", oracle=_RESERVOIR_ORACLE, survey_id="B-2-ext")
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res), exactly
+    the distributed form: each row draws key = -ln(u)/w from a
+    DETERMINISTIC uniform u (the engine's masked multiplicative hash
+    mapped into (0,1]) with weight w = n_chars, and the k smallest keys
+    per source win — longer documents are proportionally likelier to be
+    kept, yet the draw replays identically across engines, runs, and
+    repartitionings (no rand() stream). The per-group top-k runs as a
+    WindowGroupLimit (each map task emits ≤ k rows per source before
+    the shuffle) and A-Res keys MERGE: union the per-partition top-k
+    and re-take top-k — the property that makes weighted sampling a
+    single pass at 100 TB. Keys round to 1e-6 + doc_id tiebreak so an
+    engine ulp can't flip a selection at the k boundary."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761))
+        % F.lit(1000003)
+        + 1
+    ) / 1000004.0
+    key = F.round(-F.log(u) / F.col("n_chars"), 6)
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 25)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )

@@ -627,3 +627,77 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+_CONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), sh AS (
+  SELECT doc_id, pos,
+         substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                    || lead(tok, 2) OVER w), 1, 16) AS hv,
+         lead(tok, 2) OVER w AS t2
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), fp AS (
+  SELECT DISTINCT doc_id, hv FROM sh WHERE t2 IS NOT NULL
+), eval_fp AS (
+  SELECT doc_id, hv FROM fp WHERE doc_id % 97 = 0
+), train_fp AS (
+  SELECT doc_id, hv FROM fp WHERE doc_id % 97 <> 0
+), hits AS (
+  SELECT e.doc_id AS eval_doc,
+         CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+         CAST(COUNT(DISTINCT e.hv) AS BIGINT) AS n_shared_shingles
+  FROM eval_fp e JOIN train_fp t ON e.hv = t.hv
+  GROUP BY e.doc_id
+)
+SELECT eval_doc, n_train_docs, n_shared_shingles
+FROM hits
+"""
+
+
+@query("text_contamination_check", oracle=_CONTAM_ORACLE, survey_id="B-56-ext")
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan — the check every LLM training run
+    owes its benchmarks: a held-out slice (doc_id % 97 == 0 stands in
+    for the eval set) is searched against the training corpus for
+    shared 3-token shingles via an inverted-index equi-join on the
+    shingle hash. Per contaminated eval doc: how many training docs
+    overlap and how many distinct shingles leak. The join is
+    hash-keyed (never all-pairs) and the eval side is tiny — at 100 TB
+    this is a broadcast of the eval fingerprint set against a
+    fingerprint table you already maintain for dedup
+    (text_winnow_fingerprints' output). md5-prefix shingle hashes keep
+    it engine-portable and H-tier."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+                )
+            ),
+            1,
+            16,
+        ).alias("hv"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    fp = sh.select("doc_id", "hv").distinct()
+    eval_fp = fp.where(F.col("doc_id") % 97 == 0)
+    train_fp = fp.where(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc"), "hv"
+    )
+    hits = eval_fp.join(train_fp, "hv")
+    return hits.groupBy(F.col("doc_id").alias("eval_doc")).agg(
+        F.count_distinct("train_doc").cast("long").alias("n_train_docs"),
+        F.count_distinct("hv").cast("long").alias("n_shared_shingles"),
+    )

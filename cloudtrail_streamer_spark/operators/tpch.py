@@ -211,3 +211,30 @@ def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment this is a metastore table; nothing else changes."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q1_SQL_BOTH_ENGINES)
+
+
+_CORRELATED_SQL_BOTH = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS price_cents
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT 2 * AVG(o2.o_totalprice)
+  FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@query("sql_correlated_subquery", oracle=_CORRELATED_SQL_BOTH, survey_id="B-14-ext")
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, one ANSI text in both engines
+    (the sql_tpch_q1 pattern): orders costing more than twice their
+    customer's average. Catalyst decorrelates this into an aggregate +
+    join (RewriteCorrelatedScalarSubquery — SURVEY §4.2's subquery
+    row), so the executed plan is a keyed agg over orders joined back
+    to orders: two scans, one shuffle each, no per-row subquery
+    execution anywhere. The comparison stays on raw-column doubles
+    (no computed-decimal casts); only the emitted price is integer
+    cents."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL_BOTH)

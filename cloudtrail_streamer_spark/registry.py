@@ -112,11 +112,17 @@ _WINDOW_PRIORITY: list[str] = [
     "fn_interval_arith",
     "embed_lsh_recall",
     "pipeline_dedup_e2e",
-    # -- wave-4 ops (first driver rows; zorder + cohort rotate in r4) --
+    # -- wave-4 ops (first driver rows) --
     "sql_tpch_q1",
     "multimodal_audio_features",
     "embed_centroid_update",
 ]
+
+# Round-4 rotation TODO (window was full this round): front-load
+# layout_zorder_buckets, win_retention_cohort, text_contamination_check,
+# sample_reservoir_weighted, sql_correlated_subquery, fn_string_advanced,
+# source_incremental_checkpoint — all registered and locally green in r3
+# but without driver rows yet — then back-fill with r1-r3-green ops.
 
 
 def _ordered() -> list["QuerySpec"]:

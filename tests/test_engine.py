@@ -411,3 +411,15 @@ def test_lsh_recall_certificate(spark):
     row = all_queries()["embed_lsh_recall"](spark, SF).collect()[0]
     assert row["n_truth"] > 0, "seeded truth set must be non-empty"
     assert row["recall"] >= 0.9, f"banded hyperplane LSH recall too low: {row}"
+
+
+def test_window_priority_names_exist():
+    """Every name in the driver-window priority list must be a registered
+    query (planned-but-renamed ops would silently waste driver slots)."""
+    import cloudtrail_streamer_spark.registry as R
+
+    R._load_all()
+    missing = [n for n in R._WINDOW_PRIORITY if n not in R._REGISTRY]
+    assert not missing, f"window names not in registry: {missing}"
+    assert len(R._WINDOW_PRIORITY) == 50
+    assert len(set(R._WINDOW_PRIORITY)) == 50, "duplicate window slots"
