@@ -439,3 +439,41 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS observed_rows,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS observed_cents,
+       CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS observed_negative
+FROM events
+"""
+
+
+@query("agg_observe_metrics", oracle=_OBSERVE_ORACLE, survey_id="A-11-ext")
+def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline metrics via DataFrame.observe — the A-11
+    logging analog for BATCH jobs (the streaming listener covers
+    micro-batches): named aggregates piggyback on a real pass over the
+    data at zero extra scan cost, surfacing row counts / money totals /
+    data-quality counters to the driver exactly as a production job
+    exports them to its metrics system. The certificate row returns the
+    OBSERVED values themselves, hash-checked against DuckDB recomputing
+    the same aggregates — proving the observation carried the true
+    numbers, not a sample."""
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("pipeline_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("value")).alias("c"),
+        F.sum((F.col("value") < 0).cast("long")).alias("neg"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n"]), int(m["c"]), int(m["neg"]))],
+        "observed_rows long, observed_cents long, observed_negative long",
+    )

@@ -238,3 +238,63 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_CORRELATED_SQL_BOTH)
+
+
+# Verbatim in both engines (the sql_tpch_q1 pattern): integer halving via
+# floor(x/2.0) — CAST-of-half differs across engines (trunc vs
+# round-half-even), floor does not.
+_RECURSIVE_SQL_BOTH = """
+WITH RECURSIVE pay AS (
+  SELECT o_orderkey, CAST(0 AS BIGINT) AS level,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS remaining
+  FROM orders WHERE o_orderkey % 101 = 0
+  UNION ALL
+  SELECT o_orderkey, level + 1,
+         CAST(floor(remaining / 2.0) AS BIGINT)
+  FROM pay WHERE remaining >= 1000
+)
+SELECT o_orderkey, level, remaining FROM pay
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL_BOTH, survey_id="B-24-ext")
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE), one verbatim ANSI text
+    in both engines: an installment schedule that halves each sampled
+    order's balance until it drops under 10.00 — a bounded-depth
+    (~log2) iteration expressed declaratively. Spark executes the
+    recursion as iterated plan expansion (a UnionLoop of per-level
+    increments); each level is a filter+project over the previous
+    level's rows only, so the work per level SHRINKS — the same reason
+    the connected-components operator converges cheaply. Recursion in
+    pure SQL closes one of the last expressiveness gaps vs
+    warehouse-native engines."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SQL_BOTH)
+
+
+_LATERAL_SQL_BOTH = """
+SELECT c.c_custkey, l.o_orderkey, l.price_cents
+FROM customer c, LATERAL (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 1
+) l
+"""
+
+
+@query("sql_lateral_join", oracle=_LATERAL_SQL_BOTH, survey_id="B-32-ext")
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery, verbatim in both engines: each
+    customer's single most expensive order (ordered LIMIT 1 per outer
+    row — the SQL spelling of top-1-per-group). Catalyst decorrelates
+    the lateral into a window/aggregate + join rather than executing
+    per-row; the DataFrame twin is top_n_per_group's WindowGroupLimit
+    plan, so both SQL and DataFrame surfaces express the same top-k
+    without a per-customer loop anywhere."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL_BOTH)

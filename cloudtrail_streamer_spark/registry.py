@@ -121,8 +121,9 @@ _WINDOW_PRIORITY: list[str] = [
 # Round-4 rotation TODO (window was full this round): front-load
 # layout_zorder_buckets, win_retention_cohort, text_contamination_check,
 # sample_reservoir_weighted, sql_correlated_subquery, fn_string_advanced,
-# source_incremental_checkpoint — all registered and locally green in r3
-# but without driver rows yet — then back-fill with r1-r3-green ops.
+# source_incremental_checkpoint, sql_recursive_cte, sql_lateral_join,
+# agg_observe_metrics — all registered and locally green in r3 but
+# without driver rows yet — then back-fill with r1-r3-green ops.
 
 
 def _ordered() -> list["QuerySpec"]:
