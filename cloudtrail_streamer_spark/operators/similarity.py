@@ -696,3 +696,130 @@ def embed_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(F.when(F.col("p") == 1, F.col("m"))), 4).alias("c_first"),
         F.round(F.min(F.when(F.col("p") == 64, F.col("m"))), 4).alias("c_last"),
     )
+
+
+_IDX_ASSIGN_CTE = """
+c AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id < 16
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), d AS (
+  SELECT v.vec_id, v.e, c.centroid_id,
+         list_aggregate(
+           list_transform(v.e, (x, i) -> (x - c.ce[i]) * (x - c.ce[i])),
+           'sum') AS dist2
+  FROM v CROSS JOIN c
+), ranked AS (
+  SELECT vec_id, e, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(dist2, 6), centroid_id) AS rn
+  FROM d
+)
+"""
+
+_IDX_PRUNED_ORACLE = f"""
+WITH {_IDX_ASSIGN_CTE},
+index_t AS (
+  SELECT vec_id, e, centroid_id FROM ranked WHERE rn = 1
+), probe_cells AS (
+  SELECT vec_id AS probe_id, e AS pe, centroid_id
+  FROM ranked WHERE vec_id <= 9 AND rn <= 2
+), cand AS (
+  SELECT p.probe_id, p.pe, i.vec_id AS neighbor_id, i.e AS ne
+  FROM probe_cells p JOIN index_t i ON i.centroid_id = p.centroid_id
+  WHERE i.vec_id <> p.probe_id
+), scored AS (
+  SELECT probe_id, neighbor_id,
+         round(list_dot_product(pe, ne)
+               / (sqrt(list_dot_product(pe, pe))
+                  * sqrt(list_dot_product(ne, ne))), 4) AS score
+  FROM cand
+)
+SELECT probe_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT probe_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM (SELECT DISTINCT probe_id, neighbor_id, score FROM scored) u
+) t
+WHERE rn <= 3
+"""
+
+
+@query("sim_index_partition_pruned", oracle=_IDX_PRUNED_ORACLE, survey_id="north-star")
+def sim_index_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A PERSISTED vector index with physical partition pruning — the
+    piece that turns IVF from a query rewrite into storage layout: the
+    assignment (embed_ivf_assign) is written as parquet partitioned BY
+    centroid_id, and a probe reads only its nprobe=2 cells — the scan's
+    PartitionFilters skip every other directory, so probe cost is
+    |cells read| / |cells| of the index regardless of index size. The
+    probe's cell list is collected driver-side (tens of values — the
+    metadata-scale lookup every index traversal performs) and pushed as
+    a static IN filter. Scoring within the touched cells is the same
+    rounded-cosine + tiebreak machinery as sim_search_topk. At 100 TB
+    the index is exactly this layout (one directory per cell, file
+    stats inside) — queries touch GBs, not the TBs of the full table."""
+    import tempfile
+
+    em = table(spark, sf_dir, "embeddings")
+    assigned = embed_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    index_df = em.join(assigned, "vec_id")
+    idx_path = tempfile.mkdtemp(prefix="cts_ivf_idx_") + "/index"
+    index_df.write.partitionBy("centroid_id").mode("overwrite").parquet(idx_path)
+
+    # probe cells: each probe's nearest TWO centroids (nprobe=2), via the
+    # same rounded-dist ranking as the assignment
+    cent = em.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("ce"),
+    )
+    probes = em.where(F.col("vec_id") <= 9).select(
+        F.col("vec_id").alias("probe_id"), as_double(F.col("embedding")).alias("pe")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("pe", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("probe_id").orderBy(
+        F.round(F.col("dist2"), 6), "centroid_id"
+    )
+    probe_cells = (
+        probes.join(F.broadcast(cent))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= 2)
+        .select("probe_id", "pe", "centroid_id")
+    )
+    cells = sorted(
+        {r["centroid_id"] for r in probe_cells.select("centroid_id").collect()}
+    )  # metadata-scale (≤20 values): the index lookup's cell list
+
+    index_read = spark.read.parquet(idx_path).where(
+        F.col("centroid_id").isin(cells)  # -> PartitionFilters, dirs skipped
+    )
+    cand = (
+        index_read.select(
+            "centroid_id",
+            F.col("vec_id").alias("neighbor_id"),
+            as_double(F.col("embedding")).alias("ne"),
+        )
+        .join(probe_cells, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("pe"), F.col("ne")), 4).alias("score"),
+        )
+        .distinct()
+    )
+    w_top = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w_top).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", "score", "rn")
+    )

@@ -272,3 +272,61 @@ def sink_idempotent_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(before).cast("long").alias("n_delivered"),
         F.lit(after - before).cast("long").alias("retry_delta"),
     )
+
+
+_FANOUT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+       CAST(COUNT(*) AS BIGINT) AS n_parquet,
+       CAST(COUNT(*) AS BIGINT) AS n_spool
+FROM events
+"""
+
+
+@query("sink_fanout_dual", oracle=_FANOUT_ORACLE, survey_id="B-6-ext")
+def sink_fanout_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, TWO sinks from a single foreachBatch: each micro-batch
+    lands in the analytical store (partitioned parquet — the lake copy)
+    AND the operational spool (the Kinesis-stub forward — the reference's
+    job) without reading the source twice. This is the standard
+    lambda-architecture fanout; both writes happen inside the same batch
+    function, so the checkpoint advances only when both succeeded —
+    per-batch all-or-nothing without a distributed transaction. The
+    certificate row proves neither fork lost or duplicated records."""
+    import os
+
+    from cloudtrail_streamer_spark.streaming import harness
+
+    replay = harness.write_replay_files(spark, sf_dir)
+    stream = harness.read_replay_stream(spark, replay)
+    base = tempfile.mkdtemp(prefix="cts_fanout_")
+    lake = os.path.join(base, "lake")
+    spool = os.path.join(base, "spool")
+    payload = F.to_json(
+        F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+    def fanout(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("event_type").parquet(lake)
+        keyed = batch_df.select(
+            F.col("user_id").cast("string").alias("pk"), payload.alias("data")
+        )
+        deliver_partitions(keyed, spool, "cloudtrail-stream", batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(fanout)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cts_ckpt_fan_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    n_parquet = spark.read.parquet(lake).count()
+    n_spool = spark.read.json(spool).count()
+    src = table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    return src.select(
+        "n_source",
+        F.lit(n_parquet).cast("long").alias("n_parquet"),
+        F.lit(n_spool).cast("long").alias("n_spool"),
+    )

@@ -210,3 +210,15 @@ def test_pq_codebook_broadcasts_centroids(spark):
     big side must not shuffle for the assignment join."""
     tree = _tree(_plan(spark, "embed_pq_codebook"))
     assert "BroadcastHashJoin" in tree
+
+
+def test_vector_index_partition_pruning(spark):
+    """sim_index_partition_pruned: the probe's index scan must carry
+    PartitionFilters on centroid_id (directory-level pruning), and the
+    number of partitions read must be under the 16-cell total."""
+    plan = _plan(spark, "sim_index_partition_pruned")
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"centroid_id", plan.split("PartitionFilters", 1)[1][:200])
+    assert m, "pruning filter must be on the partition column"
