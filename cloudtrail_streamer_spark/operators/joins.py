@@ -377,3 +377,47 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(cents("o_totalprice")).cast("long").alias("total_cents"),
     )
+
+
+_NULL_SAFE_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey % 50 END AS k
+  FROM orders WHERE o_orderkey % 2 = 0
+), b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey % 50 END AS k
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT CASE WHEN a.k IS NULL THEN -1 ELSE a.k END AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+"""
+
+
+@query("join_null_safe", oracle=_NULL_SAFE_ORACLE, survey_id="B-10-ext")
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics CDC and
+    dimension lookups need when NULL is a legitimate key value (plain
+    equality silently drops every NULL row from an inner join). Spark
+    plans <=> as an ordinary hash join (null-safe keys still hash;
+    no BNLJ penalty); the per-key pair counts — including the NULL
+    bucket, reported as -1 — are hash-checked against DuckDB's
+    IS NOT DISTINCT FROM."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("ka")
+    )
+    b = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("kb")
+    )
+    j = a.join(b, a.ka.eqNullSafe(b.kb))
+    return j.groupBy(
+        F.coalesce(F.col("ka"), F.lit(-1)).alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))

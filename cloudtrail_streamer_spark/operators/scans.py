@@ -226,3 +226,62 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_with_status"),
         F.sum("price_cents").cast("long").alias("total_cents"),
     )
+
+
+_ROWGROUP_STATS_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, (o_orderkey * 2654435761) % 8 AS f
+  FROM orders
+)
+SELECT CAST(f AS BIGINT) AS file_bucket,
+       CAST(MIN(o_orderkey) AS BIGINT) AS stat_min,
+       CAST(MAX(o_orderkey) AS BIGINT) AS stat_max,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM b GROUP BY f
+"""
+
+
+@query("scan_rowgroup_stats", oracle=_ROWGROUP_STATS_ORACLE, survey_id="B-2-ext")
+def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer statistics, read from the ACTUAL file metadata:
+    orders are written as 8 hash-bucketed files; each file's row-group
+    min/max/row-count for o_orderkey is then read back from the parquet
+    FOOTERS via pyarrow (no data pages touched) and hash-checked against
+    the per-bucket aggregates DuckDB computes from the rows. This is the
+    machinery row-group skipping stands on — `scan_pruned`'s
+    PushedFilters only skip because these stats exist and are correct;
+    at 100 TB footer reads are the cheap planning path (KBs per file vs
+    GBs of data). Only file-level metadata crosses the driver — one
+    small row per file."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    bucketed = o.withColumn("file_bucket", (F.col("o_orderkey") * 2654435761) % 8)
+    out = os.path.join(tempfile.mkdtemp(prefix="cts_rgstats_"), "orders_bucketed")
+    bucketed.repartition("file_bucket").write.partitionBy("file_bucket").mode(
+        "overwrite"
+    ).parquet(out)
+
+    rows = []
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("file_bucket="):
+            continue
+        bucket = int(d.split("=", 1)[1])
+        mn, mx, n = None, None, 0
+        for fn in os.listdir(os.path.join(out, d)):
+            if not fn.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(out, d, fn)).metadata
+            for rg in range(meta.num_row_groups):
+                col = meta.row_group(rg).column(0)  # o_orderkey
+                st = col.statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+                n += meta.row_group(rg).num_rows
+        rows.append((bucket, int(mn), int(mx), int(n)))
+    return spark.createDataFrame(
+        rows, "file_bucket long, stat_min long, stat_max long, n_rows long"
+    )

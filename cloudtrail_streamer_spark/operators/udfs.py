@@ -217,3 +217,73 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arrow_price_cents,
         schema="o_orderkey long, price_cents long, bucket long",
     )
+
+
+_COGROUP_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id,
+       CAST(p.event_id AS BIGINT) AS purchase_id
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN
+     (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def _merge_asof_group(clicks_iter, purchases_iter):
+    """cogrouped-map kernel: per-user pandas merge_asof (latest purchase
+    at-or-before each click)."""
+    import pandas as pd
+
+    clicks = pd.concat(list(clicks_iter)) if not isinstance(clicks_iter, pd.DataFrame) else clicks_iter
+    purchases = pd.concat(list(purchases_iter)) if not isinstance(purchases_iter, pd.DataFrame) else purchases_iter
+    clicks = clicks.sort_values("ts", kind="mergesort")
+    purchases = purchases.sort_values("ts", kind="mergesort")
+    if len(purchases):
+        merged = pd.merge_asof(
+            clicks,
+            purchases.rename(columns={"event_id": "purchase_id"})[
+                ["ts", "purchase_id"]
+            ],
+            on="ts",
+            direction="backward",
+        )
+    else:
+        merged = clicks.assign(purchase_id=pd.array([None] * len(clicks), dtype="Int64"))
+    return pd.DataFrame(
+        {
+            "user_id": merged["user_id"],
+            "click_id": merged["event_id"],
+            "purchase_id": merged["purchase_id"].astype("Int64"),
+        }
+    )
+
+
+@query("udaf_cogrouped_asof", oracle=_COGROUP_ORACLE, survey_id="B-53-ext")
+def udaf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped pandas map — the remaining member of the pandas-API
+    family (scalar UDF, grouped agg, grouped map, mapInPandas,
+    mapInArrow, applyInPandasWithState are all covered elsewhere):
+    clicks and purchases are co-grouped BY USER and each pair of
+    per-user frames meets in one Python kernel running pandas
+    merge_asof — the per-key two-sided custom merge that has no single
+    built-in expression. Spark co-partitions both inputs on the key
+    (one shuffle each side) and streams matching groups through Arrow
+    together; memory is bounded by the largest single user's slice.
+    The oracle is DuckDB's native ASOF LEFT JOIN — the pandas kernel
+    must reproduce exact as-of semantics including no-purchase users
+    (NULL) and ties (at-or-before)."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            _merge_asof_group,
+            schema="user_id long, click_id long, purchase_id long",
+        )
+    )
