@@ -701,3 +701,82 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("train_doc").cast("long").alias("n_train_docs"),
         F.count_distinct("hv").cast("long").alias("n_shared_shingles"),
     )
+
+
+_PPL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+), vocab AS (
+  SELECT COUNT(DISTINCT tok)::DOUBLE AS v FROM toks
+), bi AS (
+  SELECT doc_id, tok AS w1, lead(tok) OVER w AS w2
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), bi_ok AS (
+  SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL
+), pair_n AS (
+  SELECT w1, w2, COUNT(*)::DOUBLE AS n_pair FROM bi_ok GROUP BY w1, w2
+), ctx_n AS (
+  SELECT w1, SUM(n_pair) AS n_ctx FROM pair_n GROUP BY w1
+), scored AS (
+  SELECT b.doc_id,
+         -log2((p.n_pair + 1) / (c.n_ctx + vocab.v)) AS bits
+  FROM bi_ok b
+  JOIN pair_n p ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN ctx_n c ON b.w1 = c.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(bits), 4) AS ppl_bits,
+       AVG(bits) < 9.0 AS keep_quality
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("text_perplexity_score", oracle=_PPL_ORACLE, survey_id="north-star")
+def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering — the standard statistical
+    filter of LLM training pipelines (docs a corpus LM finds surprising
+    are boilerplate/noise/foreign): an add-one-smoothed bigram LM is
+    trained ON the corpus itself (pair + context counts + vocabulary
+    size, all exact integers), then every document is scored with its
+    average per-bigram negative log2 probability and flagged against a
+    bits/bigram threshold. Train and score share one tokenize pass; the
+    score join is bigram→count equi-keyed (the LM table is
+    |vocab²|-bounded and broadcastable at any corpus size). Scores are
+    ratios of exact counts passed through log2 and averaged over a few
+    hundred terms — round(,4) sits ~10 orders above cross-engine libm
+    ulp noise."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "tok"),
+    )
+    vocab = toks.agg(F.count_distinct("tok").cast("double").alias("v"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    pair_n = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n_pair")
+    )
+    ctx_n = pair_n.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    bits = -F.log2((F.col("n_pair") + 1) / (F.col("n_ctx") + F.col("v")))
+    scored = (
+        bi.join(pair_n, ["w1", "w2"])
+        .join(ctx_n, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", bits.alias("bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("bits"), 4).alias("ppl_bits"),
+        (F.avg("bits") < 9.0).alias("keep_quality"),
+    )
