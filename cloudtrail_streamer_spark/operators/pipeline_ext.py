@@ -399,3 +399,62 @@ def layout_cluster_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+_DIM_ASOF_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, MIN(ts) AS valid_from,
+         MIN(event_id) AS first_event_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM seq GROUP BY user_id, event_type, island
+), dim AS (
+  SELECT user_id, event_type AS dim_state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, first_event_id)
+           AS valid_to
+  FROM runs
+), probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_id % 25 = 0
+)
+SELECT p.event_id, p.user_id, d.dim_state
+FROM probe p JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+"""
+
+
+@query("join_dim_snapshot_asof", oracle=_DIM_ASOF_ORACLE, survey_id="B-19-ext")
+def join_dim_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 version lookup — the join every dimensional warehouse
+    runs: a probe slice of events joined to the scd2_intervals history
+    ON user + event-time falling inside [valid_from, valid_to), open
+    intervals matching everything after their start. Composes the SCD2
+    build (itself hash-checked) with an interval predicate riding on
+    the user_id equi-key, so the plan is a hash join with a residual
+    range filter — never a BNLJ — and at 100 TB the dimension side
+    prunes by valid_from date partitioning. Exactly one version matches
+    per probe row by the disjointness of SCD2 intervals."""
+    dim = scd2_intervals(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("dim_state"),
+        "valid_from",
+        "valid_to",
+    )
+    probe = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 25 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    cond = (
+        (probe.user_id == dim.user_id)
+        & (probe.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (probe.ts < dim.valid_to))
+    )
+    return probe.join(dim, cond).select("event_id", probe.user_id, "dim_state")

@@ -780,3 +780,43 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("bits"), 4).alias("ppl_bits"),
         (F.avg("bits") < 9.0).alias("keep_quality"),
     )
+
+
+_HEAVY_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), total AS (
+  SELECT COUNT(*)::DOUBLE AS t FROM toks
+)
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(floor(COUNT(*) * 10000 / total.t) AS BIGINT) AS share_bp
+FROM toks, total
+GROUP BY tok, total.t
+HAVING COUNT(*) * 10000 / total.t >= 50
+"""
+
+
+@query("text_heavy_hitters", oracle=_HEAVY_ORACLE, survey_id="B-59-ext")
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-threshold frequent tokens: every token holding ≥ 0.5% of
+    corpus token mass, with its share in integer basis points — the
+    vocabulary-truncation / stopword-discovery step of LM preprocessing.
+    One explode + one keyed count; the corpus total arrives as a
+    broadcast 1-row aggregate (no collect), and the share is floor()ed
+    integer arithmetic so both engines agree exactly. At 100 TB the
+    exact form stays viable because the keyed count pre-reduces
+    map-side to |vocab| rows; the sketch alternative (count-min) is
+    only needed when vocab itself explodes (e.g. n-gram keys)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    j = counts.crossJoin(F.broadcast(total))
+    return j.where(F.col("n") * 10000 / F.col("t") >= 50).select(
+        "tok",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("n") * 10000 / F.col("t")).cast("long").alias("share_bp"),
+    )
