@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudtrail_streamer_spark.catalog import table
-from cloudtrail_streamer_spark.functions import dec
+from cloudtrail_streamer_spark.functions import cents, dec
 from cloudtrail_streamer_spark.registry import query
 
 _RANK_ORACLE = """
@@ -296,4 +296,57 @@ def win_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("funnel_stage"),
         )
+    )
+
+
+_MOVING_MEDIAN_ORACLE = """
+WITH w7 AS (
+  SELECT user_id, ts, event_id,
+         list_sort(list(CAST(round(value * 100, 0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(len(vals) AS BIGINT) AS n_window,
+       CAST(CASE WHEN len(vals) % 2 = 1
+                 THEN 2 * vals[(len(vals) + 1) // 2]
+                 ELSE vals[len(vals) // 2] + vals[len(vals) // 2 + 1]
+            END AS BIGINT) AS median2_cents
+FROM w7
+"""
+
+
+@query("win_median_moving", oracle=_MOVING_MEDIAN_ORACLE, survey_id="B-30-ext")
+def win_median_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT moving median over a 7-row frame per user — the robust
+    smoother percentile_approx can't give deterministically: the frame's
+    cents values are collected (bounded: ≤7 per row), sorted, and the
+    median read by index; emitted DOUBLED (2×median) so even-sized
+    frames stay in exact integer arithmetic instead of a .5 float.
+    Bounded-frame collect is the honest trade: the per-row state is
+    O(frame), never O(partition), so the operator scales with frame
+    size, not data size. Same (ts, event_id) total order in both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    vals = F.array_sort(F.collect_list(cents("value")).over(w))
+    n = F.size(vals)
+    median2 = (
+        F.when(
+            n % 2 == 1, 2 * F.element_at(vals, ((n + 1) / 2).cast("int"))
+        ).otherwise(
+            F.element_at(vals, (n / 2).cast("int"))
+            + F.element_at(vals, (n / 2 + 1).cast("int"))
+        )
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        n.cast("long").alias("n_window"),
+        median2.cast("long").alias("median2_cents"),
     )
