@@ -376,3 +376,36 @@ def fn_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
         F.ascii(F.col("p_name")).cast("long").alias("first_cp"),
     )
+
+
+_MASK_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_name,
+       substr(md5('pepper-2024' || c_name), 1, 16) AS name_token,
+       CAST(length(c_name) AS BIGINT) AS name_len
+FROM customer
+"""
+
+
+@query("fn_masking_governance", oracle=_MASK_ORACLE, survey_id="B-38-ext")
+def fn_masking_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance column protection, two standard forms in one
+    pass: format-preserving masking via the built-in mask() (uppercase →
+    X, lowercase → x, digit → n — shape survives for validation/joins
+    on structure) and deterministic peppered tokenization (md5 prefix of
+    pepper||value — the same input always maps to the same token, so
+    masked tables still join on identity without exposing it). Both are
+    codegen'd row-local expressions — zero shuffle, applied at scan time
+    in a real deployment's view layer. The oracle reproduces mask()'s
+    default character classes with regexp chains, verified identical."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_name"),
+        F.substring(
+            F.md5(F.concat(F.lit("pepper-2024"), F.col("c_name"))), 1, 16
+        ).alias("name_token"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )

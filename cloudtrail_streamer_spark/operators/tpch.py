@@ -298,3 +298,51 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL_BOTH)
+
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_cc
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type LIKE 'PROMO%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@query("tpch_q9_profit_shape", oracle=_Q9_ORACLE, survey_id="B-20-ext")
+def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped 5-table star pipeline: promo-part revenue by
+    supplier nation and order year. The deepest composite in the suite
+    — fact (lineitem) joined to orders, supplier, nation, and a
+    FILTERED part dim; the p_type predicate prunes the part side before
+    its join (scan-level pushdown), nation broadcasts, and supplier/
+    orders strategies are AQE-sized: at test scale they broadcast, at
+    100 TB they shuffle — the same code does the right thing at both.
+    Revenue stays in exact centi-cent integers end to end; the final
+    group is |nations| x |years| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    p = table(spark, sf_dir, "part").where(F.col("p_type").like("PROMO%")).select(
+        "p_partkey"
+    )
+    rev_cc = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(n, su.s_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev_cc).cast("long").alias("revenue_cc"))
+    )

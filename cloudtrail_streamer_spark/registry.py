@@ -125,7 +125,8 @@ _WINDOW_PRIORITY: list[str] = [
 # agg_observe_metrics, graph_pagerank_trade, sim_index_partition_pruned,
 # sink_fanout_dual, udaf_cogrouped_asof, join_null_safe,
 # scan_rowgroup_stats, text_perplexity_score, text_heavy_hitters,
-# join_dim_snapshot_asof, win_median_moving — all registered and locally green in r3 but
+# join_dim_snapshot_asof, win_median_moving, fn_masking_governance,
+# tpch_q9_profit_shape — all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 
 
