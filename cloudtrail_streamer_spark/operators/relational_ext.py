@@ -630,3 +630,65 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )
+
+
+_GAP_DETECT_ORACLE = """
+SELECT user_id, event_id,
+       CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+FROM (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+) t
+WHERE prev_ts IS NOT NULL
+  AND epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+"""
+
+
+@query("win_gap_detection", oracle=_GAP_DETECT_ORACLE, survey_id="B-29-ext")
+def win_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-outage detection: per-user silences longer than 6 hours,
+    emitted with exact microsecond durations — the monitoring twin of
+    sessionization (win_sessionize groups activity; this surfaces the
+    holes, which is what an on-call for the reference's CloudTrail feed
+    actually pages on). One lag window per user with the engine's
+    standard (ts, event_id) total order; gap arithmetic in integer
+    microseconds so the engines cannot disagree on a boundary."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", "event_id", gap_us.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 21600000000))
+        .select("user_id", "event_id", F.col("gap_us").cast("long").alias("gap_us"))
+    )
+
+
+_ERROR_RATE_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+       CAST(floor(COUNT(*) FILTER (WHERE event_type = 'error') * 10000.0
+                  / COUNT(*)) AS BIGINT) AS error_bp
+FROM events
+GROUP BY 1
+"""
+
+
+@query("agg_error_rate_daily", oracle=_ERROR_RATE_ORACLE, survey_id="A-11-ext")
+def agg_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational error-rate rollup: per day, total events, error
+    events, and the error share in integer basis points — the SLO
+    dashboard number for the feed the reference forwards (A-11's
+    metrics, aggregated rather than logged). One partial+final count
+    keyed by day; the share is floor()ed integer arithmetic so both
+    engines agree exactly at any volume."""
+    ev = table(spark, sf_dir, "events")
+    is_err = (F.col("event_type") == "error").cast("long")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(is_err).cast("long").alias("n_errors"),
+        F.floor(F.sum(is_err) * 10000.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("error_bp"),
+    )

@@ -126,7 +126,8 @@ _WINDOW_PRIORITY: list[str] = [
 # sink_fanout_dual, udaf_cogrouped_asof, join_null_safe,
 # scan_rowgroup_stats, text_perplexity_score, text_heavy_hitters,
 # join_dim_snapshot_asof, win_median_moving, fn_masking_governance,
-# tpch_q9_profit_shape — all registered and locally green in r3 but
+# tpch_q9_profit_shape, win_gap_detection, agg_error_rate_daily — all
+# registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 
 
