@@ -477,3 +477,90 @@ def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n"]), int(m["c"]), int(m["neg"]))],
         "observed_rows long, observed_cents long, observed_negative long",
     )
+
+
+_THETA_ORACLE = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS in_b
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+  GROUP BY user_id
+)
+SELECT
+  CAST(SUM(CASE WHEN in_a = 1 OR in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_union_exact,
+  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect_exact,
+  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_exact,
+  TRUE AS union_ok,
+  TRUE AS intersect_ok,
+  TRUE AS diff_ok
+FROM flags
+"""
+
+
+@query("agg_theta_sketch_setops", oracle=_THETA_ORACLE, survey_id="B-27-ext")
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches — distinct counting with SET ALGEBRA, the
+    capability HLL lacks: |A∪B|, |A∩B|, and |A\\\\B| of the purchasing vs
+    erroring user populations, each estimated from two independently
+    built sketches. At 100 TB the sketches are built once per
+    partition/day (mergeable, like agg_hll_union_sketch) and any
+    audience-overlap question is then answered sketch-side in O(k)
+    without rescanning either population — the standard Datasketches
+    pattern for audience/cohort overlap. The driver row is a
+    certificate: each estimate must land within max(5%, 2) of the exact
+    answer (theta sketches at default lgK=12 are exact below 4096
+    uniques, so locally these are equalities), with the exact counts
+    hash-checked against DuckDB."""
+    ev = table(spark, sf_dir, "events")
+    a_cond = F.col("event_type") == "purchase"
+    b_cond = F.col("event_type") == "error"
+    sk = ev.where(a_cond | b_cond).agg(
+        F.theta_sketch_agg(F.when(a_cond, F.col("user_id"))).alias("ska"),
+        F.theta_sketch_agg(F.when(b_cond, F.col("user_id"))).alias("skb"),
+    )
+    est = sk.select(
+        F.theta_sketch_estimate(F.theta_union(F.col("ska"), F.col("skb"))).alias("e_u"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("ska"), F.col("skb"))
+        ).alias("e_i"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("ska"), F.col("skb"))
+        ).alias("e_d"),
+    )
+    exact = (
+        ev.where(a_cond | b_cond)
+        .groupBy("user_id")
+        .agg(
+            F.max(a_cond.cast("int")).alias("in_a"),
+            F.max(b_cond.cast("int")).alias("in_b"),
+        )
+        .agg(
+            F.sum(((F.col("in_a") == 1) | (F.col("in_b") == 1)).cast("long"))
+            .cast("long")
+            .alias("n_union_exact"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long"))
+            .cast("long")
+            .alias("n_intersect_exact"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long"))
+            .cast("long")
+            .alias("n_diff_exact"),
+        )
+    )
+
+    def ok(est_col: str, exact_col: str):
+        tol = F.greatest(F.lit(2.0), 0.05 * F.col(exact_col))
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= tol
+
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "n_union_exact",
+            "n_intersect_exact",
+            "n_diff_exact",
+            ok("e_u", "n_union_exact").alias("union_ok"),
+            ok("e_i", "n_intersect_exact").alias("intersect_ok"),
+            ok("e_d", "n_diff_exact").alias("diff_ok"),
+        )
+    )

@@ -409,3 +409,82 @@ def fn_masking_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name_token"),
         F.length("c_name").cast("long").alias("name_len"),
     )
+
+
+_VARIANT_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+  CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+  json_extract_string(props, '$.k') AS k_str,
+  CAST(NULL AS BIGINT) AS k_missing,
+  CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL AS has_k
+FROM events
+"""
+
+
+@query("fn_variant_json", oracle=_VARIANT_ORACLE, survey_id="B-41-ext")
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type over the events ``props`` JSON column:
+    ``parse_json`` builds the binary variant encoding once, then typed
+    ``variant_get`` path extractions (bigint / double / string) read it
+    without re-parsing — the open-schema answer to the reference's
+    opaque ``json.RawMessage`` records (A-7): store the variant column
+    in parquet and every downstream query gets shredded, typed access
+    instead of per-query string parsing. ``try_variant_get`` on a
+    missing path yields NULL (never errors), mirroring the permissive
+    contract. At 100 TB the single-parse property is the point: the
+    variant bytes are written once at ingest; path reads are
+    column-pruned binary probes, not JSON string scans."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        F.variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+    )
+
+
+_COLLATION_ORACLE = """
+SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE lower(p_brand) END)
+         AS brand_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+FROM part
+GROUP BY 1
+"""
+
+
+@query("fn_collation_lcase", oracle=_COLLATION_ORACLE, survey_id="B-38-ext")
+def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support: grouping on a UTF8_LCASE-collated
+    column makes 'Brand#13' / 'BRAND#13' / 'brand#13' one group at the
+    COMPARISON level — no lower() rewrite of every predicate, and the
+    collation survives into joins/sorts on the same column. The input
+    deliberately mixes casing by parity of p_partkey; the emitted group
+    key is normalized via min(lower(...)) so the output (unlike the
+    collated grouping value, whose representative casing is
+    engine-internal) is deterministic and hash-checkable against the
+    DuckDB lower()-group equivalent. At scale, collation beats
+    expression-wrapped grouping because the optimizer still sees a bare
+    column — statistics, pruning, and bucketing on it remain usable."""
+    p = table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper(F.col("p_brand"))
+    ).otherwise(F.lower(F.col("p_brand")))
+    return (
+        p.select(
+            F.collate(mixed, "UTF8_LCASE").alias("brand_coll"),
+            "p_type",
+        )
+        .groupBy("brand_coll")
+        .agg(
+            F.min(F.lower(F.col("brand_coll"))).alias("brand_ci"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.count_distinct("p_type").cast("long").alias("n_types"),
+        )
+        .select("brand_ci", "n_parts", "n_types")
+    )

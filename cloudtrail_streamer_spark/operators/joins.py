@@ -421,3 +421,55 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.coalesce(F.col("ka"), F.lit(-1)).alias("k")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+_BLOOM_PREFILTER_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
+@query("join_bloom_prefilter", oracle=_BLOOM_PREFILTER_ORACLE, survey_id="B-10-ext")
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime membership pre-filtering ahead of a big join — the
+    hand-rolled form of Spark's runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.*): the filtered build side
+    (urgent orders, ~20% selectivity) is reduced to its distinct hash
+    buckets (xxhash64 mod 2^20 — a 1-hash bloom filter whose "bits" are
+    a broadcastable int set), the probe side (lineitem) is broadcast-
+    SEMI-joined on its own bucket BEFORE the real shuffle join, and only
+    survivors shuffle. False positives are harmless — the exact equi-join
+    that follows removes them — so the final result is exact (H-tier)
+    while the shuffle moves ~selectivity·|lineitem| rows instead of all
+    of them. At 100 TB this is the difference between shuffling 100 TB
+    and shuffling the 20 TB that can possibly match; the same shape
+    composes with DPP (join_dpp_partitioned) when the probe side is
+    partition-pruned too. Both hashes cast the key to LONG first so the
+    bucket function is identical on both sides."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    from cloudtrail_streamer_spark.functions import cents
+
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    m = 1 << 20
+    buckets = urgent.select(
+        F.pmod(F.xxhash64(F.col("o_orderkey").cast("long")), F.lit(m)).alias("bkt")
+    ).distinct()
+    probe = li.withColumn(
+        "bkt", F.pmod(F.xxhash64(F.col("l_orderkey").cast("long")), F.lit(m))
+    ).join(F.broadcast(buckets), "bkt", "left_semi")
+    return (
+        probe.join(urgent, probe.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(cents("l_extendedprice")).cast("long").alias("revenue_cents"),
+        )
+    )

@@ -458,3 +458,81 @@ def join_dim_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dim.valid_to.isNull() | (probe.ts < dim.valid_to))
     )
     return probe.join(dim, cond).select("event_id", probe.user_id, "dim_state")
+
+
+_PRETRAIN_E2E_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, text, lang, n_chars,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS BIGINT)
+           AS n_stop
+  FROM documents
+), dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+  FROM scored
+), kept AS (
+  SELECT doc_id, lang, n_chars, n_tokens,
+         ((doc_id & 2147483647) * 2654435761) % 100 AS b
+  FROM dedup
+  WHERE rn = 1
+    AND n_chars BETWEEN 20 AND 10000
+    AND n_tokens >= 5
+    AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+)
+SELECT CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM kept
+GROUP BY 1, 2
+"""
+
+
+@query("pipeline_pretrain_e2e", oracle=_PRETRAIN_E2E_ORACLE, survey_id="B-62-ext")
+def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pretraining-data funnel as ONE declarative plan:
+    quality gate (length bounds + stopword ratio) → exact dedup (min
+    doc_id per normalized-text md5) → leak-proof train/val/test split
+    (pure hash of doc_id — identical to split_train_val_test, so
+    documents can never migrate across splits on re-runs) → per
+    (split, lang) corpus accounting. This is the composition the
+    individual text_filter_quality / dedup_exact / split ops exist for;
+    expressing it as one DataFrame lets Catalyst fuse the whole funnel
+    into a single scan + one window shuffle + one agg shuffle — no
+    intermediate materialization, which is precisely the 100 TB shape
+    (three passes over a candidate corpus vs one). The doc_id_sum /
+    min_doc_id columns make the kept-set membership itself hash-checked,
+    not just its size."""
+    from cloudtrail_streamer_spark.operators.text import _STOPWORDS
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))).cast("long")
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    b = (F.col("doc_id").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761)) % 100
+    split = F.when(b < 96, "train").when(b < 98, "val").otherwise("test")
+    return (
+        d.select("doc_id", "text", "lang", "n_chars")
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("ratio", n_stop.cast("double") / F.col("n_tokens"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("rn") == 1)
+            & F.col("n_chars").between(20, 10000)
+            & (F.col("n_tokens") >= 5)
+            & (F.col("ratio") < 0.5)
+        )
+        .groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+    )

@@ -126,8 +126,9 @@ _WINDOW_PRIORITY: list[str] = [
 # sink_fanout_dual, udaf_cogrouped_asof, join_null_safe,
 # scan_rowgroup_stats, text_perplexity_score, text_heavy_hitters,
 # join_dim_snapshot_asof, win_median_moving, fn_masking_governance,
-# tpch_q9_profit_shape, win_gap_detection, agg_error_rate_daily — all
-# registered and locally green in r3 but
+# tpch_q9_profit_shape, win_gap_detection, agg_error_rate_daily,
+# fn_variant_json, agg_theta_sketch_setops, join_bloom_prefilter,
+# pipeline_pretrain_e2e, fn_collation_lcase — all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 
 

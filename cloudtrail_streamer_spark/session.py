@@ -52,6 +52,10 @@ BUILD_CONFS: dict[str, str] = {
     # inputs are tiny so this is moot, but keep the scale default.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
+    # Keep stage-progress \r spam out of captured stdout/stderr — the
+    # external bench driver keeps only the last 2000 bytes of output and
+    # parses the final JSON line.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

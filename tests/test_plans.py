@@ -222,3 +222,15 @@ def test_vector_index_partition_pruning(spark):
 
     m = re.search(r"centroid_id", plan.split("PartitionFilters", 1)[1][:200])
     assert m, "pruning filter must be on the partition column"
+
+
+def test_bloom_prefilter_semi_before_shuffle_join(spark):
+    """join_bloom_prefilter: the bucket membership filter must be a
+    broadcast SEMI join (probe side never shuffles for the prefilter),
+    and the exact equi-join must still be present after it."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    assert "LeftSemi" in plan, "bucket prefilter must plan as a semi join"
+    semi_pos = plan.index("LeftSemi")
+    assert "BroadcastHashJoin" in plan[: semi_pos + 200] or "Broadcast" in plan, plan
+    # the real join on l_orderkey = o_orderkey survives downstream
+    assert plan.count("Join") >= 2 or plan.count("HashJoin") >= 2
