@@ -488,3 +488,42 @@ def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("brand_ci", "n_parts", "n_types")
     )
+
+
+_TRY_ARITH_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(round(o_totalprice * 100, 0) AS BIGINT) / NULLIF(o_orderkey % 7, 0)
+    AS safe_div,
+  TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN '42' ELSE o_orderstatus END
+           AS BIGINT) AS safe_parse,
+  ([10, 20, 30])[CAST(o_orderkey % 5 + 2 AS INTEGER)] AS safe_elem
+FROM orders
+"""
+
+
+@query("fn_try_arithmetic", oracle=_TRY_ARITH_ORACLE, survey_id="B-40-ext")
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface (try_divide / try_cast /
+    try_element_at): malformed or out-of-domain inputs yield NULL
+    instead of failing the job — the per-ROW version of the per-record
+    quarantine in source_corrupt_records, and the right default for
+    100 TB batch jobs where one bad row must not kill a 10-hour run.
+    Division by zero, an unparseable string, and an out-of-bounds
+    element access (indices 2..6 over a 3-element 1-based array) all map to
+    NULL identically in DuckDB (NULLIF guard / TRY_CAST / DuckDB's
+    NULL-on-out-of-range list index)."""
+    o = table(spark, sf_dir, "orders")
+    arr = F.array(F.lit(10).cast("long"), F.lit(20), F.lit(30))
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            cents("o_totalprice").cast("double"),
+            (F.col("o_orderkey") % 7).cast("double"),
+        ).alias("safe_div"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("42"))
+        .otherwise(F.col("o_orderstatus"))
+        .try_cast("long")
+        .alias("safe_parse"),
+        F.try_element_at(arr, ((F.col("o_orderkey") % 5) + 2).cast("int")).alias("safe_elem"),
+    )

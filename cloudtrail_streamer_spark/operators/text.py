@@ -820,3 +820,79 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.floor(F.col("n") * 10000 / F.col("t")).cast("long").alias("share_bp"),
     )
+
+
+_BM25_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+         string_split(lower(text), ' ') AS toks
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM docs
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+  WHERE term IN ('join', 'vector', 'stream')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(SUM(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * 2.2
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ), 4) AS bm25
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25
+FROM scored
+QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 20
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE, survey_id="B-60-ext")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Okapi, k1=1.2, b=0.75) for a fixed
+    3-term query — the lexical-search scoring the tfidf op builds
+    toward, and the retrieval half of a RAG data pipeline. Plan shape:
+    the term filter lands immediately after the explode so only
+    query-term postings aggregate (at 100 TB with an inverted layout
+    this is the posting-list read); df is a |query| -row broadcast;
+    N/avgdl arrive via a broadcast 1-row aggregate — no collect. Scores
+    are rounded to 4 dp BEFORE ranking on (score, doc_id) so the top-20
+    cut is identical across engines (§5.3 rules 2/3)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    docs = d.select("doc_id", F.size(toks).cast("long").alias("dl"), toks.alias("toks"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin("join", "vector", "stream"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "bm25")
+    )

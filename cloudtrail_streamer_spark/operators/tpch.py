@@ -346,3 +346,65 @@ def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(rev_cc).cast("long").alias("revenue_cc"))
     )
+
+
+_Q10_ORACLE = """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS revenue,
+  CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+  n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("tpch_q10_returned_items", oracle=_Q10_ORACLE, survey_id="B-10-ext")
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): a quarter of orders ⋈
+    their returned lineitems ⋈ customer ⋈ nation, revenue-ranked top-20
+    customers. The two selective filters (order date range, returnflag)
+    push below the joins, so at 100 TB the fact-fact join shuffles only
+    the filtered quarter; nation broadcasts; customer joins AFTER the
+    order/lineitem reduction so the wide dimension meets an already-
+    small aggregate input. Money in integer cents (§5.3 rule 2), top-k
+    total-ordered by (revenue desc, c_custkey)."""
+    from cloudtrail_streamer_spark.functions import cents
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            cents("c_acctbal").cast("long").alias("acctbal_cents"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
