@@ -896,3 +896,77 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "bm25")
     )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+  FROM t
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_frac,
+       round(CAST(list_max(list_transform(list_distinct(bg),
+                   x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+             / len(bg), 4) AS top_bigram_frac,
+       (CAST(n_distinct AS DOUBLE) / n_tokens >= 0.2
+        AND CAST(list_max(list_transform(list_distinct(bg),
+                  x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+            / len(bg) <= 0.2) AS passes
+FROM b
+WHERE len(bg) > 0
+"""
+
+
+@query("text_repetition_filter", oracle=_REPETITION_ORACLE, survey_id="B-62-ext")
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style intra-document repetition signals:
+    distinct-token fraction and most-frequent-bigram mass per document,
+    with the pass/fail gate (distinct ≥ 0.2, top-bigram ≤ 0.2) the
+    quality pipelines threshold on. Everything is ROW-LOCAL higher-order
+    array algebra (transform/filter/array_distinct over the token list)
+    — zero shuffle, embarrassingly parallel, which is why these filters
+    are cheap enough to run over a full 100 TB crawl before any
+    corpus-level op. The O(distinct·n) per-row bigram count is bounded
+    by document length, not corpus size. Fractions are rounded to 4 dp
+    in both engines before the comparison (§5.3 rule 2)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), F.col("n_tokens") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("toks"), i.cast("int")),
+            F.lit(" "),
+            F.element_at(F.col("toks"), (i + 1).cast("int")),
+        ),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bg")),
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    ).cast("double")
+    dfrac = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    bfrac = top / F.size(F.col("bg"))
+    return (
+        base.withColumn("bg", bg)
+        .where(F.size(F.col("bg")) > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(dfrac, 4).alias("distinct_frac"),
+            F.round(bfrac, 4).alias("top_bigram_frac"),
+            ((dfrac >= 0.2) & (bfrac <= 0.2)).alias("passes"),
+        )
+    )

@@ -408,3 +408,108 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", oracle=_Q4_ORACLE, survey_id="B-14-ext")
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter
+    having AT LEAST ONE late-shipped lineitem (ship > order + 60 days),
+    counted per priority. The correlated EXISTS becomes a LEFT SEMI
+    join with the non-equi ship-lag predicate as a join residual —
+    Catalyst's RewritePredicateSubquery shape, written directly here.
+    Semi-join semantics are the point at 100 TB: each order emits at
+    most once no matter how many lineitems match, and the probe stream
+    short-circuits on first match — strictly less work than
+    join+distinct. The date filter lands on the orders scan
+    (PushedFilters), so only one quarter of orders shuffles."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+_Q19_ORACLE = """
+SELECT
+  CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@query("tpch_q19_disjunctive", oracle=_Q19_ORACLE, survey_id="B-8-ext")
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR-of-ANDs mixing build-side (brand, size) and probe-side
+    (quantity) conditions over an equi-join. The optimizer-relevant
+    property: Catalyst derives the single-side implications of the
+    disjunction — part rows must satisfy (brand∈{13,20,7} AND the size
+    envelope), lineitem rows the quantity envelope — and pushes those
+    derived filters below the join into both scans, while the full
+    disjunction stays as the join residual. At 100 TB that derived
+    pushdown is the difference between joining every lineitem and
+    joining the ~envelope fraction; the residual then prunes exactly.
+    Written as one declarative filter over the join — no manual
+    split — precisely to demonstrate the optimizer doing it."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    from cloudtrail_streamer_spark.functions import cents
+
+    j = li.join(p, p.p_partkey == li.l_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 20)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(20, 50)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 40)
+    )
+    rev = cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    return j.where(c1 | c2 | c3).agg(
+        (F.sum(rev).cast("double") / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )

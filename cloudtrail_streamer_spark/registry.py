@@ -129,7 +129,9 @@ _WINDOW_PRIORITY: list[str] = [
 # tpch_q9_profit_shape, win_gap_detection, agg_error_rate_daily,
 # fn_variant_json, agg_theta_sketch_setops, join_bloom_prefilter,
 # pipeline_pretrain_e2e, fn_collation_lcase, text_bm25_topk,
-# fn_try_arithmetic, tpch_q10_returned_items — all registered and locally green in r3 but
+# fn_try_arithmetic, tpch_q10_returned_items, tpch_q4_order_priority,
+# tpch_q19_disjunctive, text_repetition_filter, sim_search_arrow_kernel —
+# all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 
 

@@ -234,3 +234,26 @@ def test_bloom_prefilter_semi_before_shuffle_join(spark):
     assert "BroadcastHashJoin" in plan[: semi_pos + 200] or "Broadcast" in plan, plan
     # the real join on l_orderkey = o_orderkey survives downstream
     assert plan.count("Join") >= 2 or plan.count("HashJoin") >= 2
+
+
+def test_q19_disjunctive_derived_pushdown(spark):
+    """tpch_q19_disjunctive: Catalyst must derive the single-side
+    implications of the OR-of-ANDs and push them into BOTH parquet
+    scans (brand/size envelope on part, quantity envelope on lineitem)
+    while keeping the full disjunction as the join residual."""
+    plan = _plan(spark, "tpch_q19_disjunctive")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
+
+
+def test_q4_semi_join_with_residual(spark):
+    """tpch_q4_order_priority: correlated-EXISTS shape must plan as a
+    LEFT SEMI join and the quarter filter must reach the orders scan."""
+    plan = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert any(
+        "o_orderdate" in l and "GreaterThanOrEqual" in l
+        for l in plan.splitlines()
+        if "PushedFilters" in l
+    )
