@@ -536,3 +536,50 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("doc_id_sum"),
         )
     )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med,
+         median(abs(e.value - m.med)) OVER (PARTITION BY e.event_type) AS mad
+  FROM events e JOIN med m USING (event_type)
+)
+SELECT event_type,
+       round(MIN(med), 4) AS med,
+       round(MIN(mad), 4) AS mad,
+       CAST(COALESCE(SUM(CASE WHEN abs(value - med) > 4.4478 * mad
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM dev
+GROUP BY event_type
+"""
+
+
+@query("agg_outlier_mad", oracle=_MAD_ORACLE, survey_id="B-25-ext")
+def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    companion to agg_outlier_zscore for heavy-tailed feeds, where mean/
+    stddev are themselves dragged by the outliers they should flag
+    (median and MAD have a 50% breakdown point; the z-score pair, 0%).
+    Threshold |x − med| > 3·1.4826·MAD (the normal-consistency constant,
+    folded to 4.4478). Exact medians via the percentile aggregate —
+    both engines sort the same doubles and interpolate with exact-in-
+    IEEE 0.5 weights, so the medians are bit-identical. Two passes:
+    per-group median, then a window for the deviation median — same
+    grouped-shuffle shape twice, no collect. At 100 TB swap the exact
+    median for percentile_approx (B-27) — the code shape is unchanged."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    w = Window.partitionBy("event_type")
+    dev = ev.join(med, "event_type").withColumn(
+        "mad", F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).over(w)
+    )
+    is_out = F.abs(F.col("value") - F.col("med")) > 4.4478 * F.col("mad")
+    return dev.groupBy("event_type").agg(
+        F.round(F.min("med"), 4).alias("med"),
+        F.round(F.min("mad"), 4).alias("mad"),
+        F.coalesce(F.sum(is_out.cast("long")), F.lit(0)).cast("long").alias("n_outliers"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

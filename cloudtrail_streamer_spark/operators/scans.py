@@ -285,3 +285,37 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "file_bucket long, stat_min long, stat_max long, n_rows long"
     )
+
+
+_FILE_META_ORACLE = """
+SELECT parse_filename(filename) AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM read_parquet('__SF_DIR__/orders.parquet', filename=true)
+GROUP BY 1
+"""
+
+
+@query(
+    "scan_file_metadata",
+    oracle=_FILE_META_ORACLE.replace("__SF_DIR__", "/root/testdata/sf0.01"),
+    survey_id="B-1-ext",
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-level lineage via the hidden ``_metadata`` struct: every row
+    carries the file it came from (name, size, mod time) with NO user
+    bookkeeping — the provenance primitive for 100 TB debugging ("which
+    ingest file produced this bad row?") and for file-granular
+    reprocessing/compaction decisions. Constant-folded at scan time
+    (the values come from the file listing, not the data), so it adds
+    no I/O. Here: per-file row counts + key checksum, hash-checked
+    against DuckDB's filename=true scan of the same parquet. The oracle
+    pins sf0.01 (the driver's correctness scale) because the file PATH
+    is part of the query's meaning."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return df.select(
+        F.col("_metadata.file_name").alias("file_name"), F.col("o_orderkey")
+    ).groupBy("file_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

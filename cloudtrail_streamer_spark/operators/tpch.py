@@ -513,3 +513,73 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(rev).cast("double") / 10000.0).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+_GROUP_BY_ALL_BOTH = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GROUP_BY_ALL_BOTH, survey_id="B-20-ext")
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics SQL sugar
+    (DuckDB-originated, adopted by Spark 4): every non-aggregate select
+    item becomes a grouping key, and the result orders by the full
+    select list. One verbatim ANSI text in both engines (the
+    sql_tpch_q1 pattern), so the dialect claim is proven, not asserted;
+    the resolved plan is the ordinary partial+final hash aggregate."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_BOTH)
+
+
+_Q14_ORACLE = """
+SELECT
+  round(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+        THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+        ELSE 0 END)
+    / SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+          * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))), 4)
+    AS promo_revenue_pct,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+@query("tpch_q14_promo_effect", oracle=_Q14_ORACLE, survey_id="B-20-ext")
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional aggregation over
+    a fact-dim join — the numerator is a CASE branch of the same sum,
+    so one pass computes both. The month filter pushes to the lineitem
+    scan; part joins only the month's partkeys. Ratio math: both sums
+    in exact integer cents, ONE final double division rounded to 4 dp
+    (§5.3 rule 2 — never sum doubles, divide once)."""
+    from cloudtrail_streamer_spark.functions import cents
+
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )

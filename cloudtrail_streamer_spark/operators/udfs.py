@@ -287,3 +287,24 @@ def udaf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, click_id long, purchase_id long",
         )
     )
+
+
+@query("udf_arrow_scalar", oracle=_UDF_ORACLE, survey_id="B-51-ext")
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-OPTIMIZED scalar Python UDF (useArrow=True): the
+    author writes the same one-value-at-a-time function as B-51, but
+    the boundary serializes whole Arrow batches instead of pickled rows
+    — the row-UDF ergonomics with most of the pandas-UDF transfer cost
+    removed. Same ARN-parse logic and the same oracle as the other two
+    UDF variants, so all three boundary modes (pickled row, Arrow
+    scalar, pandas batch) are proven value-identical on one contract."""
+    import re
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def parse_arrow(arn: str) -> int | None:
+        m = re.search(r"arn:aws:iam::(\d{12}):", arn)
+        return int(m.group(1)) if m else None
+
+    o = table(spark, sf_dir, "orders")
+    arn = F.expr(_ARN_SPARK).alias("arn")
+    return o.select("o_orderkey", arn).withColumn("account_id", parse_arrow(F.col("arn")))
