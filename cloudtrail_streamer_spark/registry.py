@@ -132,7 +132,7 @@ _WINDOW_PRIORITY: list[str] = [
 # fn_try_arithmetic, tpch_q10_returned_items, tpch_q4_order_priority,
 # tpch_q19_disjunctive, text_repetition_filter, sim_search_arrow_kernel,
 # sql_group_by_all, tpch_q14_promo_effect, scan_file_metadata,
-# agg_outlier_mad, udf_arrow_scalar —
+# agg_outlier_mad, udf_arrow_scalar, layout_compact_small_files —
 # all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 

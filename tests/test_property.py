@@ -117,3 +117,64 @@ def test_media_header_roundtrip_property():
 
     image_prop()
     wav_prop()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bloom_prefilter_equals_plain_join(spark, seed):
+    """join_bloom_prefilter's invariant: the hash-bucket semi-join
+    prefilter admits false positives but never false negatives, so
+    prefilter + exact join == plain join for ANY build-side filter.
+    Random keyed tables, tiny bucket space (64) to force heavy false
+    positives — the exact join must still remove every one."""
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 500, 3000).astype("int64"),
+            "v": rng.integers(0, 100, 3000).astype("int64"),
+        }
+    )
+    right = pd.DataFrame({"k": rng.choice(500, 40, replace=False).astype("int64")})
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    m = 64  # deliberately tiny => dense false positives
+    buckets = sr.select(
+        F.pmod(F.xxhash64(F.col("k").cast("long")), F.lit(m)).alias("bkt")
+    ).distinct()
+    pre = (
+        sl.withColumn("bkt", F.pmod(F.xxhash64(F.col("k").cast("long")), F.lit(m)))
+        .join(F.broadcast(buckets), "bkt", "left_semi")
+        .drop("bkt")
+    )
+    got = (
+        pre.join(sr, "k")
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    want = (
+        sl.join(sr, "k")
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    assert_frames_match(got, want, "bloom_prefilter_equivalence")
+
+
+def test_theta_sketch_exact_below_capacity(spark):
+    """agg_theta_sketch_setops relies on theta sketches being EXACT in
+    exact mode (below ~4096 retained hashes at default lgK=12). Pin
+    that: union/intersection/difference estimates over two 1500-element
+    integer sets equal the true set-algebra counts exactly."""
+    a = spark.range(0, 1500).select(F.col("id").alias("x"))
+    b = spark.range(1000, 2500).select(F.col("id").alias("x"))
+    ska = a.agg(F.theta_sketch_agg("x").alias("s"))
+    skb = b.agg(F.theta_sketch_agg("x").alias("s"))
+    row = (
+        ska.crossJoin(skb.withColumnRenamed("s", "t"))
+        .select(
+            F.theta_sketch_estimate(F.theta_union("s", "t")).alias("u"),
+            F.theta_sketch_estimate(F.theta_intersection("s", "t")).alias("i"),
+            F.theta_sketch_estimate(F.theta_difference("s", "t")).alias("d"),
+        )
+        .collect()[0]
+    )
+    assert (row.u, row.i, row.d) == (2500, 500, 1000)
