@@ -13,6 +13,7 @@ from cloudtrail_streamer_spark.operators import (  # noqa: F401
     similarity,
     sorts_sets,
     tpch,
+    tpch2,
     text,
     udfs,
     windows,

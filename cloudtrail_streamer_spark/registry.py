@@ -132,7 +132,13 @@ _WINDOW_PRIORITY: list[str] = [
 # fn_try_arithmetic, tpch_q10_returned_items, tpch_q4_order_priority,
 # tpch_q19_disjunctive, text_repetition_filter, sim_search_arrow_kernel,
 # sql_group_by_all, tpch_q14_promo_effect, scan_file_metadata,
-# agg_outlier_mad, udf_arrow_scalar, layout_compact_small_files —
+# agg_outlier_mad, udf_arrow_scalar, layout_compact_small_files,
+# tpch_q2_min_cost_supplier, tpch_q6_forecast_revenue,
+# tpch_q7_volume_shipping, tpch_q8_market_share, tpch_q11_important_stock,
+# tpch_q12_late_shipments, tpch_q13_order_distribution,
+# tpch_q15_top_supplier, tpch_q16_supplier_part_counts,
+# tpch_q17_small_qty_revenue, tpch_q20_promo_part_suppliers,
+# tpch_q21_suppliers_waiting, tpch_q22_dormant_customers —
 # all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 

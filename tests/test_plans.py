@@ -257,3 +257,63 @@ def test_q4_semi_join_with_residual(spark):
         for l in plan.splitlines()
         if "PushedFilters" in l
     )
+
+
+def test_q6_all_predicates_pushed(spark):
+    """tpch_q6: the shipdate range must reach the parquet scan as
+    PushedFilters and ReadSchema must carry only the 4 referenced
+    columns — the scan-bound query's whole 100 TB story."""
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l and "GreaterThanOrEqual" in l for l in pushed), pushed
+    assert any("l_quantity" in l and "LessThan" in l for l in pushed), pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q2_correlated_min_is_one_window_pass(spark):
+    """tpch_q2: the per-part MIN qualification must plan as a single
+    Window over ONE scan of the offers aggregate — not a self-join
+    rescan (which would be O(parts·scan) at 100 TB)."""
+    tree = _nodes(spark, "tpch_q2_min_cost_supplier")
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Scan parquet") <= 5, "each base table scanned once"
+    assert "TakeOrderedAndProject" in tree, "top-20 must not global-sort"
+
+
+def test_q17_window_rewrite_no_rescan(spark):
+    """tpch_q17: the correlated AVG subquery is a window over the
+    brand-filtered lineitem — lineitem must be scanned exactly once and
+    the brand filter must broadcast-semi into it before the window."""
+    tree = _nodes(spark, "tpch_q17_small_qty_revenue")
+    assert tree.count("Scan parquet") == 2, tree  # lineitem once + part once
+    assert tree.count("Window") == 1, tree
+
+
+def test_q21_single_window_pass_over_order_groups(spark):
+    """tpch_q21: the EXISTS/NOT-EXISTS pair is rewritten to window
+    aggregates over one orderkey partition — no second lineitem scan,
+    no self-join of the fact."""
+    tree = _nodes(spark, "tpch_q21_suppliers_waiting")
+    assert tree.count("Scan parquet") == 3, tree  # lineitem, orders, supplier
+    assert "CartesianProduct" not in tree
+
+
+def test_q22_anti_join_and_broadcast_threshold(spark):
+    """tpch_q22: the dormancy check must plan as LeftAnti on the
+    date-pruned orders slice, and the scalar threshold must broadcast
+    (a 1-row BroadcastExchange), never a shuffle."""
+    plan = _plan(spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "GreaterThanOrEqual" in l for l in pushed), pushed
+
+
+def test_q16_distinct_agg_two_phase(spark):
+    """tpch_q16: COUNT(DISTINCT suppkey) must plan as the expand/two-
+    phase distinct aggregate (partial dedup map-side), and part must be
+    the broadcast build side."""
+    tree = _nodes(spark, "tpch_q16_supplier_part_counts")
+    assert tree.count("HashAggregate") >= 3, "two-phase distinct agg expected"
+    assert "BroadcastHashJoin" in tree
