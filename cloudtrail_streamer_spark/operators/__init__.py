@@ -3,6 +3,7 @@
 from cloudtrail_streamer_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
+    engine_ext,
     functions_ops,
     joins,
     multimodal,

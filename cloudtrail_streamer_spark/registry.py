@@ -138,7 +138,16 @@ _WINDOW_PRIORITY: list[str] = [
 # tpch_q12_late_shipments, tpch_q13_order_distribution,
 # tpch_q15_top_supplier, tpch_q16_supplier_part_counts,
 # tpch_q17_small_qty_revenue, tpch_q20_promo_part_suppliers,
-# tpch_q21_suppliers_waiting, tpch_q22_dormant_customers —
+# tpch_q21_suppliers_waiting, tpch_q22_dormant_customers,
+# mv_incremental_refresh, join_fuzzy_symdelete,
+# events_interpolate_linear, text_encode_ids,
+# sink_dynamic_partition_overwrite, sql_not_in_nulls, agg_regression_ols,
+# agg_entropy_peruser, stream_join_static, win_streak_longest,
+# join_asof_tolerance, agg_bitmap_distinct, embed_matryoshka_recall,
+# graph_triangle_count, dq_constraint_suite, agg_moments_exact,
+# fn_timezone_convert, dedup_semantic_ivf, agg_gini_coefficient,
+# win_running_distinct, win_percent_change_yoy, text_pmi_bigrams,
+# events_cusum_changepoint, sql_distinct_on_first, stream_cascade_agg —
 # all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 

@@ -391,3 +391,100 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_user")
     )
 
+
+
+def _event_weight_dim(spark: SparkSession) -> DataFrame:
+    """5-row static dimension: event_type → integer weight (broadcast)."""
+    return spark.createDataFrame(
+        [("click", 1), ("view", 1), ("signup", 5), ("purchase", 10), ("error", 0)],
+        "event_type string, weight long",
+    )
+
+
+def enriched_daily_weights(df: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: per-day weighted event score.
+
+    Works identically on a batch or streaming ``df`` — Spark joins each
+    micro-batch against the static side with the same broadcast plan.
+    """
+    return (
+        df.join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("weight").alias("score"),
+        )
+        .select(F.col("w.start").alias("day_start"), "event_type", "n", "score")
+    )
+
+
+_STATIC_JOIN_ORACLE = """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start, event_type,
+       COUNT(*) AS n,
+       CAST(COUNT(*) * CASE event_type
+         WHEN 'click' THEN 1 WHEN 'view' THEN 1 WHEN 'signup' THEN 5
+         WHEN 'purchase' THEN 10 ELSE 0 END AS BIGINT) AS score
+FROM events
+GROUP BY 1, 2
+ORDER BY day_start, event_type
+"""
+
+
+@query("stream_join_static", oracle=_STATIC_JOIN_ORACLE, survey_id="B-45-ext")
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — in-flight dimension enrichment, the most
+    common streaming join in practice (events × reference data). The
+    static side broadcasts into EVERY micro-batch with no state: unlike
+    stream-stream joins there is no watermark bookkeeping, so at 100 TB
+    /day the operator's state is just the windowed aggregate. Weights
+    are integers → the per-window score is exact. Batch/stream
+    equivalence of this exact transformation is asserted in
+    tests/test_streaming.py over the replay harness."""
+    return enriched_daily_weights(
+        table(spark, sf_dir, "events"), _event_weight_dim(spark)
+    ).orderBy("day_start", "event_type")
+
+
+def daily_user_counts(df: DataFrame) -> DataFrame:
+    """Level 1 of the cascade: events → per (user, day) counts."""
+    return df.groupBy(
+        "user_id", F.window("ts", "1 day").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def activity_histogram(level1: DataFrame) -> DataFrame:
+    """Level 2: distribution of daily activity (histogram of counts)."""
+    return (
+        level1.groupBy(F.col("n").alias("daily_events"))
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy("daily_events")
+    )
+
+
+_CASCADE_ORACLE = """
+WITH level1 AS (
+  SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT n AS daily_events, COUNT(*) AS n_user_days
+FROM level1 GROUP BY n
+ORDER BY daily_events
+"""
+
+
+@query("stream_cascade_agg", oracle=_CASCADE_ORACLE, survey_id="B-50-ext")
+def stream_cascade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded (two-level) aggregation: per-(user, day) counts, then a
+    histogram of those counts. Structured Streaming forbids stacking a
+    second stateful aggregate on a streaming aggregate in one query —
+    the supported pattern is foreachBatch: level 1 runs as the
+    streaming query, each micro-batch upserts its keyed state, and
+    level 2 derives from the maintained level-1 table (exactly what
+    tests/test_streaming.py::test_cascade_foreachbatch_equivalence
+    drives over the replay harness). The registered query computes the
+    same cascade in batch mode — identical DataFrame code, which is the
+    point: the cascade's semantics live in the shared fns, the
+    execution mode in the harness. At scale level 1's state is
+    |users|·|days| keys (watermark-bounded); level 2 is spine-sized."""
+    lvl1 = daily_user_counts(table(spark, sf_dir, "events"))
+    return activity_histogram(lvl1)

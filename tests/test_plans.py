@@ -317,3 +317,71 @@ def test_q16_distinct_agg_two_phase(spark):
     tree = _nodes(spark, "tpch_q16_supplier_part_counts")
     assert tree.count("HashAggregate") >= 3, "two-phase distinct agg expected"
     assert "BroadcastHashJoin" in tree
+
+
+def test_fuzzy_symdelete_is_equi_join(spark):
+    """join_fuzzy_symdelete: the deletion-neighborhood block must plan
+    as a hash equi-join on the variant key — never a cartesian/BNLJ
+    (the all-pairs form lives only in the oracle)."""
+    tree = _nodes(spark, "join_fuzzy_symdelete")
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
+    assert "Join" in tree
+
+
+def test_interpolate_windows_over_spine_not_fact(spark):
+    """events_interpolate_linear: the fact must collapse to hourly
+    counts BEFORE any window — the windowed input is spine-sized. The
+    aggregate must appear below the windows in the plan."""
+    tree = _nodes(spark, "events_interpolate_linear")
+    assert tree.count("Window") >= 1
+    assert "HashAggregate" in tree
+
+
+def test_mv_refresh_never_rescans_base(spark):
+    """mv_incremental_refresh: exactly two base scans (MV half + delta
+    half of the demonstration split) feeding partial aggregates; the
+    merge is an agg over their union, not a third scan."""
+    tree = _nodes(spark, "mv_incremental_refresh")
+    assert tree.count("Scan parquet") == 2, tree
+
+
+def test_asof_tolerance_single_window_no_lateral(spark):
+    """join_asof_tolerance: the correlated LATERAL of the oracle must
+    not appear — one scan of events, one window, no join node at all."""
+    tree = _nodes(spark, "join_asof_tolerance")
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, "as-of must be a window carry-forward, not a join"
+
+
+def test_bitmap_distinct_no_expand(spark):
+    """agg_bitmap_distinct: the bitmap leg must aggregate bit_or longs
+    (plain partial+final agg); only the certificate leg may use the
+    distinct-aggregate Expand."""
+    tree = _nodes(spark, "agg_bitmap_distinct")
+    assert "HashAggregate" in tree
+    assert tree.count("Expand") <= 1, tree
+
+
+def test_streak_collapses_fact_before_window(spark):
+    """win_streak_longest: the distinct-day aggregate must sit below
+    the row_number window, so the window input is calendar-bounded."""
+    tree = _nodes(spark, "win_streak_longest")
+    assert tree.count("Window") == 1
+    assert "HashAggregate" in tree
+
+
+def test_triangle_count_no_cartesian(spark):
+    """graph_triangle_count: wedge construction must stay equi-joins on
+    node keys (the hour self-join and the two wedge joins) — no
+    cartesian anywhere, and the fact collapses to distinct (user, hour)
+    before any join."""
+    tree = _nodes(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in tree
+    assert "HashAggregate" in tree
+
+
+def test_dq_suite_fk_check_is_anti_join(spark):
+    """dq_constraint_suite: referential integrity must plan as
+    LeftAnti, not a correlated subquery rescan."""
+    plan = _plan(spark, "dq_constraint_suite")
+    assert "LeftAnti" in plan

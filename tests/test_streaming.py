@@ -339,3 +339,60 @@ def test_kinesis_stub_replay_exposes_duplicates(tmp_path):
 
     per_payload = Counter(ln["data"] for ln in lines)
     assert all(v == 2 for v in per_payload.values())
+
+
+def test_stream_static_join_batch_equivalence(spark):
+    """stream_join_static: the same enrichment fn over a replayed file
+    stream must agree with the batch result — the static dim broadcasts
+    into each micro-batch."""
+    from cloudtrail_streamer_spark.streaming.windows_stream import (
+        _event_weight_dim,
+        enriched_daily_weights,
+    )
+
+    dim = _event_weight_dim(spark)
+    replay = harness.write_replay_files(spark, SF)
+    stream_in = harness.read_replay_stream(spark, replay)
+    streamed = harness.run_stream_to_memory(
+        enriched_daily_weights(stream_in, dim), "static_join_eq",
+        output_mode="complete",
+    )
+    batch = enriched_daily_weights(table(spark, SF, "events"), dim)
+    assert sorted(streamed.collect()) == sorted(batch.collect())
+
+
+def test_cascade_foreachbatch_equivalence(spark):
+    """stream_cascade_agg: level 1 streams via foreachBatch into a keyed
+    upsert store; level 2 derives from the final store and must equal
+    the batch cascade."""
+    from cloudtrail_streamer_spark.streaming.windows_stream import (
+        activity_histogram,
+        daily_user_counts,
+    )
+
+    replay = harness.write_replay_files(spark, SF)
+    stream_in = harness.read_replay_stream(spark, replay)
+    state: dict = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.collect():
+            state[(r["user_id"], r["w"]["start"])] = r["n"]
+
+    q = (
+        daily_user_counts(stream_in)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    lvl1 = spark.createDataFrame(
+        [(n,) for n in state.values()], "n long"
+    )
+    streamed = (
+        lvl1.groupBy(F.col("n").alias("daily_events"))
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy("daily_events")
+    )
+    batch = activity_histogram(daily_user_counts(table(spark, SF, "events")))
+    assert sorted(streamed.collect()) == sorted(batch.collect())
