@@ -36,6 +36,7 @@ must sum, one final rounded double per metric.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1588,4 +1589,322 @@ def sql_distinct_on_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
         .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_skyline_pareto — Pareto frontier via prefix-max window
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT DISTINCT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+         p_size
+  FROM part
+)
+SELECT price_c, p_size
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+    AND (q.price_c < p.price_c OR q.p_size > p.p_size)
+)
+ORDER BY price_c, p_size
+"""
+
+
+@query("win_skyline_pareto", oracle=_SKYLINE_ORACLE, survey_id="B-32-ext")
+def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): parts where no other part is both
+    cheaper-or-equal AND larger-or-equal (strict in one). The oracle is
+    the O(N²) NOT-EXISTS definition; the engine rewrite is ONE sorted
+    window pass — a point survives iff its size beats the running MAX
+    size over all STRICTLY cheaper points (RANGE frame to price−1, so
+    equal prices never dominate each other through the frame) and it is
+    the size-argmax within its own price tier. O(N log N) vs O(N²) is
+    the difference between a window shuffle and an impossible self-join
+    at 100 TB. Points are deduped to (price, size) first; integer
+    cents keep the RANGE offset exact."""
+    p = table(spark, sf_dir, "part")
+    pts = p.select(
+        cents("p_retailprice").alias("price_c"), "p_size"
+    ).distinct()
+    w_prev = (
+        Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tier = Window.partitionBy("price_c")
+    return (
+        pts.withColumn("max_cheaper", F.max("p_size").over(w_prev))
+        .withColumn("tier_max", F.max("p_size").over(w_tier))
+        .where(
+            (F.col("p_size") > F.coalesce(F.col("max_cheaper"), F.lit(-1)))
+            & (F.col("p_size") == F.col("tier_max"))
+        )
+        .select("price_c", "p_size")
+        .orderBy("price_c", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_retrieve_rerank — BM25 retrieve → embedding rerank cascade
+# ---------------------------------------------------------------------------
+
+_RERANK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+doclen AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS f
+  FROM toks WHERE term IN ('hash', 'join') GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS nq FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln((n_docs - nq + 0.5) / (nq + 0.5) + 1.0)
+           * (CAST(f AS DOUBLE) * 2.2)
+           / (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ) AS bm25
+  FROM tf JOIN df USING (term) JOIN doclen USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+shortlist AS (
+  SELECT doc_id, round(bm25, 4) AS bm25 FROM scored
+  ORDER BY round(bm25, 4) DESC, doc_id LIMIT 20
+),
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT s.doc_id, s.bm25,
+       round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+             / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_score
+FROM shortlist s
+JOIN embeddings e ON e.vec_id = s.doc_id
+CROSS JOIN q
+ORDER BY cos_score DESC, doc_id
+LIMIT 5
+"""
+
+
+@query("pipeline_retrieve_rerank", oracle=_RERANK_ORACLE, survey_id="north-star")
+def pipeline_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval cascade — the RAG-serving shape: a cheap
+    lexical stage (BM25, k1=1.2, b=0.75, query "hash join") shortlists
+    20 docs, then an embedding cosine rerank (doc_id-aligned vectors
+    from the embeddings table, query vector = vec_id 0) picks the final
+    5. The cascade is the scale story itself: stage 1 touches only the
+    inverted postings of 2 terms; stage 2 scores exactly 20 vectors —
+    the expensive model never sees the corpus. Both stage boundaries
+    are total-ordered on ROUNDED scores (+doc_id), so the shortlist
+    set — not just the final ranking — is identical cross-engine; BM25
+    per-doc sums fold over ≤2 terms via the same join order. The float
+    ln/cos arithmetic mirrors text_bm25_topk / sim_search_topk."""
+    d = table(spark, sf_dir, "documents")
+    em = table(spark, sf_dir, "embeddings")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin("hash", "join"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("nq"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("nq") + 0.5) / (F.col("nq") + 0.5) + 1.0
+    )
+    fd = F.col("f").cast("double")
+    bm25_term = idf * (fd * 2.2) / (
+        fd + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(bm25_term), 4).alias("bm25"))
+    )
+    shortlist = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+    from cloudtrail_streamer_spark.functions.vector import as_double, dot, l2_norm
+
+    qv = em.where(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qe")
+    )
+    cand = em.select(F.col("vec_id").alias("doc_id"), as_double("embedding").alias("de"))
+    cos = F.round(
+        dot(F.col("de"), F.col("qe")) / (l2_norm(F.col("de")) * l2_norm(F.col("qe"))),
+        4,
+    )
+    return (
+        shortlist.join(cand, "doc_id")
+        .join(F.broadcast(qv))
+        .withColumn("cos_score", cos)
+        .select("doc_id", "bm25", "cos_score")
+        .orderBy(F.col("cos_score").desc(), "doc_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature_pit_join — leakage-free point-in-time feature engineering
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(COUNT(*) OVER prior_w AS BIGINT) AS n_prior_orders,
+       CAST(COALESCE(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     OVER prior_w, 0) AS DOUBLE) / 100.0 AS prior_spend
+FROM orders
+WINDOW prior_w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+ORDER BY o_orderkey
+"""
+
+
+@query("feature_pit_join", oracle=_PIT_ORACLE, survey_id="B-30-ext")
+def feature_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature computation — the feature-store contract
+    for training data: each order sees ONLY its customer's STRICTLY
+    PRIOR history (1 PRECEDING frame end, ordered by date + orderkey),
+    never its own row or the future — the window form of leakage-free
+    PIT-correctness. One shuffle on the entity key produces every
+    prior-history feature in a single pass; the as-of-join formulation
+    of the same thing (join features table at each label timestamp) is
+    what ``join_dim_snapshot_asof`` covers — this is the
+    self-referential variant every churn/LTV training set needs.
+    Spend stays integer cents through the frame sum."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_prior_orders"),
+            (
+                F.coalesce(F.sum(cents("o_totalprice")).over(w), F.lit(0)).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("prior_spend"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_nested_pushdown — nested-struct parquet round trip with pruning
+# ---------------------------------------------------------------------------
+
+_NESTED_SCAN_ORACLE = """
+SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events
+WHERE user_id % 3 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("scan_nested_pushdown", oracle=_NESTED_SCAN_ORACLE, survey_id="B-2-ext")
+def scan_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column pruning + pushdown on REAL nested parquet: events
+    are rewritten as struct columns (meta.user_id, meta.event_type,
+    payload.value, payload.props), then read back filtering and
+    projecting ONLY meta subfields. With
+    spark.sql.optimizer.nestedSchemaPruning.enabled (default on), the
+    re-scan's ReadSchema carries just meta<user_id,event_type> — the
+    payload struct (the bulky half at 100 TB: blobs, props) never
+    leaves the parquet footprint, asserted in tests/test_plans.py. The
+    oracle states the same result over the flat source, pinning that
+    nesting is a pure layout change, not a semantic one."""
+    import os
+    import tempfile
+
+    ev = table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct("user_id", "event_type").alias("meta"),
+        F.struct("ts", "value", "props").alias("payload"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="cts_nested_"), "events_nested")
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.where(F.col("meta.user_id") % 3 == 0)
+        .groupBy(F.col("meta.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("meta.user_id").cast("long").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_compression_quality — zlib-ratio quality heuristic (Arrow UDF)
+# ---------------------------------------------------------------------------
+
+
+@query("text_compression_quality", survey_id="B-62-ext")  # R-tier: zlib is
+# Python-side; no SQL oracle can reproduce the codec byte-for-byte
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher-rules heuristic:
+    highly compressible text ≈ repetitive/low-quality). zlib runs
+    inside an Arrow-batched pandas UDF — the declared slow-path escape
+    hatch (B-52 pattern), batched so the codec cost amortizes per
+    RecordBatch, never per-row Python. Emits per-source aggregates of
+    the ratio plus the flag count at ratio < 0.45 (the corpus floor is ≈0.42); engine-local tests
+    pin monotonicity (repetitive text compresses further) since no SQL
+    oracle owns a zlib. Row-local → zero shuffle before the final
+    1-row-per-source aggregate."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return texts.map(one)
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", zratio(F.col("text")).alias("zr"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("zr"), 4).alias("avg_ratio"),
+            F.round(F.min("zr"), 4).alias("min_ratio"),
+            F.sum(F.when(F.col("zr") < 0.45, 1).otherwise(0)).alias(
+                "n_flagged_repetitive"
+            ),
+        )
+        .orderBy("source")
     )

@@ -147,7 +147,9 @@ _WINDOW_PRIORITY: list[str] = [
 # graph_triangle_count, dq_constraint_suite, agg_moments_exact,
 # fn_timezone_convert, dedup_semantic_ivf, agg_gini_coefficient,
 # win_running_distinct, win_percent_change_yoy, text_pmi_bigrams,
-# events_cusum_changepoint, sql_distinct_on_first, stream_cascade_agg —
+# events_cusum_changepoint, sql_distinct_on_first, stream_cascade_agg,
+# win_skyline_pareto, pipeline_retrieve_rerank, feature_pit_join,
+# scan_nested_pushdown, text_compression_quality (R) —
 # all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 

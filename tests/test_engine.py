@@ -423,3 +423,21 @@ def test_window_priority_names_exist():
     assert not missing, f"window names not in registry: {missing}"
     assert len(R._WINDOW_PRIORITY) == 50
     assert len(set(R._WINDOW_PRIORITY)) == 50, "duplicate window slots"
+
+
+def test_compression_quality_monotonic(spark):
+    """text_compression_quality (R-tier): repetitive text must compress
+    further than high-entropy text — the heuristic's defining property
+    — and ratios stay in (0, 1.2]."""
+    import zlib
+
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    rows = all_queries()["text_compression_quality"](spark, SF).collect()
+    assert rows and all(0.0 < r["min_ratio"] <= r["avg_ratio"] <= 1.2 for r in rows)
+    # the invariant the UDF encodes, pinned on extreme inputs
+    rep_txt = ("spam " * 200).encode()
+    var_txt = " ".join(f"w{i}" for i in range(200)).encode()
+    rep = len(zlib.compress(rep_txt, 6)) / len(rep_txt)
+    var = len(zlib.compress(var_txt, 6)) / len(var_txt)
+    assert rep < 0.1 < var, (rep, var)

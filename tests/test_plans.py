@@ -385,3 +385,30 @@ def test_dq_suite_fk_check_is_anti_join(spark):
     LeftAnti, not a correlated subquery rescan."""
     plan = _plan(spark, "dq_constraint_suite")
     assert "LeftAnti" in plan
+
+
+def test_skyline_single_window_pass(spark):
+    """win_skyline_pareto: the O(N²) NOT-EXISTS of the oracle must plan
+    as windows over ONE scan — no join, no cartesian."""
+    tree = _nodes(spark, "win_skyline_pareto")
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree and "CartesianProduct" not in tree
+
+
+def test_pit_features_one_window_shuffle(spark):
+    """feature_pit_join: all prior-history features from a single
+    window pass — one scan of orders, no self-join."""
+    tree = _nodes(spark, "feature_pit_join")
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree
+
+
+def test_nested_scan_prunes_payload(spark):
+    """scan_nested_pushdown: the nested read's ReadSchema must carry
+    only the meta subfields — payload (the bulky struct) stays unread."""
+    plan = _plan(spark, "scan_nested_pushdown")
+    nested_reads = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "meta" in l
+    ]
+    assert nested_reads, plan
+    assert all("payload" not in l for l in nested_reads), nested_reads

@@ -178,3 +178,76 @@ def test_theta_sketch_exact_below_capacity(spark):
         .collect()[0]
     )
     assert (row.u, row.i, row.d) == (2500, 500, 1000)
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein (reference implementation for the property)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _symdelete_variants(s: str) -> set[str]:
+    """Mirror of join_fuzzy_symdelete's SQL variant generation."""
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_symdelete_blocking_is_lossless(seed):
+    """THE safety property of join_fuzzy_symdelete: any two strings
+    within Levenshtein distance 1 share at least one deletion variant,
+    so the equi-join candidate set can never miss a true pair. Random
+    strings over a small alphabet maximize near-collisions."""
+    rng = np.random.default_rng(seed)
+    words = [
+        "".join(rng.choice(list("abc"), size=rng.integers(1, 7)))
+        for _ in range(120)
+    ]
+    for i, a in enumerate(words):
+        va = _symdelete_variants(a)
+        for b in words[i + 1 :]:
+            if _lev(a, b) <= 1:
+                assert va & _symdelete_variants(b), (a, b)
+
+
+def _skyline_bruteforce(pts: set[tuple[int, int]]) -> set[tuple[int, int]]:
+    return {
+        (p, s)
+        for (p, s) in pts
+        if not any(
+            (q <= p and t >= s and (q < p or t > s)) for (q, t) in pts
+        )
+    }
+
+
+def _skyline_windowed(pts: set[tuple[int, int]]) -> set[tuple[int, int]]:
+    """Mirror of win_skyline_pareto's prefix-max rewrite."""
+    by_price: dict[int, int] = {}
+    for p, s in pts:
+        by_price[p] = max(by_price.get(p, -1), s)
+    out = set()
+    max_cheaper = -1
+    for p in sorted(by_price):
+        if by_price[p] > max_cheaper:
+            out.add((p, by_price[p]))
+        max_cheaper = max(max_cheaper, by_price[p])
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 17, 31])
+def test_skyline_rewrite_equals_bruteforce(seed):
+    """win_skyline_pareto's O(N log N) prefix-max rewrite must select
+    exactly the O(N²) NOT-EXISTS skyline, including tied prices, tied
+    sizes, and duplicate points."""
+    rng = np.random.default_rng(seed)
+    pts = {
+        (int(p), int(s))
+        for p, s in zip(rng.integers(0, 15, 200), rng.integers(0, 15, 200))
+    }
+    assert _skyline_windowed(pts) == _skyline_bruteforce(pts)
