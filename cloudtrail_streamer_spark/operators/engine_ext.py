@@ -1908,3 +1908,260 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dataset_card — one-query dataset summary certificate
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(text) AS h,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+       round(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 4) AS dup_ratio,
+       round(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+       round(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS pct_long
+FROM base
+"""
+
+
+@query("pipeline_dataset_card", oracle=_CARD_ORACLE, survey_id="north-star")
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics in ONE query — the summary block every
+    published pretrain corpus ships (docs, tokens, language/source
+    spread, exact-dup ratio via md5, length profile). All distincts run
+    in one multi-distinct aggregate pass (Catalyst expands them over a
+    single scan); md5 shuffles 16-byte digests, never documents
+    (dedup_exact's trick). avg_chars divides an exact integer sum. At
+    100 TB this is the cheapest full-corpus health check there is —
+    one scan, a few counters — and it is the op you run FIRST before
+    any training job."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct("h").cast("long").alias("n_unique_texts"),
+        F.round(1.0 - F.count_distinct("h") / F.count(F.lit(1)), 4).alias(
+            "dup_ratio"
+        ),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.round(
+            F.sum(F.when(F.col("n_chars") >= 200, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pct_long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_nearest — nearest-in-time match, either direction
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS nearest_click_ts,
+       CAST(abs(epoch_us(c.ts) - epoch_us(p.ts)) AS BIGINT) AS diff_us
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT c.ts FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts, c.event_id
+  LIMIT 1
+) c ON TRUE
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+@query("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, survey_id="B-19-ext")
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of: each purchase matched to the NEAREST click
+    in time, past or future, ties to the earlier one — the sensor-
+    alignment variant of as-of (backward-only is join_asof, staleness-
+    capped is join_asof_tolerance). Rewrite: carry the last click
+    backward AND the first click forward over the same user-ordered
+    stream (two frames of ONE window sort), then pick the closer
+    neighbor — versus the oracle's per-row LATERAL rescan. Distances
+    compare in exact epoch MICROseconds (unix_micros / epoch_us —
+    second-level truncation diverges from DuckDB's fractional epoch); the tie rule (≤ keeps the earlier/
+    backward neighbor) is explicit in both engines. One shuffle."""
+    ev = table(spark, sf_dir, "events")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = ev.withColumn(
+        "prev_c", F.last(click_ts, ignorenulls=True).over(w_back)
+    ).withColumn("next_c", F.first(click_ts, ignorenulls=True).over(w_fwd))
+    dp = F.unix_micros("ts") - F.unix_micros("prev_c")
+    dn = F.unix_micros("next_c") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .when(dp <= dn, F.col("prev_c"))
+        .otherwise(F.col("next_c"))
+    )
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .withColumn("nearest_click_ts", nearest)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "nearest_click_ts",
+            F.abs(F.unix_micros("nearest_click_ts") - F.unix_micros("ts"))
+            .cast("long")
+            .alias("diff_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_sample_estimate_ci — approximate query processing certificate
+# ---------------------------------------------------------------------------
+
+_AQP_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         ((l_orderkey & 2147483647) * 2654435761) % 100 < 10 AS in_sample
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) FILTER (in_sample) AS BIGINT) AS n_sampled,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(price_c) FILTER (in_sample) * 10 AS DOUBLE) / 100.0
+         AS est_total,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS true_total,
+       round(abs(CAST(SUM(price_c) FILTER (in_sample) * 10 AS DOUBLE)
+                 - CAST(SUM(price_c) AS DOUBLE))
+             * 100.0 / CAST(SUM(price_c) AS DOUBLE), 4) AS rel_error_pct
+FROM tagged
+"""
+
+
+@query("agg_sample_estimate_ci", oracle=_AQP_ORACLE, survey_id="B-27-ext")
+def agg_sample_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing certificate (the BlinkDB idea): a
+    deterministic 10% Knuth-hash sample estimates total revenue, and
+    the SAME query carries the exact total and realized relative error
+    — so the driver hash-checks the estimator, its inputs, AND its
+    accuracy in one row. The hash sample (sample_hash_mod's masked
+    multiplicative hash) is engine-portable and repartition-stable
+    where TABLESAMPLE streams are not; sums stay integer cents. At
+    100 TB the sample scan is the only thing a latency-bound dashboard
+    runs — this op is the audit that says how wrong that is."""
+    li = table(spark, sf_dir, "lineitem")
+    in_sample = (
+        F.col("l_orderkey").bitwiseAND(F.lit(2147483647)) * F.lit(2654435761)
+    ) % 100 < 10
+    tagged = li.select(
+        cents("l_extendedprice").alias("price_c"), in_sample.alias("in_sample")
+    )
+    samp_sum = F.sum(F.when(F.col("in_sample"), F.col("price_c")).otherwise(0))
+    true_sum = F.sum("price_c")
+    return tagged.agg(
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        (samp_sum * 10).cast("double").alias("est_total_c"),
+        true_sum.cast("double").alias("true_total_c"),
+    ).select(
+        "n_sampled",
+        "n_total",
+        (F.col("est_total_c") / 100.0).alias("est_total"),
+        (F.col("true_total_c") / 100.0).alias("true_total"),
+        F.round(
+            F.abs(F.col("est_total_c") - F.col("true_total_c"))
+            * 100.0
+            / F.col("true_total_c"),
+            4,
+        ).alias("rel_error_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# udaf_pandas_grouped_agg — Series→scalar pandas aggregation UDF
+# ---------------------------------------------------------------------------
+
+_GROUPED_AGG_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 100.0, 4) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("udaf_pandas_grouped_agg", oracle=_GROUPED_AGG_ORACLE, survey_id="B-53-ext")
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third pandas-UDF shape: GROUPED_AGG (Series → scalar), used
+    directly inside .agg() next to built-ins — completing the UDF
+    surface (scalar B-51/52, grouped-map B-53, table B-54, Arrow batch,
+    and now grouped-agg). The kernel sums integer cents in pandas
+    (int64 — exact, so the undefined intra-group row order cannot move
+    a bit; a float sum here would be the classic nondeterminism trap).
+    Unlike grouped-map, GROUPED_AGG participates in partial aggregation
+    planning as a complete-mode aggregate per group — fine when groups
+    fit an Arrow batch (5 types here); heavy groups want the built-in
+    sum, which is the documented trade."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sum_cents_udaf(v: pd.Series) -> int:
+        return int((v * 100).round().astype("int64").sum())
+
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        # grouped-agg UDFs cannot mix with built-in aggregates in one
+        # .agg() (INVALID_PANDAS_UDF_PLACEMENT) — so the row count is a
+        # second tiny UDAF rather than F.count
+        return int(len(v))
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            sum_cents_udaf(F.col("value")).alias("sum_cents"),
+            count_udaf(F.col("value")).alias("n"),
+        )
+        .select(
+            "event_type",
+            "sum_cents",
+            "n",
+            F.round(
+                F.col("sum_cents").cast("double") / F.col("n") / 100.0, 4
+            ).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )

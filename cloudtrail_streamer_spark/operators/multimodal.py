@@ -689,3 +689,96 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_energy long, peak_abs long"
         ),
     )
+
+
+def dhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: BMP payload → REAL decode → 9x8 NN-downsample
+    → difference hash (adjacent-pixel gradient bits), emitted as two
+    32-bit halves so neither engine touches the int64 sign bit."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = _decode_bmp_pixels(bytes(payload))
+            h, w = px.shape
+            hi = lo = 0
+            for i in range(8):
+                y = (i * h) // 8
+                for j in range(8):
+                    x0 = (j * w) // 9
+                    x1 = ((j + 1) * w) // 9
+                    bit = 1 if px[y, x1] > px[y, x0] else 0
+                    if i < 4:
+                        hi |= bit << (i * 8 + j)
+                    else:
+                        lo |= bit << ((i - 4) * 8 + j)
+            out.append((int(doc_id), w, h, hi, lo))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "width", "height", "dhash_hi", "dhash_lo"]
+        )
+
+
+_DHASH_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS w,
+         16 + (doc_id * 7) % 48 AS h
+  FROM documents
+),
+bits AS (
+  SELECT d.doc_id, d.w, d.h, i.range AS i, j.range AS j,
+         CASE WHEN
+           ((((j.range + 1) * d.w) // 9) * 31 + ((i.range * d.h) // 8) * 17
+            + d.doc_id) % 256
+           >
+           (((j.range * d.w) // 9) * 31 + ((i.range * d.h) // 8) * 17
+            + d.doc_id) % 256
+         THEN 1 ELSE 0 END AS bit
+  FROM dims d, range(8) i, range(8) j
+)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN i < 4 THEN bit << (i * 8 + j) ELSE 0 END) AS BIGINT)
+         AS dhash_hi,
+       CAST(SUM(CASE WHEN i >= 4 THEN bit << ((i - 4) * 8 + j) ELSE 0 END)
+            AS BIGINT) AS dhash_lo
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_image_dhash", oracle=_DHASH_ORACLE, survey_id="north-star")
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL image bytes: the
+    patterned BMPs are decoded from their actual headers/rows, NN-
+    downsampled to a 9x8 grid, and hashed by adjacent-pixel gradients —
+    the standard near-duplicate-image fingerprint (Hamming distance on
+    dhash ≈ visual similarity), feeding the same banded-join dedup
+    machinery as SimHash. The oracle recomputes every gradient bit
+    ARITHMETICALLY from the pattern formula ((x·31+y·17+doc_id)%256)
+    and the same floor-NN index mapping, so one wrong byte offset, row
+    order, or rounding rule in the decode path flips the hash. Two
+    32-bit halves keep the packing off the int64 sign bit in both
+    engines. Executor-local mapInPandas; zero shuffles."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        make_patterned_bmp(
+                            int(i), 16 + int(i) % 48, 16 + (int(i) * 7) % 48
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        dhash_batch,
+        schema="doc_id long, width long, height long, dhash_hi long, dhash_lo long",
+    ).orderBy("doc_id")

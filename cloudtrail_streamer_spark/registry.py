@@ -149,7 +149,9 @@ _WINDOW_PRIORITY: list[str] = [
 # win_running_distinct, win_percent_change_yoy, text_pmi_bigrams,
 # events_cusum_changepoint, sql_distinct_on_first, stream_cascade_agg,
 # win_skyline_pareto, pipeline_retrieve_rerank, feature_pit_join,
-# scan_nested_pushdown, text_compression_quality (R) —
+# scan_nested_pushdown, text_compression_quality (R),
+# multimodal_image_dhash, pipeline_dataset_card, join_asof_nearest,
+# agg_sample_estimate_ci, udaf_pandas_grouped_agg —
 # all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 
