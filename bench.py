@@ -267,8 +267,97 @@ def main() -> None:
     print(line)
 
 
+
+
+def scaling_mode() -> None:
+    """``bench.py --scaling``: strong-scaling curve on local[1]/[8]/[32].
+
+    The headline queries at sf0.1 are ~90% per-action scheduling floor
+    (see --floor), so they cannot show parallel speedup — instead this
+    times the same OPERATOR SHAPES on replicated input big enough to be
+    compute-bound (lineitem ×16 ≈ 10M rows for the Q1 hash-agg shape;
+    documents ×8 for the tokenize+count shape; a 100-probe brute-force
+    cosine scan for the similarity shape). One fresh JVM per core
+    count, warm + min-of-3 inside each. Prints one JSON line with the
+    1→32-core speedup per shape — the local-mode audit that the plans
+    are data-parallel, which is what transfers to executors at 100 TB.
+    """
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    results: dict[str, dict[str, float]] = {}
+    for cores in (1, 8, 32):
+        code = f"""
+import json, sys, time, functools
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+spark = (SparkSession.builder.master("local[{cores}]")
+         .config("spark.sql.shuffle.partitions", "{max(cores, 4)}")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .getOrCreate())
+sf = {sf_dir!r}
+li = spark.read.parquet(sf + "/lineitem.parquet")
+li16 = functools.reduce(lambda a, b: a.unionAll(b), [li] * 16)
+docs = spark.read.parquet(sf + "/documents.parquet")
+docs8 = functools.reduce(lambda a, b: a.unionAll(b), [docs] * 8)
+em = spark.read.parquet(sf + "/embeddings.parquet")
+cents = lambda c: (F.col(c) * 100 + 0.5).cast("long")
+shapes = {{
+  "q1_hash_agg_10m": lambda: li16.groupBy("l_returnflag", "l_linestatus").agg(
+      F.sum(cents("l_extendedprice")).alias("s"),
+      F.sum(F.col("l_quantity").cast("long")).alias("q"),
+      F.count(F.lit(1)).alias("n")),
+  "tokenize_count_4m": lambda: docs8.select(
+      F.explode(F.split(F.lower("text"), " ")).alias("t"))
+      .groupBy("t").agg(F.count(F.lit(1)).alias("n")),
+  "cosine_scan_200k_pairs": lambda: em.repartition({max(cores, 4)}).alias("a").crossJoin(
+      F.broadcast(em.where(F.col("vec_id") < 100)).alias("b")).select(
+      F.aggregate(F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                             lambda x, y: x.cast("double") * y.cast("double")),
+                  F.lit(0.0), lambda acc, v: acc + v).alias("dot"))
+      .agg(F.sum("dot").alias("s")),
+}}
+out = {{}}
+for name, mk in shapes.items():
+    df = mk()
+    df.write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    out[name] = round(best, 3)
+print("SCALING_JSON:" + json.dumps(out))
+"""
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+        )
+        for ln in proc.stdout.splitlines():
+            if ln.startswith("SCALING_JSON:"):
+                results[str(cores)] = json.loads(ln[len("SCALING_JSON:"):])
+    speedup = {
+        q: round(results["1"][q] / results["32"][q], 2)
+        for q in results.get("1", {})
+        if results.get("32", {}).get(q)
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "strong_scaling",
+                "sf": float(_sf_of(sf_dir)),
+                "cores": results,
+                "speedup_1_to_32": speedup,
+            }
+        )
+    )
+
 if __name__ == "__main__":
     if "--floor" in sys.argv:
         floor_mode()
+    elif "--scaling" in sys.argv:
+        scaling_mode()
     else:
         main()

