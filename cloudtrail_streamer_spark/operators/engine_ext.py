@@ -2231,6 +2231,11 @@ def dedup_greedy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array(F.array_join("w", " ")))
         ).alias("s"),
     )
+    # the shingle relation feeds SIX subtrees (both join sides, both
+    # verify sides, totals) — persist it so the corpus is scanned and
+    # shingled ONCE; at 100 TB this is a digest-sized cache, the rescans
+    # it avoids are full-corpus
+    shingles = shingles.persist()
     inv = shingles.select("doc_id", F.explode("s").alias("sh"))
     cand = (
         inv.alias("x")
@@ -2313,10 +2318,12 @@ def win_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays integer cents until the final cast. Cohort assignment is one
     keyed aggregate joined back; no window touches the fact."""
     o = table(spark, sf_dir, "orders")
-    firsts = o.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
-    )
-    aged = o.join(firsts, "o_custkey").select(
+    # cohort via a per-customer window MIN — ONE scan of orders (the
+    # groupBy+join-back form scans the fact twice)
+    w_cust = Window.partitionBy("o_custkey")
+    aged = o.withColumn(
+        "cohort_month", F.date_trunc("month", F.min("o_orderdate").over(w_cust))
+    ).select(
         "cohort_month",
         (
             (F.year("o_orderdate") - F.year("cohort_month")) * 12
@@ -2385,9 +2392,11 @@ def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("nxt"),
     ).where(F.col("nxt").isNotNull())
     c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
-    tot = c.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    # row total as a window over the 25-row matrix — the Q11 pattern;
+    # a groupBy+join here would recompute the events window subtree twice
+    c = c.withColumn("row_n", F.sum("n").over(Window.partitionBy("cur")))
     return (
-        c.join(tot, "cur")
+        c
         .select(
             "cur",
             "nxt",
@@ -2583,7 +2592,7 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.md5(F.lower(F.col("text"))).alias("h"),
     )
-    delta = fresh.unionByName(replayed)
+    delta = fresh.unionByName(replayed).persist()  # reused by kept + totals
     kept = delta.join(base, "h", "left_anti")
     totals = delta.agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
     kept_stats = kept.agg(
@@ -2741,11 +2750,12 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d")
     )
-    total = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    # grand total as a window over the 9-row digit aggregate — one scan
+    # (a separate count subtree would rescan orders)
     return (
         digits.groupBy("d")
         .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(total))
+        .withColumn("n_total", F.sum("n").over(Window.partitionBy()))
         .select(
             "d",
             "n",

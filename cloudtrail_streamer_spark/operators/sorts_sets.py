@@ -145,3 +145,27 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.select(F.col("o_orderstatus").alias("st"))
     b = o.where(F.col("o_orderkey") % 2 == 0).select(F.col("o_orderstatus").alias("st"))
     return a.exceptAll(b)
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("set_intersect_all", oracle=_INTERSECT_ALL_ORACLE, survey_id="B-36")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics (each nationkey kept
+    min(count_left, count_right) times), completing the set-op matrix
+    (union/union-all/intersect/except/except-all were already
+    registered). Spark plans intersectAll as a left-semi-style join on
+    per-side counts; both engines implement the same ANSI min-count
+    rule, which the hash check pins."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)

@@ -154,7 +154,8 @@ _WINDOW_PRIORITY: list[str] = [
 # agg_sample_estimate_ci, udaf_pandas_grouped_agg,
 # dedup_greedy_survivors, win_cohort_ltv, win_markov_transitions,
 # win_rolling_zscore, text_decode_ids_roundtrip, dedup_incremental_ingest,
-# sql_order_by_all, win_session_paths, agg_benford_audit —
+# sql_order_by_all, win_session_paths, agg_benford_audit,
+# set_intersect_all —
 # all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 

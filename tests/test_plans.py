@@ -412,3 +412,24 @@ def test_nested_scan_prunes_payload(spark):
     ]
     assert nested_reads, plan
     assert all("payload" not in l for l in nested_reads), nested_reads
+
+
+def test_markov_single_scan_window_total(spark):
+    """win_markov_transitions: row totals must come from a window over
+    the transition matrix, not an agg+join that rescans events."""
+    tree = _nodes(spark, "win_markov_transitions")
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_benford_single_scan(spark):
+    """agg_benford_audit: the grand total is a window over the 9-row
+    digit aggregate — orders must scan exactly once."""
+    tree = _nodes(spark, "agg_benford_audit")
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_cohort_ltv_single_scan(spark):
+    """win_cohort_ltv: cohort assignment is a window MIN — one scan of
+    orders, not the aggregate-plus-self-join double scan."""
+    tree = _nodes(spark, "win_cohort_ltv")
+    assert tree.count("Scan parquet") == 1, tree
