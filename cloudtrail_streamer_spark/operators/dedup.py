@@ -59,7 +59,13 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     bucket become candidates. Returns distinct pairs (id_a < id_b) with
     the number of colliding bands.
     """
-    sh = _shingles(docs)
+    return _candidates_from_shingles(_shingles(docs))
+
+
+def _candidates_from_shingles(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from a precomputed (doc_id, shingles) relation
+    — callers that also need the shingles for exact verification pass a
+    persisted ``sh`` so the corpus is tokenized exactly once."""
     sig = sh.select(
         "doc_id",
         F.expr(
@@ -83,6 +89,9 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
+    # bands feeds both sides of the self-join; persist so the corpus is
+    # shingled+hashed once — the cache is 8 small rows per doc, not text
+    bands = bands.persist()
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band_id", "band_hash"
     )
@@ -146,10 +155,12 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_truth, n_caught, recall)."""
     docs = table(spark, sf_dir, "documents")
     corpus = seeded_neardup_corpus(docs)
-    cands = minhash_candidates(corpus).where(
+    # one shingle pass feeds BOTH the LSH candidates and the exact-Jaccard
+    # truth set; persisted so the corpus is read and tokenized once
+    sh = _shingles(corpus).persist()
+    cands = _candidates_from_shingles(sh).where(
         F.col("id_b") == F.col("id_a") + _SEED_OFFSET
     )
-    sh = _shingles(corpus)
     a = sh.where(F.col("doc_id") < _SEED_OFFSET).select(
         "doc_id", F.col("shingles").alias("sa")
     )
@@ -385,7 +396,11 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
             """
         ).alias("chunks"),
     )
-    parts = sig.select("doc_id", F.posexplode("chunks").alias("chunk_id", "chunk_val"))
+    # parts feeds both self-join sides; persist so the 64-bit signature
+    # fold runs once per doc — the cache is 8 small rows per doc
+    parts = sig.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_id", "chunk_val")
+    ).persist()
     a = parts.select(F.col("doc_id").alias("id_a"), "chunk_id", "chunk_val")
     b = parts.select(F.col("doc_id").alias("id_b"), "chunk_id", "chunk_val")
     return (
@@ -442,7 +457,7 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
               END)
             """
         ).alias("bigrams"),
-    )
+    ).persist()  # both join sides — tokenize the corpus once
     a = grams.select(F.col("doc_id").alias("id_a"), F.col("bigrams").alias("ga"))
     b = grams.select(F.col("doc_id").alias("id_b"), F.col("bigrams").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))

@@ -242,9 +242,11 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     the windowed side is |types|·|hours| — spine-sized, not fact-sized:
     the fact collapses to hourly counts before any window."""
     ev = table(spark, sf_dir, "events")
+    # counts feeds bounds, the type dim, and the spine join — persist
+    # the |types|·|hours|-sized aggregate so the fact scans once
     counts = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).persist()
     bounds = counts.agg(
         F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
     )
@@ -804,7 +806,17 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieve k'=5k on 16 dims, rerank the survivors on 64."""
     from cloudtrail_streamer_spark.functions.vector import as_double, dot, l2_norm
 
-    em = table(spark, sf_dir, "embeddings")
+    # four subtrees read embeddings (probes+candidates × two passes);
+    # persist so the table is scanned once per run of the certificate.
+    # NOTE: persist a derived projection, NOT the raw table() relation —
+    # Spark's cache manager substitutes a cached plan into ANY query
+    # whose subtree matches it, so caching the bare scan would silently
+    # rewrite every other embeddings query in the same session.
+    em = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("embedding"))
+        .persist()
+    )
 
     def topk(dims: int | None) -> DataFrame:
         emb = F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
@@ -882,13 +894,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples u<v<w — orientation-independent, so the hash check proves
     the oriented algorithm loses/duplicates nothing."""
     ev = table(spark, sf_dir, "events")
-    active = ev.select(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).distinct()
+    # every shared node below is persisted: Catalyst re-expands each
+    # DataFrame reference into a fresh subtree, so without the caches
+    # this query compounds to 43 scans of the fact (edges→deg→oriented→
+    # wedges/closer multiply out). With them: one fact scan, and the
+    # cached relations are (node,hour) / edge-list sized — tiny next to
+    # the fact at 100 TB. Same pattern GraphFrames uses.
+    active = (
+        ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+        .persist()
+    )
     a = active.select(F.col("user_id").alias("u"), "h")
     b = active.select(F.col("user_id").alias("v"), "h")
     edges = (
-        a.join(b, "h").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+        a.join(b, "h")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -912,6 +936,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.t")
+        .persist()
     )
     w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     w2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
@@ -1226,6 +1251,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("centroid_id").alias("cell"), "e")
+        .persist()  # both pair-join sides; recompute = broadcast join + window
     )
     a = assign.select(
         F.col("cell"), F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
@@ -1468,8 +1494,11 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = toks.select(
         F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
     ).where(F.col("w2").isNotNull())
-    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # bg feeds the N total + the main select, uni feeds both unigram
+    # sides — persist the two keyed aggregates (vocab-sized) so the
+    # corpus is tokenized once per aggregate, not once per reference
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     tot = bg.agg(F.sum("c12").alias("n"))
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
@@ -1718,7 +1747,12 @@ def pipeline_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     )
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doclen/tf each feed two subtrees; persisted (both are tiny keyed
+    # aggregates) so the corpus is tokenized twice — once per aggregate —
+    # instead of four times via subtree re-expansion. The exploded token
+    # relation itself is deliberately NOT cached: it is corpus×tokens
+    # sized, and the second pass prunes to 2 terms right after explode.
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
     stats = doclen.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1727,6 +1761,7 @@ def pipeline_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.where(F.col("term").isin("hash", "join"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("f"))
+        .persist()
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("nq"))
     idf = F.log(
@@ -2513,6 +2548,7 @@ def text_decode_ids_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("tok"))),
         )
         .select("tok", "tok_id")
+        .persist()  # encode + decode sides; vocab-sized, subtree is a full tokenize
     )
     encoded = toks.join(F.broadcast(vocab), "tok").select("doc_id", "pos", "tok_id")
     decoded = (
@@ -2765,4 +2801,204 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10(1.0 + 1.0 / F.col("d")), 4).alias("benford_p"),
         )
         .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_merges — distributed BPE tokenizer-training kernel (3 merges)
+# ---------------------------------------------------------------------------
+
+def _bpe_iter_sql(prev: str, best: str, nxt_t: str) -> str:
+    """One unrolled DuckDB BPE iteration: pick the best adjacent pair
+    from ``prev``, apply it, emit ``nxt_t``. Kept as a helper so the
+    3-iteration oracle below is visibly the same algorithm three times."""
+    return f"""
+p_{best} AS (
+  SELECT tok AS w1, nxt AS w2, COUNT(*) AS c
+  FROM (SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM {prev})
+  WHERE nxt IS NOT NULL AND tok <> nxt
+  GROUP BY 1, 2
+),
+{best} AS (SELECT w1, w2, c FROM p_{best} ORDER BY c DESC, w1, w2 LIMIT 1),
+{nxt_t} AS (
+  SELECT doc_id, pos,
+         CASE WHEN is_m THEN w1 || '_' || w2 ELSE tok END AS tok
+  FROM (
+    SELECT doc_id, pos, tok, w1, w2, is_m,
+           lag(is_m) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_m
+    FROM (
+      SELECT t.doc_id, t.pos, t.tok, b.w1, b.w2,
+             (t.tok = b.w1
+              AND lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) = b.w2)
+               AS is_m
+      FROM {prev} t, {best} b
+    )
+  )
+  WHERE NOT COALESCE(prev_m, FALSE)
+)"""
+
+
+_BPE_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+  FROM (SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS tok,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents)
+),{_bpe_iter_sql('t0', 'b0', 't1')},{_bpe_iter_sql('t1', 'b1', 't2')},{_bpe_iter_sql('t2', 'b2', 't3')}
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS iter, w1, w2, w1 || '_' || w2 AS merged,
+         CAST(c AS BIGINT) AS n_pairs FROM b0
+  UNION ALL
+  SELECT 2, w1, w2, w1 || '_' || w2, CAST(c AS BIGINT) FROM b1
+  UNION ALL
+  SELECT 3, w1, w2, w1 || '_' || w2, CAST(c AS BIGINT) FROM b2
+) ORDER BY iter
+"""
+
+
+def _bpe_apply(toks: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one BPE merge (the 1-row ``best`` broadcast as (w1, w2)):
+    flag matches with lead(), drop second halves with lag(), substitute
+    the merged symbol. Declarative because candidates are restricted to
+    w1 ≠ w2, so greedy matches cannot overlap and no sequential fold is
+    needed — match flags are position-local."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = (
+        toks.crossJoin(F.broadcast(best.select("w1", "w2")))
+        .withColumn(
+            "is_m",
+            (F.col("tok") == F.col("w1")) & (F.lead("tok").over(w) == F.col("w2")),
+        )
+        .withColumn("prev_m", F.lag("is_m").over(w))
+    )
+    return flagged.where(~F.coalesce("prev_m", F.lit(False))).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("is_m"), F.concat("w1", F.lit("_"), "w2")
+        ).otherwise(F.col("tok")).alias("tok"),
+    )
+
+
+def _bpe_best(toks: DataFrame) -> DataFrame:
+    """Most frequent adjacent pair with w1 ≠ w2 (count DESC, pair ASC —
+    a total order, so the chosen merge is engine-deterministic)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+        .groupBy(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(1)
+    )
+
+
+@query("text_bpe_merges", oracle=_BPE_ORACLE, survey_id="north-star")
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — 3 merge iterations, fully
+    declarative, no collect and no Python in the row path. Each
+    iteration: (1) count adjacent token pairs, (2) pick the argmax
+    merge as a 1-row broadcast (count DESC, pair ASC — total order),
+    (3) re-sequence the corpus with two window functions: lead() flags
+    (w1, w2) matches, lag() drops the consumed second halves.
+
+    The declarative trick: candidates are restricted to w1 ≠ w2 (the
+    standard practical simplification — self-pairs like ('a','a') are
+    skipped), which makes greedy left-to-right matches provably
+    non-overlapping, so merge application needs no sequential fold —
+    it is a per-position decision two window frames wide. The DuckDB
+    oracle unrolls the SAME three iterations as CTE chains, so pair
+    choice, application, and the next iteration's counts are all
+    hash-verified cross-engine.
+
+    100 TB shape: each iteration is one pair-count aggregate plus one
+    doc-partitioned window pass over the token stream; the merge table
+    broadcasts (1 row). Real trainers amortize by counting on a sample
+    and batching non-interacting merges per pass — both compose with
+    this kernel unchanged. The per-iteration token relation is
+    persisted: it feeds the next iteration's count AND apply subtrees
+    (Catalyst would otherwise re-expand the whole chain each time,
+    compounding like graph_triangle_count did)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("p", "tok"),
+    ).select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
+    merges = []
+    for it in (1, 2, 3):
+        toks = toks.persist()
+        best = _bpe_best(toks).persist()
+        merges.append(
+            best.select(
+                F.lit(it).cast("long").alias("iter"),
+                "w1",
+                "w2",
+                F.concat("w1", F.lit("_"), "w2").alias("merged"),
+                F.col("c").cast("long").alias("n_pairs"),
+            )
+        )
+        toks = _bpe_apply(toks, best)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("iter")
+
+
+# ---------------------------------------------------------------------------
+# sink_training_shards — sharded export + integrity manifest
+# ---------------------------------------------------------------------------
+
+_SHARD_MANIFEST_ORACLE = """
+SELECT doc_id % 8 AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+         AS n_tokens,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS content_fp
+FROM documents
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
+@query("sink_training_shards", oracle=_SHARD_MANIFEST_ORACLE, survey_id="B-5-ext")
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training-data export with an integrity manifest — the
+    step that commits a prepared corpus to storage for the trainer.
+    Documents are hash-assigned to 8 shards (doc_id % 8 — deterministic,
+    reproducible re-export), written as one parquet directory per shard
+    key via partitionBy, READ BACK, and summarized into a per-shard
+    manifest: doc count, token count, and an order-independent content
+    fingerprint (sum of the first 8 md5 hex digits per doc — both
+    engines parse the same prefix, so a single flipped byte anywhere in
+    any shard breaks the hash row). Because the manifest is computed
+    from the files on disk, this certifies the write+read round trip,
+    not just the logical plan. 100 TB shape: partitionBy on a bounded
+    key (8 dirs) with hash-distributed rows — no sort, no skew; the
+    manifest is one partial+final aggregate over the written data, the
+    same pass a validation job runs before training starts."""
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "shard_id", (F.col("doc_id") % 8).cast("long")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="cts_shards_"), "corpus")
+    d.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"))
+            .cast("long")
+            .alias("content_fp"),
+        )
+        .orderBy("shard_id")
     )

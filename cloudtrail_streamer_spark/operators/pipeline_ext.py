@@ -283,14 +283,19 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine side is still tiny and broadcasts."""
     ev = table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
-    counts = ev.groupBy(
-        "event_type", hour.alias("hour_start")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    # bounds and the type dim both derive from the hourly aggregate
+    # (min/max of truncated hours == truncated min/max ts), so the fact
+    # scans ONCE; counts is |types|·|hours|-sized, persisted for its
+    # three consumers
+    counts = (
+        ev.groupBy("event_type", hour.alias("hour_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
     )
-    types = ev.select("event_type").distinct()
+    bounds = counts.agg(
+        F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1")
+    )
+    types = counts.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.explode(

@@ -559,7 +559,9 @@ def embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point: candidates come from an equi-join on (band, bval),
     never an all-pairs scan."""
     em = table(spark, sf_dir, "embeddings")
-    base = em.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    # base feeds three subtrees (mutation, corpus union, truth pairing)
+    # — persist so embeddings are read+cast once
+    base = em.select("vec_id", as_double(F.col("embedding")).alias("e")).persist()
     mut = base.where(F.col("vec_id") <= 99).select(
         (F.col("vec_id") + _LSH_SEED_OFFSET).alias("vec_id"),
         F.transform(
@@ -591,9 +593,11 @@ def embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("i") % 4 == 2, 2)
         .otherwise(1)
     )
-    bands = bits.groupBy(
-        "vec_id", (F.col("i") / 4).cast("int").alias("band")
-    ).agg(F.sum(F.col("bit") * weight).alias("bval"))
+    bands = (
+        bits.groupBy("vec_id", (F.col("i") / 4).cast("int").alias("band"))
+        .agg(F.sum(F.col("bit") * weight).alias("bval"))
+        .persist()  # both self-join sides; 4 small rows per vector
+    )
     a = bands.where(F.col("vec_id") <= 99).select(
         F.col("vec_id").alias("id_a"), "band", "bval"
     )

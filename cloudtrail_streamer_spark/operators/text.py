@@ -309,14 +309,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same plan).
     """
     d = table(spark, sf_dir, "documents")
+    # carry lang through the explode instead of joining it back — one
+    # fewer scan and no doc_id shuffle for the profile build
     tokens = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
     )
-    lang_term = (
-        tokens.join(d.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    lang_term = tokens.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
     w_prof = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
     profiles = (
         lang_term.withColumn("rn", F.row_number().over(w_prof))
@@ -764,9 +764,12 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("w1"),
         F.lead("tok").over(w).alias("w2"),
     ).where(F.col("w2").isNotNull())
+    # pair_n feeds both the context marginals and the score join —
+    # persist the |vocab²|-bounded aggregate so the tokenize+window
+    # subtree under it runs once, not once per reference
     pair_n = bi.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("n_pair")
-    )
+    ).persist()
     ctx_n = pair_n.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
     bits = -F.log2((F.col("n_pair") + 1) / (F.col("n_ctx") + F.col("v")))
     scored = (
@@ -876,6 +879,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term").isin("join", "vector", "stream"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl"))
+        .persist()  # feeds df_t + the score join; ≤3 rows per matching doc
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = F.log(

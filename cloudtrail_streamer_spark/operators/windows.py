@@ -261,10 +261,14 @@ def win_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-by-event self-join. MIN is tie-safe: determinism needs no
     extra tiebreak (SURVEY §5.3)."""
     ev = table(spark, sf_dir, "events")
+    # s1/s2 each feed two subtrees (the next stage + the final join);
+    # persisted so the plan is the advertised three pushed-filter scans
+    # plus |users|-sized cache re-reads, not six fact scans
     s1 = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .persist()
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
@@ -272,6 +276,7 @@ def win_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .persist()
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")

@@ -490,3 +490,61 @@ def test_interpolation_is_exact_on_observed_and_bounded_between(spark):
         assert r["n_filled"] is not None and r["n_filled"] >= 0
         if r["is_observed"] == 1:
             assert abs(r["n_filled"] - round(r["n_filled"])) < 1e-9, r
+
+
+def _bpe_toks(spark, texts):
+    from cloudtrail_streamer_spark.operators.engine_ext import _bpe_apply, _bpe_best  # noqa: F401
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("p", "tok"),
+    ).select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
+
+
+def test_bpe_merges_hand_corpus(spark):
+    """text_bpe_merges kernel: known corpus, hand-computed merge chain.
+    corpus = [the cat sat, the cat ran, the dog sat] →
+    merge1 (the,cat)×2; after application the tie at count 1 breaks
+    pair-ASC → merge2 (dog,sat); merge3 (the, dog_sat)."""
+    from cloudtrail_streamer_spark.operators.engine_ext import _bpe_apply, _bpe_best
+
+    toks = _bpe_toks(spark, ["the cat sat", "the cat ran", "the dog sat"])
+    b1 = _bpe_best(toks).collect()[0]
+    assert (b1["w1"], b1["w2"], b1["c"]) == ("the", "cat", 2)
+    toks = _bpe_apply(toks, _bpe_best(toks))
+    b2 = _bpe_best(toks).collect()[0]
+    assert (b2["w1"], b2["w2"], b2["c"]) == ("dog", "sat", 1)
+    toks = _bpe_apply(toks, _bpe_best(toks))
+    b3 = _bpe_best(toks).collect()[0]
+    assert (b3["w1"], b3["w2"]) == ("the", "dog_sat")
+
+
+def test_bpe_apply_greedy_nonoverlapping(spark):
+    """'a b a b a' with merge (a,b): both matches apply (non-overlapping
+    since w1 ≠ w2), yielding [a_b, a_b, a]; the next iteration's best
+    pair must then be (a_b, a) — the self-pair (a_b, a_b) is excluded
+    by the w1 ≠ w2 rule."""
+    from cloudtrail_streamer_spark.operators.engine_ext import _bpe_apply, _bpe_best
+
+    toks = _bpe_toks(spark, ["a b a b a"])
+    merged = _bpe_apply(toks, _bpe_best(toks)).orderBy("pos").collect()
+    assert [r["tok"] for r in merged] == ["a_b", "a_b", "a"]
+    b2 = _bpe_best(
+        _bpe_apply(_bpe_toks(spark, ["a b a b a"]), _bpe_best(toks))
+    ).collect()[0]
+    assert (b2["w1"], b2["w2"], b2["c"]) == ("a_b", "a", 1)
+
+
+def test_training_shards_manifest_covers_all_docs(spark):
+    """sink_training_shards: 8 shards, doc counts sum to the corpus
+    size, every token counted exactly once."""
+    rows = all_queries()["sink_training_shards"](spark, SF).collect()
+    assert len(rows) == 8
+    docs = table(spark, SF, "documents")
+    n = docs.count()
+    toks = docs.select(F.sum(F.size(F.split("text", " "))).alias("t")).collect()[0]["t"]
+    assert sum(r["n_docs"] for r in rows) == n
+    assert sum(r["n_tokens"] for r in rows) == toks

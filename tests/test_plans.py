@@ -433,3 +433,32 @@ def test_cohort_ltv_single_scan(spark):
     orders, not the aggregate-plus-self-join double scan."""
     tree = _nodes(spark, "win_cohort_ltv")
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_triangle_count_shared_subtrees_cached(spark):
+    """graph_triangle_count: active/edges/oriented each feed multiple
+    subtrees; without persist the plan compounds to 43 fact scans.
+    The caches must be present (InMemoryTableScan in the tree)."""
+    tree = _nodes(spark, "graph_triangle_count")
+    assert "InMemoryTableScan" in tree, tree
+
+
+def test_minhash_recall_single_shingle_pass(spark):
+    """dedup_minhash_recall: one persisted shingle relation feeds both
+    the LSH candidates and the exact-Jaccard truth set (was 8 scans).
+    NOTE: formatted explain re-prints a cached relation's DEFINING plan
+    (including its parquet scan) under every InMemoryTableScan
+    reference, so scan-count-in-text is meaningless once caches are
+    involved — these tests pin the cache nodes instead; execution
+    computes each cached plan once."""
+    tree = _nodes(spark, "dedup_minhash_recall")
+    assert tree.count("InMemoryTableScan") >= 2, tree
+
+
+def test_gap_fill_cached_hourly_aggregate(spark):
+    """events_gap_fill / events_interpolate_linear: spine bounds, the
+    type dim, and the outer join must all read the persisted hourly
+    aggregate (one fact pass at execution; was three)."""
+    for name in ("events_gap_fill", "events_interpolate_linear"):
+        tree = _nodes(spark, name)
+        assert tree.count("InMemoryTableScan") >= 3, (name, tree)
