@@ -48,7 +48,9 @@ HEADLINE = [
     "tpch_q5_local_supplier",
 ]
 
-N_RUNS = 3
+N_RUNS = 5  # min-of-N; 5 not 3 — the host's periodic external harness
+# inflates individual runs 10-30%, and two extra hot runs (~1 s each)
+# buy materially more stable minima
 
 
 def _sf_of(sf_dir: str) -> str:
