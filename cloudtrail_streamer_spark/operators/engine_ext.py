@@ -3002,3 +3002,71 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_match_recognize — MATCH_RECOGNIZE-lite: regex over event sequences
+# ---------------------------------------------------------------------------
+
+_MATCH_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       regexp_extract(s, 'v+c+p') AS first_match,
+       CAST(len(regexp_replace(s, 'v+c+p', '#', 'g'))
+            - len(replace(regexp_replace(s, 'v+c+p', '#', 'g'), '#', ''))
+         AS BIGINT) AS n_matches
+FROM seq
+ORDER BY user_id
+"""
+
+
+@query("win_match_recognize", oracle=_MATCH_ORACLE, survey_id="B-29-ext")
+def win_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regular-expression patterns over ordered
+    per-user event sequences — the SQL:2016 row-pattern feature Spark
+    lacks, recovered by encoding each user's (ts, event_id)-ordered
+    event-type initials as a string and running the pattern as a plain
+    regex ('v+c+p': a run of views, then clicks, then a purchase —
+    contiguous, the strict MATCH_RECOGNIZE reading). Emits the first
+    match and the non-overlapping match count (regexp semantics are
+    leftmost-earliest in both engines, so counts agree exactly).
+
+    Plan: one groupBy(user) aggregate — the sequence string is built
+    with sort_array over (ts, event_id, letter) structs (total order,
+    §5.3), no window, no self-join; the regex work is row-local on
+    |users| rows. 100 TB shape: state per user is their event-initial
+    string — for bounded sessions this is the standard trick; for
+    unbounded histories you'd sessionize first (win_sessionize) and
+    pattern-match within sessions, which composes with this operator
+    unchanged."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("l")
+                        )
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+            "",
+        ).alias("s"),
+    )
+    marked = F.regexp_replace("s", "v+c+p", "#")
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.regexp_extract("s", "v+c+p", 0).alias("first_match"),
+        (
+            F.length(marked) - F.length(F.regexp_replace(marked, "#", ""))
+        ).cast("long").alias("n_matches"),
+    ).orderBy("user_id")

@@ -548,3 +548,49 @@ def test_training_shards_manifest_covers_all_docs(spark):
     toks = docs.select(F.sum(F.size(F.split("text", " "))).alias("t")).collect()[0]["t"]
     assert sum(r["n_docs"] for r in rows) == n
     assert sum(r["n_tokens"] for r in rows) == toks
+
+
+def test_match_recognize_leftmost_nonoverlapping(spark):
+    """win_match_recognize semantics on a hand sequence: 'vvcpvcpx' has
+    two non-overlapping v+c+p matches, first = 'vvcp'; 'vpc' has none
+    (order matters); greedy + leftmost in both engines."""
+    import datetime
+
+    rows = []
+    for uid, types in [
+        (1, ["view", "view", "click", "purchase", "view", "click", "purchase", "x"]),
+        (2, ["view", "purchase", "click"]),
+    ]:
+        for i, t in enumerate(types):
+            rows.append((i, datetime.datetime(2024, 1, 1, 0, i), uid, t))
+    d = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    seq = d.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("l")
+                        )
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+            "",
+        ).alias("s")
+    )
+    marked = F.regexp_replace("s", "v+c+p", "#")
+    got = {
+        r["user_id"]: (r["m"], r["n"])
+        for r in seq.select(
+            "user_id",
+            F.regexp_extract("s", "v+c+p", 0).alias("m"),
+            (F.length(marked) - F.length(F.regexp_replace(marked, "#", "")))
+            .cast("long")
+            .alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("vvcp", 2)
+    assert got[2] == ("", 0)
