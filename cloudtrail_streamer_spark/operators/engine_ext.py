@@ -3070,3 +3070,63 @@ def win_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(marked) - F.length(F.regexp_replace(marked, "#", ""))
         ).cast("long").alias("n_matches"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# win_touch_attribution — last-touch revenue attribution
+# ---------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY channel
+"""
+
+
+@query("win_touch_attribution", oracle=_ATTRIB_ORACLE, survey_id="B-29-ext")
+def win_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution — the marketing-analytics staple:
+    each purchase's value is credited to the most recent PRIOR view or
+    click by the same user ('direct' when none). One pass: a
+    last-ignore-nulls window frame ending 1 row before current carries
+    the latest touch channel forward — no self-join, no as-of join, and
+    the frame is (ts, event_id)-total-ordered so credit assignment is
+    engine-deterministic. Revenue stays integer cents (§5.3). 100 TB
+    shape: a single user-partitioned sort-window plus a 3-group
+    aggregate; the same plan as win_sessionize, which already proved
+    the shape scales."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )

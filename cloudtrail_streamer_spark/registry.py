@@ -156,7 +156,7 @@ _WINDOW_PRIORITY: list[str] = [
 # win_rolling_zscore, text_decode_ids_roundtrip, dedup_incremental_ingest,
 # sql_order_by_all, win_session_paths, agg_benford_audit,
 # set_intersect_all, text_bpe_merges, sink_training_shards,
-# win_match_recognize —
+# win_match_recognize, win_touch_attribution —
 # all registered and locally green in r3 but
 # without driver rows yet — then back-fill with r1-r3-green ops.
 

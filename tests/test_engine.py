@@ -594,3 +594,13 @@ def test_match_recognize_leftmost_nonoverlapping(spark):
     }
     assert got[1] == ("vvcp", 2)
     assert got[2] == ("", 0)
+
+
+def test_touch_attribution_conserves_purchases(spark):
+    """win_touch_attribution: channels are only view/click/direct, and
+    attributed purchase counts sum to the total purchase count."""
+    rows = all_queries()["win_touch_attribution"](spark, SF).collect()
+    ev = table(spark, SF, "events")
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert {r["channel"] for r in rows} <= {"view", "click", "direct"}
+    assert sum(r["n_purchases"] for r in rows) == n_purch
