@@ -55,110 +55,97 @@ def _load_all() -> None:
 # registration order. Rotate this list each round so that, across rounds,
 # every query lands inside the driver's window.
 #
-# Round 3 (VERDICT r02 "next #2"): front-load the 24 queries that have never
-# received a driver row (registered after r2's window or parked outside it)
-# plus the re-canonicalized embed_quantize_int8 (the only red row anywhere),
-# then this round's new ops, then back-fill with r1/r2-green entries. After
-# this round every registered query should have ≥1 green driver row.
+# Round 4 (VERDICT r03 "next #1/#2"): 104 registered queries have never
+# received a driver row. New-query registration is FROZEN (except the one
+# CBO-stats op mandated by VERDICT #8, parked outside the window) until the
+# backlog drains. This window = the 50 highest-risk unchecked queries:
+# the two replanned this round (pipeline_dedup_e2e upgraded to an H-tier
+# decision-table oracle; sim_search_topk routed through the Arrow kernel),
+# the complex-plan family the judge named, the SQL-parity traps, all 18
+# unchecked TPC-H shapes, and the ops touched by ADVICE fixes.
 _WINDOW_PRIORITY: list[str] = [
-    # -- the 24 never-driver-checked queries (VERDICT r02 missing #1/#2) --
-    "tpch_q3_shipping_priority",
-    "agg_time_bucket",
-    "profile_columns",
-    "scd2_intervals",
-    "text_chunk_documents",
-    "events_gap_fill",
-    "agg_outlier_zscore",
-    "sample_quota_per_source",
-    "split_train_val_test",
-    "scan_csv_roundtrip",
-    "scan_orc_roundtrip",
-    "text_token_count",
-    "text_fingerprint",
-    "text_lang_id",
-    "udf_arrow_batch",
-    "win_sessionize",
-    "source_custom_datasource",
-    "source_kinesis_custom_stream",
-    "sink_kinesis_custom_stream",
-    "dedup_minhash_recall",
-    "layout_cluster_ranges",
-    "stream_agg_update",
-    "stream_custom_state",
-    "stream_stream_join",
-    # -- the one red r2 row, now emitting codes as a joined string --
-    "embed_quantize_int8",
-    # -- new round-3 ops (each needs a first driver row) --
-    "source_corrupt_records",
-    "stream_watermark_late",
-    "stream_dedup_stateful",
-    "sim_ivf_recall",
-    "tpch_q18_large_volume",
-    "text_winnow_fingerprints",
-    "fn_nested_struct",
-    "win_pattern_funnel",
-    "agg_hll_union_sketch",
-    "scan_schema_evolution",
-    "join_range_bucketed",
-    "agg_weighted_quantile",
-    "embed_pq_codebook",
-    "text_dataset_mix",
-    "sink_idempotent_batchid",
-    "events_rate_limit",
-    # -- wave-3 ops (first driver rows) --
-    "multimodal_image_resize",
-    "agg_histogram",
-    "agg_mode_argmax",
-    "fn_interval_arith",
-    "embed_lsh_recall",
+    # -- replanned this round: must re-earn their driver rows --
     "pipeline_dedup_e2e",
-    # -- wave-4 ops (first driver rows) --
-    "sql_tpch_q1",
-    "multimodal_audio_features",
-    "embed_centroid_update",
+    "sim_search_topk",
+    # -- judge-named highest-risk unchecked (VERDICT r03 #2) --
+    "sim_search_arrow_kernel",
+    "sim_index_partition_pruned",
+    "dedup_semantic_ivf",
+    "pipeline_pretrain_e2e",
+    "text_bpe_merges",
+    "udaf_cogrouped_asof",
+    "graph_pagerank_trade",
+    # -- SQL-parity traps --
+    "sql_not_in_nulls",
+    "sql_recursive_cte",
+    "sql_lateral_join",
+    "sql_correlated_subquery",
+    "sql_group_by_all",
+    "sql_distinct_on_first",
+    "sql_order_by_all",
+    # -- all 18 unchecked TPC-H shapes --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_shape",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q20_promo_part_suppliers",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_dormant_customers",
+    # -- ops changed by ADVICE r03 fixes: verify the fix under the driver --
+    "events_cusum_changepoint",
+    "udaf_pandas_grouped_agg",
+    "dq_constraint_suite",
+    "sink_dynamic_partition_overwrite",
+    "scan_nested_pushdown",
+    "sink_training_shards",
+    # -- remaining complex unchecked plans --
+    "feature_pit_join",
+    "pipeline_retrieve_rerank",
+    "win_match_recognize",
+    "win_touch_attribution",
+    "dedup_greedy_survivors",
+    "dedup_incremental_ingest",
+    "text_decode_ids_roundtrip",
+    "text_encode_ids",
+    "join_asof_nearest",
+    "join_asof_tolerance",
 ]
 
-# Round-4 rotation TODO (window was full this round): front-load
+# Round-5 rotation TODO (the 54 unchecked queries that did not fit in r4's
+# window — front-load ALL of these next round, then back-fill with green):
 # layout_zorder_buckets, win_retention_cohort, text_contamination_check,
-# sample_reservoir_weighted, sql_correlated_subquery, fn_string_advanced,
-# source_incremental_checkpoint, sql_recursive_cte, sql_lateral_join,
-# agg_observe_metrics, graph_pagerank_trade, sim_index_partition_pruned,
-# sink_fanout_dual, udaf_cogrouped_asof, join_null_safe,
-# scan_rowgroup_stats, text_perplexity_score, text_heavy_hitters,
-# join_dim_snapshot_asof, win_median_moving, fn_masking_governance,
-# tpch_q9_profit_shape, win_gap_detection, agg_error_rate_daily,
+# sample_reservoir_weighted, fn_string_advanced,
+# source_incremental_checkpoint, agg_observe_metrics, sink_fanout_dual,
+# join_null_safe, scan_rowgroup_stats, text_perplexity_score,
+# text_heavy_hitters, join_dim_snapshot_asof, win_median_moving,
+# fn_masking_governance, win_gap_detection, agg_error_rate_daily,
 # fn_variant_json, agg_theta_sketch_setops, join_bloom_prefilter,
-# pipeline_pretrain_e2e, fn_collation_lcase, text_bm25_topk,
-# fn_try_arithmetic, tpch_q10_returned_items, tpch_q4_order_priority,
-# tpch_q19_disjunctive, text_repetition_filter, sim_search_arrow_kernel,
-# sql_group_by_all, tpch_q14_promo_effect, scan_file_metadata,
-# agg_outlier_mad, udf_arrow_scalar, layout_compact_small_files,
-# tpch_q2_min_cost_supplier, tpch_q6_forecast_revenue,
-# tpch_q7_volume_shipping, tpch_q8_market_share, tpch_q11_important_stock,
-# tpch_q12_late_shipments, tpch_q13_order_distribution,
-# tpch_q15_top_supplier, tpch_q16_supplier_part_counts,
-# tpch_q17_small_qty_revenue, tpch_q20_promo_part_suppliers,
-# tpch_q21_suppliers_waiting, tpch_q22_dormant_customers,
-# mv_incremental_refresh, join_fuzzy_symdelete,
-# events_interpolate_linear, text_encode_ids,
-# sink_dynamic_partition_overwrite, sql_not_in_nulls, agg_regression_ols,
+# fn_collation_lcase, text_bm25_topk, fn_try_arithmetic,
+# text_repetition_filter, scan_file_metadata, agg_outlier_mad,
+# udf_arrow_scalar, layout_compact_small_files, mv_incremental_refresh,
+# join_fuzzy_symdelete, events_interpolate_linear, agg_regression_ols,
 # agg_entropy_peruser, stream_join_static, win_streak_longest,
-# join_asof_tolerance, agg_bitmap_distinct, embed_matryoshka_recall,
-# graph_triangle_count, dq_constraint_suite, agg_moments_exact,
-# fn_timezone_convert, dedup_semantic_ivf, agg_gini_coefficient,
+# agg_bitmap_distinct, embed_matryoshka_recall, graph_triangle_count,
+# agg_moments_exact, fn_timezone_convert, agg_gini_coefficient,
 # win_running_distinct, win_percent_change_yoy, text_pmi_bigrams,
-# events_cusum_changepoint, sql_distinct_on_first, stream_cascade_agg,
-# win_skyline_pareto, pipeline_retrieve_rerank, feature_pit_join,
-# scan_nested_pushdown, text_compression_quality (R),
-# multimodal_image_dhash, pipeline_dataset_card, join_asof_nearest,
-# agg_sample_estimate_ci, udaf_pandas_grouped_agg,
-# dedup_greedy_survivors, win_cohort_ltv, win_markov_transitions,
-# win_rolling_zscore, text_decode_ids_roundtrip, dedup_incremental_ingest,
-# sql_order_by_all, win_session_paths, agg_benford_audit,
-# set_intersect_all, text_bpe_merges, sink_training_shards,
-# win_match_recognize, win_touch_attribution —
-# all registered and locally green in r3 but
-# without driver rows yet — then back-fill with r1-r3-green ops.
+# stream_cascade_agg, win_skyline_pareto, text_compression_quality (R),
+# multimodal_image_dhash, pipeline_dataset_card, agg_sample_estimate_ci,
+# win_cohort_ltv, win_markov_transitions, win_rolling_zscore,
+# win_session_paths, agg_benford_audit, set_intersect_all,
+# sql_tpch_q1 (r3 window but verify it landed), plus the r4-registered
+# agg_cbo_stats op.
+
 
 
 def _ordered() -> list["QuerySpec"]:
