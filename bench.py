@@ -69,6 +69,12 @@ def time_spark(spark, queries, sf_dir: str) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()  # warm: plan + codegen
         best = float("inf")
         for _ in range(N_RUNS):
+            # Drop op-local persisted subtrees so every timed run pays the
+            # true single-execution cost (materialize + reuse), not a
+            # cached re-read — DuckDB recomputes fully each run, so this
+            # keeps the comparison honest (ADVICE r03). Also stops cache
+            # accumulation across the 14 headline queries.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

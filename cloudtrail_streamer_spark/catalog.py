@@ -30,17 +30,20 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# (session id, sf_dir, name) -> DataFrame. Re-reading parquet footers and
-# re-applying runtime confs costs ~50 ms per table() call through py4j —
-# measurable against sub-second queries (BASELINE.md §2).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (application id, sf_dir, name) -> DataFrame. Re-reading parquet footers
+# and re-applying runtime confs costs ~50 ms per table() call through py4j —
+# measurable against sub-second queries (BASELINE.md §2). Keyed by Spark
+# applicationId, not id(spark): CPython reuses object addresses, so a
+# stopped-and-recreated session could alias a dead session's cache entries
+# (VERDICT r03 #7).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table as a DataFrame (footer-read memoized)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -66,6 +69,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
+
+
+def scratch_dir(query_name: str) -> str:
+    """Deterministic per-query scratch directory for write-then-read-back
+    operators (sinks, layout ops). One fixed path per query name, so the
+    bench harness's min-of-N reruns overwrite in place instead of leaking
+    a fresh mkdtemp parquet copy per invocation (ADVICE r03). Callers
+    write with mode("overwrite"), which makes reuse safe."""
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "cts_scratch", query_name)
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:

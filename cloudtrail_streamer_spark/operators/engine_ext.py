@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.catalog import scratch_dir, table
 from cloudtrail_streamer_spark.functions import cents
 from cloudtrail_streamer_spark.registry import query
 
@@ -394,10 +394,9 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     types, filtered counts for rewritten ones) hash-pins the dynamic
     semantics. Conf is set per-write via option(), not session-wide."""
     import os
-    import tempfile
 
     ev = table(spark, sf_dir, "events")
-    out = os.path.join(tempfile.mkdtemp(prefix="cts_dpo_"), "events_parted")
+    out = os.path.join(scratch_dir("sink_dynamic_partition_overwrite"), "events_parted")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     rewritten = ev.where(
         F.col("event_type").isin("click", "error") & (F.col("value") > 2.0)
@@ -964,8 +963,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DQ_ORACLE = """
 SELECT * FROM (
   SELECT 'events_props_json_shape' AS check_name,
+         -- json_extract_string, not json_extract: the latter returns the
+         -- non-NULL JSON 'null' value for {"k": null} while Spark's
+         -- get_json_object returns SQL NULL — the text-typed extraction
+         -- maps JSON null -> SQL NULL on both engines (ADVICE r03)
          (SELECT COUNT(*) FROM events
-          WHERE json_extract(props, '$.k') IS NULL) AS n_violations
+          WHERE json_extract_string(props, '$.k') IS NULL) AS n_violations
   UNION ALL
   SELECT 'lineitem_qty_range',
          (SELECT COUNT(*) FROM lineitem
@@ -1550,7 +1553,7 @@ walk AS (
 SELECT d AS change_day, round(cusum, 4) AS cusum_peak,
        CAST(n_err AS BIGINT) AS n_err_that_day
 FROM walk
-ORDER BY abs(cusum) DESC, d
+ORDER BY abs(round(cusum, 4)) DESC, d
 LIMIT 1
 """
 
@@ -1566,7 +1569,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_interpolate_linear); expected rates come from a broadcast
     1-row total. Counts are exact; each cusum value is a prefix fold
     in d-order on BOTH engines — same addition order, so round(4)
-    is safe — and the argmax is total-ordered by (|cusum| desc, d)."""
+    is safe — and the argmax is total-ordered by (|round(cusum,4)| desc,
+    d), the rounding applied symmetrically on BOTH engines (ADVICE r03:
+    an asymmetric round can pick a different argmax on 4dp ties)."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
@@ -1876,7 +1881,6 @@ def scan_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states the same result over the flat source, pinning that
     nesting is a pure layout change, not a semantic one."""
     import os
-    import tempfile
 
     ev = table(spark, sf_dir, "events")
     nested = ev.select(
@@ -1884,7 +1888,7 @@ def scan_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("user_id", "event_type").alias("meta"),
         F.struct("ts", "value", "props").alias("payload"),
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="cts_nested_"), "events_nested")
+    out = os.path.join(scratch_dir("scan_nested_pushdown"), "events_nested")
     nested.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return (
@@ -2174,7 +2178,15 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def sum_cents_udaf(v: pd.Series) -> int:
-        return int((v * 100).round().astype("int64").sum())
+        # half-away-from-zero, matching the shared cents() helper and the
+        # oracle's round() — NOT Series.round(), whose banker's
+        # half-to-even diverges by one cent on exact .5 ties (ADVICE r03)
+        import numpy as np
+
+        scaled = (v * 100).to_numpy()
+        return int(
+            (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype("int64").sum()
+        )
 
     @pandas_udf("long")
     def count_udaf(v: pd.Series) -> int:
@@ -2981,12 +2993,11 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest is one partial+final aggregate over the written data, the
     same pass a validation job runs before training starts."""
     import os
-    import tempfile
 
     d = table(spark, sf_dir, "documents").withColumn(
         "shard_id", (F.col("doc_id") % 8).cast("long")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="cts_shards_"), "corpus")
+    out = os.path.join(scratch_dir("sink_training_shards"), "corpus")
     d.write.mode("overwrite").partitionBy("shard_id").parquet(out)
     back = spark.read.parquet(out)
     return (

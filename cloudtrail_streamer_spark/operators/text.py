@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.catalog import scratch_dir, table
 from cloudtrail_streamer_spark.registry import query
 
 _DEDUP_EXACT_ORACLE = """
@@ -211,11 +211,10 @@ def multimodal_binary_col(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload columns (see operators/multimodal.py for the decode path).
     """
     import os
-    import tempfile
 
     d = table(spark, sf_dir, "documents")
     bin_df = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    out = os.path.join(tempfile.mkdtemp(prefix="cts_bin_"), "docs_binary")
+    out = os.path.join(scratch_dir("multimodal_binary_col"), "docs_binary")
     bin_df.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.select(

@@ -37,6 +37,9 @@ def main() -> int:
     failed = []
     for name, fn in sorted(qs.items()):
         sdf = fn(spark, sf_dir).toPandas()
+        # op-local persists otherwise accumulate across ~250 queries in
+        # this long-lived session (ADVICE r03: memory pressure + LRU churn)
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"{name:32s} rows {len(sdf):>8} (R-tier, rows-only)")
             continue
