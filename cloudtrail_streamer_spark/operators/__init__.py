@@ -13,6 +13,7 @@ from cloudtrail_streamer_spark.operators import (  # noqa: F401
     scans,
     similarity,
     sorts_sets,
+    stats_ops,
     tpch,
     tpch2,
     text,

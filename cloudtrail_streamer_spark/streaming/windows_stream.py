@@ -127,12 +127,24 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-hour watermark their windows have already been finalized when they
     arrive, so append-mode drops them.
 
-    Returns a ONE-ROW semantic certificate (n_windows, n_on_time,
-    n_source, n_late_dropped) rather than the per-window detail, so the
-    driver's rows-only record itself proves late-drop happened
-    (VERDICT r02 next-#7): n_on_time < n_source and
-    n_on_time + n_late_dropped == n_source by construction. Per-window
-    detail remains asserted in tests/test_streaming.py."""
+    Returns the PER-WINDOW certificate table (VERDICT r03 #6), one row
+    per source 1-hour window: (window_start, n_emitted, n_on_time,
+    n_source_window, n_dropped). n_on_time (rows with
+    event_id % 100 >= 5 — the deterministic hold-back rule) and
+    n_source_window are recomputable in DuckDB exactly
+    (tests/test_streaming.py does); n_emitted is what the watermarked
+    stream actually emitted for the window (summed across emissions).
+
+    The certificate encodes Spark's DOCUMENTED watermark contract,
+    which is one-sided: data later than the watermark is not
+    GUARANTEED to be aggregated — but dropping is best-effort, so a
+    too-late row can still be admitted (observed: a window whose rows
+    are all held back is sometimes re-created and emitted when its
+    batch lands near the watermark frontier). The invariants the test
+    pins are therefore bounds, not equalities: per window
+    n_on_time <= n_emitted + (tail windows never finalized) and
+    n_emitted <= n_source_window; globally most windows emit exactly
+    their on-time rows and the total late-drop count is positive."""
     replay = harness.write_replay_files(spark, sf_dir, hold_back_pct=5)
     stream = harness.read_replay_stream(spark, replay)
     agg = (
@@ -143,18 +155,31 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"wm_late_{uuid.uuid4().hex[:8]}"
     accepted = harness.run_stream_to_memory(agg, name, output_mode="append")
-    acc = accepted.agg(
-        F.count(F.lit(1)).cast("long").alias("n_windows"),
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_on_time"),
+    emitted = accepted.groupBy("window_start").agg(
+        F.sum("n").cast("long").alias("n_emitted")
     )
-    src = table(spark, sf_dir, "events").agg(
-        F.count(F.lit(1)).cast("long").alias("n_source")
+    src_w = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_source_window"),
+            F.sum((F.col("event_id") % 100 >= 5).cast("long"))
+            .cast("long")
+            .alias("n_on_time"),
+        )
     )
-    return acc.crossJoin(F.broadcast(src)).select(
-        "n_windows",
-        "n_on_time",
-        "n_source",
-        (F.col("n_source") - F.col("n_on_time")).alias("n_late_dropped"),
+    return (
+        src_w.join(emitted, "window_start", "left")
+        .select(
+            "window_start",
+            F.coalesce("n_emitted", F.lit(0)).cast("long").alias("n_emitted"),
+            "n_on_time",
+            "n_source_window",
+            (
+                F.col("n_source_window") - F.coalesce("n_emitted", F.lit(0))
+            ).cast("long").alias("n_dropped"),
+        )
+        .orderBy("window_start")
     )
 
 
@@ -165,9 +190,14 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark (the at-least-once → effectively-once upgrade of the
     reference's retry semantics, A-9).
 
-    Output carries the semantic per driver row (VERDICT r02 next-#7):
-    per event_type, (n, n_input, n_source) with n == n_source < n_input —
-    the duplicated replay input collapsed back to exactly the source."""
+    Output is the per-(event_type, day) certificate table (VERDICT r03
+    #6): (event_type, day, n_delivered, n_input, n_source) with
+    n_delivered == n_source on every row and n_input == 2 * n_source
+    exactly on days whose successor day exists (the duplication rule
+    re-emits day-d rows — original ts, next file — iff file d+1
+    exists; grouped by ts-day that doubles day d) — all three columns
+    independently recomputable in DuckDB from the events table and the
+    replay rule, asserted in tests/test_streaming.py."""
     replay = harness.write_replay_files(spark, sf_dir, duplicate=True)
     stream = harness.read_replay_stream(spark, replay)
     deduped = stream.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(
@@ -175,21 +205,26 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     out = harness.run_stream_to_memory(deduped, name, output_mode="append")
-    delivered = out.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
+    day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")).cast("long")
+    delivered = out.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_delivered"))
     n_input = (
         spark.read.schema(harness.EVENTS_SCHEMA)
         .json(replay)
-        .groupBy("event_type")
+        .groupBy("event_type", day.alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_input"))
     )
     n_source = (
         table(spark, sf_dir, "events")
-        .groupBy("event_type")
+        .groupBy("event_type", day.alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_source"))
     )
-    return delivered.join(n_input, "event_type").join(n_source, "event_type")
+    return (
+        delivered.join(n_input, ["event_type", "day"])
+        .join(n_source, ["event_type", "day"])
+        .orderBy("event_type", "day")
+    )
 
 
 @query("stream_agg_update", survey_id="B-50")  # Tier R: replay harness
@@ -198,7 +233,13 @@ def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The memory sink receives one row per (user, micro-batch) update; the
     LAST update per user is the final state and equals the batch GROUP BY
-    (asserted in tests/test_streaming.py). Returns the final state.
+    (asserted in tests/test_streaming.py). Returns the final state PLUS
+    n_updates — how many micro-batch updates the sink observed for the
+    user (VERDICT r03 #6). Because the replay is one day-file per
+    trigger, n_updates == the number of distinct event days per user,
+    which DuckDB recomputes directly from the events table
+    (tests/test_streaming.py asserts it): the state-update cadence
+    itself is certified, not just the final fixpoint.
     """
     replay = harness.write_replay_files(spark, sf_dir)
     stream = harness.read_replay_stream(spark, replay)
@@ -215,8 +256,14 @@ def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         updates.withColumn("rn", w_latest)
+        .withColumn(
+            "n_updates", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
         .where(F.col("rn") == 1)
-        .select("user_id", "n", "total_value")
+        .select(
+            "user_id", "n", "total_value", F.col("n_updates").cast("long").alias("n_updates")
+        )
+        .orderBy("user_id")
     )
 
 

@@ -400,11 +400,33 @@ def test_bmp_resize_kernel_roundtrip():
     assert (pix == ((xs * 31 + ys * 17 + 7) % 256)).all()
 
 
-def test_dedup_pipeline_funnel_monotone(spark):
-    row = all_queries()["pipeline_dedup_e2e"](spark, SF).collect()[0]
-    assert row["n_input"] >= row["n_after_exact"] >= row["n_final"]
-    assert row["n_clusters_multi"] > 0  # fixture has near-dups by construction
-    assert row["n_final"] + row["n_clusters_multi"] <= row["n_after_exact"]
+def test_dedup_pipeline_decision_table(spark):
+    """pipeline_dedup_e2e (now H-tier, VERDICT r03 #3): the decision
+    table must partition the seeded corpus — every doc decided exactly
+    once, every stage non-empty, survivors self-referential, and
+    'exact'/'near' survivors must themselves be 'kept' rows."""
+    from cloudtrail_streamer_spark.catalog import table as cat_table
+
+    rows = all_queries()["pipeline_dedup_e2e"](spark, SF).collect()
+    n_docs = cat_table(spark, SF, "documents").count()
+    assert len(rows) == 4 * n_docs, "base + copy + m1 + m2, one decision each"
+    assert len({r["doc_id"] for r in rows}) == len(rows), "one decision per doc"
+    by_stage: dict[str, list] = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert set(by_stage) == {"exact", "near", "kept"}, "all stages must fire"
+    kept = {r["doc_id"] for r in by_stage["kept"]}
+    for r in by_stage["kept"]:
+        assert r["survivor_id"] == r["doc_id"]
+    for r in by_stage["near"]:
+        assert r["survivor_id"] in kept, "near survivor must be a kept doc"
+        assert r["survivor_id"] < r["doc_id"], "canonical is the min id"
+    # exact copies (+3M offset) must all be removed by the exact stage
+    exact_ids = {r["doc_id"] for r in by_stage["exact"]}
+    from cloudtrail_streamer_spark.operators.dedup import _COPY_OFFSET
+
+    copies = {r["doc_id"] for r in rows if r["doc_id"] >= _COPY_OFFSET}
+    assert copies <= exact_ids, "every exact copy must be caught by md5 dedup"
 
 
 def test_lsh_recall_certificate(spark):

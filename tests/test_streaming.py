@@ -39,24 +39,90 @@ def test_stream_tumbling_batch_equivalence(spark):
 
 
 def test_watermark_drops_late(spark):
-    row = all_queries()["stream_watermark_late"](spark, SF).collect()[0]
-    assert row["n_source"] == _events_count(spark)
-    assert row["n_late_dropped"] > 0, "late rows beyond the watermark must be dropped"
-    assert row["n_on_time"] + row["n_late_dropped"] == row["n_source"]
-    assert row["n_on_time"] > row["n_source"] * 0.80, "only the held-back tail should drop"
+    """Per-window certificate: n_on_time matches the DuckDB recompute
+    exactly; emission obeys the one-sided watermark bounds (dropping is
+    best-effort in Spark — see the op docstring); late rows drop in
+    aggregate (VERDICT r03 #6)."""
+    import duckdb
+
+    rows = all_queries()["stream_watermark_late"](spark, SF).collect()
+    assert len(rows) > 1, "certificate must be a per-window table"
+    con = duckdb.connect()
+    exp = {
+        w: (on_time, total)
+        for w, on_time, total in con.execute(
+            f"""
+            SELECT date_trunc('hour', ts) AS w,
+                   COUNT(*) FILTER (WHERE event_id % 100 >= 5),
+                   COUNT(*)
+            FROM read_parquet('{SF}/events.parquet')
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert {r["window_start"] for r in rows} == set(exp)
+    # final watermark = global max ts - 1h; windows ending after it are
+    # never finalized in append mode and legitimately emit nothing
+    import datetime
+
+    max_ts = con.execute(
+        f"SELECT MAX(ts) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    final_wm = max_ts - datetime.timedelta(hours=1)
+    n_exact = 0
+    for r in rows:
+        on_time, total = exp[r["window_start"]]
+        assert r["n_on_time"] == on_time, "expected column must match DuckDB"
+        assert r["n_source_window"] == total
+        assert r["n_emitted"] + r["n_dropped"] == total
+        assert r["n_emitted"] <= total
+        if r["window_start"] + datetime.timedelta(hours=1) <= final_wm:
+            assert r["n_emitted"] >= on_time, "on-time rows must be aggregated"
+        n_exact += int(r["n_emitted"] == on_time)
+    assert sum(r["n_dropped"] for r in rows) > 0, "late rows must drop in aggregate"
+    assert n_exact >= len(rows) * 0.9, "best-effort drop should usually succeed"
 
 
 def test_stateful_dedup_restores_source(spark):
+    """Per-(event_type, day) certificate: n_delivered == n_source
+    everywhere, and n_input doubles exactly where the next day-file
+    exists — both recomputable in DuckDB (VERDICT r03 #6)."""
+    import duckdb
+
     rows = all_queries()["stream_dedup_stateful"](spark, SF).collect()
-    assert sum(r["n"] for r in rows) == _events_count(spark), (
+    con = duckdb.connect()
+    src = {
+        (t, d): n
+        for t, d, n in con.execute(
+            f"""
+            SELECT event_type,
+                   datediff('day', TIMESTAMP '2024-01-01', ts) AS day, COUNT(*)
+            FROM read_parquet('{SF}/events.parquet')
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    days = {d for (_t, d) in src}
+    assert sum(r["n_delivered"] for r in rows) == _events_count(spark), (
         "adjacent-file duplicates must be dropped"
     )
+    assert {(r["event_type"], r["day"]) for r in rows} == set(src)
     for r in rows:
-        assert r["n"] == r["n_source"], f"{r['event_type']}: dedup must restore source"
-        assert r["n_input"] > r["n"], f"{r['event_type']}: replay must contain dupes"
+        key = (r["event_type"], r["day"])
+        assert r["n_delivered"] == r["n_source"] == src[key]
+        # replay rule: day-d rows are re-emitted (with their original ts,
+        # into file d+1) iff day d+1 exists — so grouped by ts-day the
+        # input count is EXACTLY doubled there and untouched elsewhere
+        expect_input = src[key] * 2 if r["day"] + 1 in days else src[key]
+        assert r["n_input"] == expect_input, f"{key}: input must be {expect_input}"
 
 
 def test_update_mode_final_state_equals_batch(spark):
+    """Final state equals the batch GROUP BY, and n_updates equals the
+    per-user distinct-day count (one day-file per trigger), recomputed
+    in DuckDB (VERDICT r03 #6)."""
+    import duckdb
+
     out = all_queries()["stream_agg_update"](spark, SF)
     batch = (
         table(spark, SF, "events")
@@ -66,6 +132,18 @@ def test_update_mode_final_state_equals_batch(spark):
     )
     got = {r["user_id"]: r["n"] for r in out.collect()}
     assert got == {r["user_id"]: r["n"] for r in batch}
+    con = duckdb.connect()
+    exp_updates = dict(
+        con.execute(
+            f"""
+            SELECT user_id, COUNT(DISTINCT date_trunc('day', ts))
+            FROM read_parquet('{SF}/events.parquet')
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    upd = {r["user_id"]: r["n_updates"] for r in out.collect()}
+    assert upd == exp_updates, "update cadence must be one per day-file per user"
 
 
 def test_kinesis_sink_delivers_all(spark):
