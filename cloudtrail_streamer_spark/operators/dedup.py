@@ -12,9 +12,13 @@ and SimHash reduce near-dup search to an equi-join on a bucket key
 and each task compares only within-bucket candidates. The exact-Jaccard
 verification then runs on the (tiny) candidate set.
 
-DuckDB has no xxhash64, so the hash-based ops are Tier R (driver
-rows-only); their recall/containment properties are asserted in
-tests/test_engine.py instead (exact duplicates MUST collide).
+DuckDB has no xxhash64, so the xxhash-based ops (minhash/simhash
+candidates, recall gates) are Tier R (driver rows-only); their
+recall/containment properties are asserted in tests/test_engine.py
+instead (exact duplicates MUST collide). The fused pipeline
+(``pipeline_dedup_e2e``) is Tier H since r4: it runs the same LSH on
+md5-prefix hashes, which BOTH engines compute identically, so the
+end-to-end decision table hash-matches a DuckDB mirror.
 """
 
 from __future__ import annotations

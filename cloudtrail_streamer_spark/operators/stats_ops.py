@@ -111,16 +111,22 @@ def agg_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(v).cast("long").alias(f"{col}__max_v"),
             ]
         wide = df.agg(*aggs)
-        for col, _kind in cols:
-            outs.append(
-                wide.select(
-                    F.lit(tbl).alias("table_name"),
-                    F.lit(col).alias("column_name"),
-                    F.col(f"{col}__n_rows").alias("n_rows"),
-                    F.col(f"{col}__n_distinct").alias("n_distinct"),
-                    F.col(f"{col}__n_nulls").alias("n_nulls"),
-                    F.col(f"{col}__min_v").alias("min_v"),
-                    F.col(f"{col}__max_v").alias("max_v"),
-                )
+        # ONE select over the 1-row wide agg, unpivoted with stack():
+        # a per-column wide.select(...) each would re-expand the agg
+        # subtree — Catalyst does not dedupe — and scan the table once
+        # per column (caught by tools/scan_sweep.py in r4).
+        stack_args = ", ".join(
+            f"'{col}', {col}__n_rows, {col}__n_distinct, {col}__n_nulls, "
+            f"{col}__min_v, {col}__max_v"
+            for col, _kind in cols
+        )
+        outs.append(
+            wide.select(
+                F.lit(tbl).alias("table_name"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args}) AS "
+                    "(column_name, n_rows, n_distinct, n_nulls, min_v, max_v)"
+                ),
             )
+        )
     return reduce(DataFrame.unionByName, outs).orderBy("table_name", "column_name")

@@ -152,15 +152,20 @@ def run_stream_to_memory(
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the sink contents as a batch DataFrame."""
     spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"cts_ckpt_{name}_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"cts_ckpt_{name}_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
+    # the memory sink holds its rows on the driver; once the query has
+    # terminated the checkpoint is dead weight (ADVICE r03 disk-hygiene
+    # theme — harness runs leak one checkpoint dir per invocation)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -462,3 +462,34 @@ def test_gap_fill_cached_hourly_aggregate(spark):
     for name in ("events_gap_fill", "events_interpolate_linear"):
         tree = _nodes(spark, name)
         assert tree.count("InMemoryTableScan") >= 3, (name, tree)
+
+
+def test_sim_topk_cost_based_routing(spark):
+    """sim_search_topk must pick the codegen SQL plan below the kernel
+    crossover (the fixture is 500 vectors) — no Python in the plan —
+    while sim_search_arrow_kernel always plans the Arrow block kernel
+    (FlatMapGroupsInPandas)."""
+    routed = _nodes(spark, "sim_search_topk")
+    assert "FlatMapGroupsInPandas" not in routed
+    assert "BroadcastExchange" in routed  # probes broadcast in the SQL plan
+    forced = _nodes(spark, "sim_search_arrow_kernel")
+    assert "FlatMapGroupsInPandas" in forced
+
+
+def test_cbo_stats_single_scan_per_table(spark):
+    """agg_cbo_stats unpivots each table's 1-row wide aggregate with
+    stack(); a per-column select would re-expand the agg subtree and
+    scan the table once per column (r4 scan-sweep catch)."""
+    plan = _plan(spark, "agg_cbo_stats")
+    for t in ("orders", "lineitem", "customer", "events"):
+        assert plan.count(f"{t}.parquet") == 1, f"{t} must be scanned exactly once"
+
+
+def test_dedup_pipeline_caches_shared_stages(spark):
+    """pipeline_dedup_e2e persists the three relations referenced by
+    multiple subtrees (exact-tagged corpus, shingles, bands); the plan
+    must read them via InMemoryTableScan rather than re-expanding the
+    corpus scan per reference."""
+    plan = _nodes(spark, "pipeline_dedup_e2e")
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
