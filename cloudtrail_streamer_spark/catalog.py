@@ -72,14 +72,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def scratch_dir(query_name: str) -> str:
-    """Deterministic per-query scratch directory for write-then-read-back
-    operators (sinks, layout ops). One fixed path per query name, so the
-    bench harness's min-of-N reruns overwrite in place instead of leaking
-    a fresh mkdtemp parquet copy per invocation (ADVICE r03). Callers
-    write with mode("overwrite"), which makes reuse safe."""
+    """Per-(process, query) scratch directory for write-then-read-back
+    operators (sinks, layout ops). Fixed WITHIN a process, so the bench
+    harness's min-of-N reruns overwrite in place instead of leaking a
+    fresh mkdtemp parquet copy per invocation (ADVICE r03); scoped BY
+    process id because two engine processes sharing one deterministic
+    path race overwrite-against-read (observed in the r4 cross-scale
+    drive: a concurrent driver-sim clobbered sim_index_partition_pruned's
+    index mid-read). The whole per-pid root is removed at interpreter
+    exit. Callers write with mode("overwrite"), which makes reuse safe."""
+    import atexit
+    import shutil
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "cts_scratch", query_name)
+    pid_root = os.path.join(tempfile.gettempdir(), "cts_scratch", str(os.getpid()))
+    if not os.path.isdir(pid_root):
+        os.makedirs(pid_root, exist_ok=True)
+        atexit.register(shutil.rmtree, pid_root, ignore_errors=True)
+    root = os.path.join(pid_root, query_name)
     os.makedirs(root, exist_ok=True)
     return root
 

