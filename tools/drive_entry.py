@@ -18,7 +18,12 @@ from tests.conftest import assert_frames_match, register_duckdb_views
 
 
 def main() -> int:
+    """Usage: drive_entry.py [sf_dir] [query_name ...]
+
+    With query names, checks only those (fast iteration on a changed
+    op); the no-args form is the full 250-query gate."""
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    subset = set(sys.argv[2:])
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -32,6 +37,12 @@ def main() -> int:
     assert len(rows) >= 1
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if subset:
+        unknown = subset - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
+        qs = {n: qs[n] for n in subset}
     con = duckdb.connect()
     register_duckdb_views(con, sf_dir)
     failed = []
