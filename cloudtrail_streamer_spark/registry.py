@@ -122,29 +122,72 @@ _WINDOW_PRIORITY: list[str] = [
     "join_asof_tolerance",
 ]
 
-# Round-5 rotation TODO (the 54 unchecked queries that did not fit in r4's
-# window — front-load ALL of these next round, then back-fill with green):
-# layout_zorder_buckets, win_retention_cohort, text_contamination_check,
-# sample_reservoir_weighted, fn_string_advanced,
-# source_incremental_checkpoint, agg_observe_metrics, sink_fanout_dual,
-# join_null_safe, scan_rowgroup_stats, text_perplexity_score,
-# text_heavy_hitters, join_dim_snapshot_asof, win_median_moving,
-# fn_masking_governance, win_gap_detection, agg_error_rate_daily,
-# fn_variant_json, agg_theta_sketch_setops, join_bloom_prefilter,
-# fn_collation_lcase, text_bm25_topk, fn_try_arithmetic,
-# text_repetition_filter, scan_file_metadata, agg_outlier_mad,
-# udf_arrow_scalar, layout_compact_small_files, mv_incremental_refresh,
-# join_fuzzy_symdelete, events_interpolate_linear, agg_regression_ols,
-# agg_entropy_peruser, stream_join_static, win_streak_longest,
-# agg_bitmap_distinct, embed_matryoshka_recall, graph_triangle_count,
-# agg_moments_exact, fn_timezone_convert, agg_gini_coefficient,
-# win_running_distinct, win_percent_change_yoy, text_pmi_bigrams,
-# stream_cascade_agg, win_skyline_pareto, text_compression_quality (R),
-# multimodal_image_dhash, pipeline_dataset_card, agg_sample_estimate_ci,
-# win_cohort_ltv, win_markov_transitions, win_rolling_zscore,
-# win_session_paths, agg_benford_audit, set_intersect_all,
-# sql_tpch_q1 (r3 window but verify it landed), plus the r4-registered
-# agg_cbo_stats op.
+# Round-5 rotation: the 57 queries still without a driver row after
+# r4's window (the r4 leftovers + the one op registered this round,
+# agg_cbo_stats). At the next rotation, REPLACE _WINDOW_PRIORITY's first
+# 50 entries with the first 50 of this list (the remainder go to r6),
+# then back-fill with green names. tests/test_engine.py validates that
+# every name here is registered and that the union of window + staged
+# covers every query that lacks a driver row.
+_R5_STAGED: list[str] = [
+    "layout_zorder_buckets",
+    "win_retention_cohort",
+    "text_contamination_check",
+    "sample_reservoir_weighted",
+    "fn_string_advanced",
+    "source_incremental_checkpoint",
+    "agg_observe_metrics",
+    "sink_fanout_dual",
+    "join_null_safe",
+    "scan_rowgroup_stats",
+    "text_perplexity_score",
+    "text_heavy_hitters",
+    "join_dim_snapshot_asof",
+    "win_median_moving",
+    "fn_masking_governance",
+    "win_gap_detection",
+    "agg_error_rate_daily",
+    "fn_variant_json",
+    "agg_theta_sketch_setops",
+    "join_bloom_prefilter",
+    "fn_collation_lcase",
+    "text_bm25_topk",
+    "fn_try_arithmetic",
+    "text_repetition_filter",
+    "scan_file_metadata",
+    "agg_outlier_mad",
+    "udf_arrow_scalar",
+    "layout_compact_small_files",
+    "mv_incremental_refresh",
+    "join_fuzzy_symdelete",
+    "events_interpolate_linear",
+    "agg_regression_ols",
+    "agg_entropy_peruser",
+    "stream_join_static",
+    "win_streak_longest",
+    "agg_bitmap_distinct",
+    "embed_matryoshka_recall",
+    "graph_triangle_count",
+    "agg_moments_exact",
+    "fn_timezone_convert",
+    "agg_gini_coefficient",
+    "win_running_distinct",
+    "win_percent_change_yoy",
+    "text_pmi_bigrams",
+    "stream_cascade_agg",
+    "win_skyline_pareto",
+    "text_compression_quality",
+    "multimodal_image_dhash",
+    "pipeline_dataset_card",
+    "agg_sample_estimate_ci",
+    "win_cohort_ltv",
+    "win_markov_transitions",
+    "win_rolling_zscore",
+    "win_session_paths",
+    "agg_benford_audit",
+    "set_intersect_all",
+    "agg_cbo_stats",
+]
 
 
 

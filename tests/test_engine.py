@@ -626,3 +626,33 @@ def test_touch_attribution_conserves_purchases(spark):
     n_purch = ev.where(F.col("event_type") == "purchase").count()
     assert {r["channel"] for r in rows} <= {"view", "click", "direct"}
     assert sum(r["n_purchases"] for r in rows) == n_purch
+
+
+def test_r5_staged_covers_unchecked_queries():
+    """The staged r5 rotation must (a) name only registered queries,
+    (b) together with the current window cover EVERY query lacking a
+    driver row across CORRECTNESS_r01..r03, with no overlap — so the
+    next rotation is mechanical and cannot waste driver slots."""
+    import json
+    import os
+
+    import cloudtrail_streamer_spark.registry as R
+
+    R._load_all()
+    staged, window = set(R._R5_STAGED), set(R._WINDOW_PRIORITY)
+    missing = staged - set(R._REGISTRY)
+    assert not missing, f"staged names not registered: {sorted(missing)}"
+    assert not (staged & window), "staged/window overlap wastes slots"
+    checked = set()
+    for f in sorted(os.listdir("/root/repo")):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            checked.update(json.load(open(os.path.join("/root/repo", f))).keys())
+    unchecked = set(R._REGISTRY) - checked
+    assert unchecked <= window | staged, (
+        f"every unchecked query needs a slot; "
+        f"missing={sorted(unchecked - (window | staged))}"
+    )
+    # staged slots must not be spent on already-verified queries (the
+    # window MAY re-verify green queries whose plans changed — r4 does
+    # for the replanned dedup pipeline and sim kernel routing)
+    assert not (staged & checked), f"staged but already green: {sorted(staged & checked)}"
