@@ -889,7 +889,15 @@ def _topk_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     em = table(spark, sf_dir, "embeddings")
-    n_blocks = 8
+    # Block count scales with the candidate table (stats tier, O(1)
+    # metadata): ~64k vectors per block keeps each applyInPandas group's
+    # Arrow batch bounded (~tens of MB at typical dims) instead of
+    # loading a fixed 1/8th of an arbitrarily large corpus into one
+    # Python worker; floor of 8 keeps local[32] busy at small scale.
+    from cloudtrail_streamer_spark.stats import row_count
+
+    n = row_count(sf_dir, "embeddings")
+    n_blocks = max(8, -(-n // 65536)) if n > 0 else 8
     cand = em.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cand_emb"),
