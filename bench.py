@@ -52,19 +52,34 @@ N_RUNS = 5  # min-of-N; 5 not 3 — the host's periodic external harness
 # inflates individual runs 10-30%, and two extra hot runs (~1 s each)
 # buy materially more stable minima
 
+# The marginal-clean subset (VERDICT r04 #5): queries whose sf0.01->0.1
+# deltas are far above timing noise, re-timed at sf1 (a locally derived
+# 10x replication of sf0.1 — tools/make_sf1.py) so the per-row marginal
+# fit spans two decades and the 3-6x "marginal" entries with sub-100 ms
+# deltas stop polluting the scaling table.
+SF1_QUERIES = [
+    "scan_pruned",
+    "agg_group_q1",
+    "join_inner_hash",
+    "join_asof",
+    "text_tfidf",
+    "dedup_exact",
+    "tpch_q3_shipping_priority",
+]
+
 
 def _sf_of(sf_dir: str) -> str:
     return sf_dir.rstrip("/").split("sf")[-1]
 
 
-def time_spark(spark, queries, sf_dir: str) -> dict[str, float]:
+def time_spark(spark, queries, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     """Min-of-N hot wall-clock per headline query, full materialization
     via the noop sink (no driver collect). Each query runs once untimed
     first so plan analysis + whole-stage-codegen compile are amortized —
     min, not mean, because the host runs a periodic external harness
     whose CPU spikes can inflate any single run 10-30×."""
     out: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names or HEADLINE:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: plan + codegen
         best = float("inf")
@@ -152,7 +167,7 @@ def time_duckdb_batched(oracles, sf_dir: str) -> float | None:
     return round(best, 3)
 
 
-def time_duckdb(oracles, sf_dir: str) -> dict[str, float]:
+def time_duckdb(oracles, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     """Same warm + min-of-N protocol for the DuckDB oracle SQL."""
     out: dict[str, float] = {}
     try:
@@ -167,7 +182,7 @@ def time_duckdb(oracles, sf_dir: str) -> dict[str, float]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    for name in HEADLINE:
+    for name in names or HEADLINE:
         if name not in oracles:
             continue
         con.execute(oracles[name]).fetchall()  # warm (same protocol)
@@ -341,6 +356,26 @@ def main() -> None:
             dd = per_sf[hi]["duckdb"][n] - per_sf[lo]["duckdb"][n]
             marginal_ratio[n] = round(ds / dd, 2) if dd > 0.001 else None
 
+    # One more decade for the marginal-clean queries (VERDICT r04 #5):
+    # sf0.1 → sf1 (10× again, locally derived — tools/make_sf1.py). The
+    # sf1 deltas are seconds, not tens of ms, so this marginal ratio is
+    # the noise-proof per-row comparison. Skippable: SPARK_GRAFT_SF1=0.
+    marginal_sf1: dict[str, float | None] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
+        from tools.make_sf1 import ensure_sf1
+
+        sf1_dir = ensure_sf1()
+        if sf1_dir:
+            sf1_spark = time_spark(spark, queries, sf1_dir, SF1_QUERIES)
+            sf1_duck = time_duckdb(oracles, sf1_dir, SF1_QUERIES)
+            per_sf["1"] = {"spark": sf1_spark, "duckdb": sf1_duck}
+            for n in SF1_QUERIES:
+                if n not in sf1_duck:
+                    continue
+                ds = sf1_spark[n] - spark_times.get(n, 0.0)
+                dd = sf1_duck[n] - duck_times.get(n, 0.0)
+                marginal_sf1[n] = round(ds / dd, 2) if dd > 0.001 else None
+
     detail = {
         "metric": "headline_queries_wall_clock",
         "value": round(sum(spark_times.values()), 3),
@@ -354,6 +389,7 @@ def main() -> None:
         "duckdb_batched_wall_clock_sec": duck_batched,
         "per_sf": per_sf,
         "marginal_ratio": marginal_ratio,
+        "marginal_ratio_sf1": marginal_sf1,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -380,6 +416,12 @@ def main() -> None:
         # sequential sums above are ~90% per-action floor at sf0.1
         "batched_wall_clock_sec": spark_batched,
         "duckdb_batched_wall_clock_sec": duck_batched,
+        "batched_ratio": (
+            round(spark_batched / duck_batched, 2) if duck_batched else None
+        ),
+        # sf0.1 → sf1 marginal per-row ratio for the scale-clean subset
+        # (two-decade fit, deltas in seconds — the 100 TB signal)
+        "marginal_sf1": marginal_sf1,
         "detail": detail_path,
     }
     line = json.dumps(compact)

@@ -43,10 +43,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table as a DataFrame (footer-read memoized)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Evict entries from other (stopped) sessions the first time a new
+    # applicationId appears: stale DataFrames pin py4j JVM references for
+    # the process lifetime in a long-lived host that restarts Spark
+    # repeatedly (ADVICE r04). One live session per process is the usage
+    # contract, so anything under a different app id is dead weight.
+    if any(k[0] != app_id for k in _TABLE_CACHE):
+        for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+            del _TABLE_CACHE[k]
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -71,16 +80,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def scratch_dir(query_name: str) -> str:
-    """Per-(process, query) scratch directory for write-then-read-back
-    operators (sinks, layout ops). Fixed WITHIN a process, so the bench
-    harness's min-of-N reruns overwrite in place instead of leaking a
-    fresh mkdtemp parquet copy per invocation (ADVICE r03); scoped BY
+def scratch_dir(query_name: str, sf_dir: str = "") -> str:
+    """Per-(process, query, scale) scratch directory for write-then-read-
+    back operators (sinks, layout ops). Fixed WITHIN a process, so the
+    bench harness's min-of-N reruns overwrite in place instead of leaking
+    a fresh mkdtemp parquet copy per invocation (ADVICE r03); scoped BY
     process id because two engine processes sharing one deterministic
     path race overwrite-against-read (observed in the r4 cross-scale
     drive: a concurrent driver-sim clobbered sim_index_partition_pruned's
-    index mid-read). The whole per-pid root is removed at interpreter
-    exit. Callers write with mode("overwrite"), which makes reuse safe."""
+    index mid-read); scoped BY scale factor because one process building
+    the same query at two sf_dirs (bench.py --floor's lo/hi interleave)
+    must not alias one path — the second build would overwrite files the
+    first DataFrame's cached file index still points at (ADVICE r04).
+    The whole per-pid root is removed at interpreter exit. Callers write
+    with mode("overwrite"), which makes reuse safe."""
     import atexit
     import shutil
     import tempfile
@@ -89,7 +102,9 @@ def scratch_dir(query_name: str) -> str:
     if not os.path.isdir(pid_root):
         os.makedirs(pid_root, exist_ok=True)
         atexit.register(shutil.rmtree, pid_root, ignore_errors=True)
-    root = os.path.join(pid_root, query_name)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) if sf_dir else "nosf"
+    sf_tag = "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in sf_tag)
+    root = os.path.join(pid_root, sf_tag, query_name)
     os.makedirs(root, exist_ok=True)
     return root
 

@@ -396,7 +396,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     import os
 
     ev = table(spark, sf_dir, "events")
-    out = os.path.join(scratch_dir("sink_dynamic_partition_overwrite"), "events_parted")
+    out = os.path.join(scratch_dir("sink_dynamic_partition_overwrite", sf_dir), "events_parted")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     rewritten = ev.where(
         F.col("event_type").isin("click", "error") & (F.col("value") > 2.0)
@@ -535,7 +535,7 @@ folded AS (
              list_sort(list(ni)),
              n -> CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))),
            (a, b) -> a + b) AS DOUBLE) AS sum_nlogn,
-         SUM(ni) AS n, COUNT(*) AS n_types
+         CAST(SUM(ni) AS BIGINT) AS n, COUNT(*) AS n_types
   FROM counts GROUP BY user_id
 )
 SELECT user_id, n, n_types,
@@ -1896,7 +1896,7 @@ def scan_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("user_id", "event_type").alias("meta"),
         F.struct("ts", "value", "props").alias("payload"),
     )
-    out = os.path.join(scratch_dir("scan_nested_pushdown"), "events_nested")
+    out = os.path.join(scratch_dir("scan_nested_pushdown", sf_dir), "events_nested")
     nested.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return (
@@ -1923,9 +1923,14 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside an Arrow-batched pandas UDF — the declared slow-path escape
     hatch (B-52 pattern), batched so the codec cost amortizes per
     RecordBatch, never per-row Python. Emits per-source aggregates of
-    the ratio plus the flag count at ratio < 0.45 (the corpus floor is ≈0.42); engine-local tests
-    pin monotonicity (repetitive text compresses further) since no SQL
-    oracle owns a zlib. Row-local → zero shuffle before the final
+    the ratio plus the flag count at ratio < 0.45 (the corpus floor is
+    ≈0.42). Because no SQL oracle owns a zlib, the rows-only driver
+    record carries its own MONOTONICITY CERTIFICATE (VERDICT r04 #6):
+    for every doc the same codec also compresses the text repeated 4× —
+    repetition must compress strictly better, so ``n_mono_violations``
+    must read 0 and ``avg_ratio_x4 < avg_ratio`` in every row; a codec
+    or plumbing bug shows up in the record itself, not just in the
+    engine-local pytest. Row-local → zero shuffle before the final
     1-row-per-source aggregate."""
     from pyspark.sql.functions import pandas_udf
 
@@ -1941,8 +1946,25 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return texts.map(one)
 
+    @pandas_udf("double")
+    def zratio_x4(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t: str) -> float:
+            raw = (t * 4).encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return texts.map(one)
+
     d = table(spark, sf_dir, "documents")
-    scored = d.select("doc_id", "source", zratio(F.col("text")).alias("zr"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        zratio(F.col("text")).alias("zr"),
+        zratio_x4(F.col("text")).alias("zr4"),
+    )
     return (
         scored.groupBy("source")
         .agg(
@@ -1951,6 +1973,12 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("zr"), 4).alias("min_ratio"),
             F.sum(F.when(F.col("zr") < 0.45, 1).otherwise(0)).alias(
                 "n_flagged_repetitive"
+            ),
+            F.round(F.avg("zr4"), 4).alias("avg_ratio_x4"),
+            # certificate: 4× repetition must compress strictly better for
+            # every non-empty doc — any row with zr4 >= zr is a violation
+            F.sum(F.when(F.col("zr4") >= F.col("zr"), 1).otherwise(0)).alias(
+                "n_mono_violations"
             ),
         )
         .orderBy("source")
@@ -3005,7 +3033,7 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").withColumn(
         "shard_id", (F.col("doc_id") % 8).cast("long")
     )
-    out = os.path.join(scratch_dir("sink_training_shards"), "corpus")
+    out = os.path.join(scratch_dir("sink_training_shards", sf_dir), "corpus")
     d.write.mode("overwrite").partitionBy("shard_id").parquet(out)
     back = spark.read.parquet(out)
     return (

@@ -82,7 +82,7 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     no static pruning could do this. This is the S3-layout payoff of
     CloudTrail's region/date partitioning at query time."""
     ev = table(spark, sf_dir, "events")
-    base = scratch_dir("join_dpp_partitioned")
+    base = scratch_dir("join_dpp_partitioned", sf_dir)
     fact_path = os.path.join(base, "events_parted")
     dim_path = os.path.join(base, "event_dim")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(fact_path)
@@ -114,7 +114,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     on S3 (region/date keys); read-back restores the partition column.
     """
     ev = table(spark, sf_dir, "events")
-    out = os.path.join(scratch_dir("sink_parquet_partitioned"), "events_parted")
+    out = os.path.join(scratch_dir("sink_parquet_partitioned", sf_dir), "events_parted")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out)
     # partitionBy turns the partition column into a directory key; restore
@@ -147,7 +147,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated. H-tier: the round trip is lossless for this schema, so
     integer-cents totals match the parquet-sourced oracle exactly."""
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(scratch_dir("scan_csv_roundtrip"), "orders_csv")
+    out = os.path.join(scratch_dir("scan_csv_roundtrip", sf_dir), "orders_csv")
     o.write.mode("overwrite").option("header", True).option(
         "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss"
     ).csv(out)
@@ -174,7 +174,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sourced aggregate — if ORC round-tripping dropped or mangled rows,
     the integer-cents totals would mismatch."""
     o = table(spark, sf_dir, "orders")
-    out = os.path.join(scratch_dir("scan_orc_roundtrip"), "orders_orc")
+    out = os.path.join(scratch_dir("scan_orc_roundtrip", sf_dir), "orders_orc")
     o.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     from cloudtrail_streamer_spark.functions import cents
@@ -210,7 +210,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", cents("o_totalprice").alias("price_cents"), "o_orderstatus"
     )
-    base = scratch_dir("scan_schema_evolution")
+    base = scratch_dir("scan_schema_evolution", sf_dir)
     d = os.path.join(base, "orders_evolved")
     o.where(F.col("o_orderkey") % 2 == 0).drop("o_orderstatus").write.mode(
         "overwrite"
@@ -257,7 +257,7 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select("o_orderkey")
     bucketed = o.withColumn("file_bucket", (F.col("o_orderkey") * 2654435761) % 8)
-    out = os.path.join(scratch_dir("scan_rowgroup_stats"), "orders_bucketed")
+    out = os.path.join(scratch_dir("scan_rowgroup_stats", sf_dir), "orders_bucketed")
     bucketed.repartition("file_bucket").write.partitionBy("file_bucket").mode(
         "overwrite"
     ).parquet(out)

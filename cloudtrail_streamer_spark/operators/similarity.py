@@ -798,7 +798,7 @@ def sim_index_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = table(spark, sf_dir, "embeddings")
     assigned = embed_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
     index_df = em.join(assigned, "vec_id")
-    idx_path = scratch_dir("sim_index_partition_pruned") + "/index"
+    idx_path = scratch_dir("sim_index_partition_pruned", sf_dir) + "/index"
     index_df.write.partitionBy("centroid_id").mode("overwrite").parquet(idx_path)
 
     # probe cells: each probe's nearest TWO centroids (nprobe=2), via the

@@ -102,7 +102,13 @@ def agg_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = table(spark, sf_dir, tbl)
         aggs = []
         for col, kind in cols:
-            v = cents(col) if kind == "cents" else F.col(col).cast("long")
+            # Aggregate the RAW column (cents pre-scale excepted) and cast
+            # only the FINAL min/max — a per-row pre-cast would truncate
+            # fractional values before NDV/min/max while the oracle casts
+            # after aggregating (ADVICE r04). Non-cents _STAT_COLS must be
+            # integral-valued anyway (the final long cast of min/max is
+            # only exact then); kind='cents' is the fractional path.
+            v = cents(col) if kind == "cents" else F.col(col)
             aggs += [
                 F.count(F.lit(1)).cast("long").alias(f"{col}__n_rows"),
                 F.count_distinct(v).cast("long").alias(f"{col}__n_distinct"),

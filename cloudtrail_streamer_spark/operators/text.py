@@ -214,7 +214,7 @@ def multimodal_binary_col(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     bin_df = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    out = os.path.join(scratch_dir("multimodal_binary_col"), "docs_binary")
+    out = os.path.join(scratch_dir("multimodal_binary_col", sf_dir), "docs_binary")
     bin_df.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.select(

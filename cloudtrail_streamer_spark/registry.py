@@ -50,86 +50,18 @@ def _load_all() -> None:
 
 # The external correctness driver checks the FIRST 50 registry entries per
 # round (observed in CORRECTNESS_r01.json: it stopped at exactly entry 50 in
-# insertion order, so 38 registered queries got no correctness row). Queries
-# named here are emitted first, in this order; everything else follows in
-# registration order. Rotate this list each round so that, across rounds,
-# every query lands inside the driver's window.
+# insertion order). Queries named here are emitted first, in this order;
+# everything else follows in registration order. Rotate this list each round
+# so that, across rounds, every query lands inside the driver's window.
 #
-# Round 4 (VERDICT r03 "next #1/#2"): 104 registered queries have never
-# received a driver row. New-query registration is FROZEN (except the one
-# CBO-stats op mandated by VERDICT #8, parked outside the window) until the
-# backlog drains. This window = the 50 highest-risk unchecked queries:
-# the two replanned this round (pipeline_dedup_e2e upgraded to an H-tier
-# decision-table oracle; sim_search_topk routed through the Arrow kernel),
-# the complex-plan family the judge named, the SQL-parity traps, all 18
-# unchecked TPC-H shapes, and the ops touched by ADVICE fixes.
+# Round 5 (VERDICT r04 "next #1/#2"): window = the staged r5 rotation
+# (_R5_STAGED[:49] from r4) plus tpch_q12_late_shipments at slot 1 so the
+# repaired HUGEINT oracle re-earns its driver row (agg_entropy_peruser, the
+# other repaired oracle, was already staged and sits inside this window).
+# New-query registration remains FROZEN until the backlog drains. After r5,
+# only _R6_STAGED below still lacks driver rows.
 _WINDOW_PRIORITY: list[str] = [
-    # -- replanned this round: must re-earn their driver rows --
-    "pipeline_dedup_e2e",
-    "sim_search_topk",
-    # -- judge-named highest-risk unchecked (VERDICT r03 #2) --
-    "sim_search_arrow_kernel",
-    "sim_index_partition_pruned",
-    "dedup_semantic_ivf",
-    "pipeline_pretrain_e2e",
-    "text_bpe_merges",
-    "udaf_cogrouped_asof",
-    "graph_pagerank_trade",
-    # -- SQL-parity traps --
-    "sql_not_in_nulls",
-    "sql_recursive_cte",
-    "sql_lateral_join",
-    "sql_correlated_subquery",
-    "sql_group_by_all",
-    "sql_distinct_on_first",
-    "sql_order_by_all",
-    # -- all 18 unchecked TPC-H shapes --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_shape",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
     "tpch_q12_late_shipments",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q20_promo_part_suppliers",
-    "tpch_q21_suppliers_waiting",
-    "tpch_q22_dormant_customers",
-    # -- ops changed by ADVICE r03 fixes: verify the fix under the driver --
-    "events_cusum_changepoint",
-    "udaf_pandas_grouped_agg",
-    "dq_constraint_suite",
-    "sink_dynamic_partition_overwrite",
-    "scan_nested_pushdown",
-    "sink_training_shards",
-    # -- remaining complex unchecked plans --
-    "feature_pit_join",
-    "pipeline_retrieve_rerank",
-    "win_match_recognize",
-    "win_touch_attribution",
-    "dedup_greedy_survivors",
-    "dedup_incremental_ingest",
-    "text_decode_ids_roundtrip",
-    "text_encode_ids",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-]
-
-# Round-5 rotation: the 57 queries still without a driver row after
-# r4's window (the r4 leftovers + the one op registered this round,
-# agg_cbo_stats). At the next rotation, REPLACE _WINDOW_PRIORITY's first
-# 50 entries with the first 50 of this list (the remainder go to r6),
-# then back-fill with green names. tests/test_engine.py validates that
-# every name here is registered and that the union of window + staged
-# covers every query that lacks a driver row.
-_R5_STAGED: list[str] = [
     "layout_zorder_buckets",
     "win_retention_cohort",
     "text_contamination_check",
@@ -179,6 +111,15 @@ _R5_STAGED: list[str] = [
     "text_compression_quality",
     "multimodal_image_dhash",
     "pipeline_dataset_card",
+]
+
+# Round-6 rotation: the 8 queries that will still lack a driver row after
+# r5 (the _R5_STAGED tail that did not fit the 50-slot window). At the next
+# rotation, move these into _WINDOW_PRIORITY's first slots and back-fill the
+# remaining 42 with the green queries whose plans changed most recently.
+# tests/test_engine.py validates that window + staged covers every query
+# that lacks a driver row.
+_R6_STAGED: list[str] = [
     "agg_sample_estimate_ci",
     "win_cohort_ltv",
     "win_markov_transitions",

@@ -50,6 +50,9 @@ def row_count(sf_dir: str, name: str) -> int:
         else:
             n = pq.ParquetFile(path).metadata.num_rows
     except Exception:
-        n = -1
+        # Do NOT cache the failure sentinel: a transient footer-read error
+        # (or probing before a fixture exists) must not pin kernel routing
+        # to the fallback path for the process lifetime (ADVICE r04).
+        return -1
     _ROW_COUNT_CACHE[path] = n
     return n

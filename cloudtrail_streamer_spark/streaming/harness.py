@@ -147,10 +147,21 @@ class BatchMetricsListener(StreamingQueryListener):
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
-) -> DataFrame:
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    return_progress: bool = False,
+) -> DataFrame | tuple[DataFrame, dict]:
     """Run a streaming DataFrame to completion (AvailableNow) into a
-    memory sink; return the sink contents as a batch DataFrame."""
+    memory sink; return the sink contents as a batch DataFrame.
+
+    With ``return_progress=True`` also returns a bounded-state
+    certificate summarized from the query's progress events (the same
+    numbers a StreamingQueryListener sees — VERDICT r04 #7): peak state
+    rows/bytes across all stateful operators, the final event-time
+    watermark, and the batch count. Stateful R-tier ops attach these as
+    constant columns so the driver's rows-only record PROVES state
+    stayed bounded, instead of only asserting values were right."""
     spark = stream_df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"cts_ckpt_{name}_")
     q = (
@@ -162,11 +173,45 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(300)
+    progress = _summarize_progress(q) if return_progress else None
     # the memory sink holds its rows on the driver; once the query has
     # terminated the checkpoint is dead weight (ADVICE r03 disk-hygiene
     # theme — harness runs leak one checkpoint dir per invocation)
     shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    out = spark.table(name)
+    return (out, progress) if return_progress else out
+
+
+def _summarize_progress(q) -> dict:
+    """Fold a terminated query's recentProgress into the certificate
+    numbers. recentProgress items are dicts in some PySpark versions and
+    StreamingQueryProgress objects (with .json) in others."""
+    import json as _json
+
+    state_rows_peak = 0
+    state_bytes_peak = 0
+    watermark_final = ""
+    n_batches = 0
+    for p in q.recentProgress:
+        if not isinstance(p, dict):
+            p = _json.loads(p.json)
+        n_batches += 1
+        ops = p.get("stateOperators") or []
+        state_rows_peak = max(
+            state_rows_peak, sum(op.get("numRowsTotal", 0) for op in ops)
+        )
+        state_bytes_peak = max(
+            state_bytes_peak, sum(op.get("memoryUsedBytes", 0) for op in ops)
+        )
+        wm = (p.get("eventTime") or {}).get("watermark")
+        if wm:
+            watermark_final = wm
+    return {
+        "state_rows_peak": state_rows_peak,
+        "state_bytes_peak": state_bytes_peak,
+        "watermark_final": watermark_final,
+        "n_batches": n_batches,
+    }
 
 
 def read_replay_stream(spark: SparkSession, replay_dir: str) -> DataFrame:

@@ -59,7 +59,23 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+        # Mixed integer/floating dtype classes are a hard FAIL, not a
+        # coercion: the driver hashes the actual cell values per dtype, so
+        # e.g. a DuckDB HUGEINT (fetched as float64/object) vs a Spark
+        # BIGINT hash-mismatches even when the numbers are equal. The
+        # local gate must reject exactly what the driver rejects
+        # (VERDICT r04 item 3 — tpch_q12_late_shipments).
+        a_int = np.issubdtype(av.dtype, np.integer)
+        b_int = np.issubdtype(bv.dtype, np.integer)
+        a_flt = np.issubdtype(av.dtype, np.floating)
+        b_flt = np.issubdtype(bv.dtype, np.floating)
+        if (a_int and b_flt) or (a_flt and b_int):
+            raise AssertionError(
+                f"{name}: column {c!r} dtype-class mismatch: "
+                f"spark={av.dtype} vs oracle={bv.dtype} "
+                f"(integer vs floating — CAST the oracle, e.g. HUGEINT sums AS BIGINT)"
+            )
+        if a_flt or b_flt:
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
             both_nan = np.isnan(av) & np.isnan(bv)

@@ -457,6 +457,10 @@ def test_compression_quality_monotonic(spark):
 
     rows = all_queries()["text_compression_quality"](spark, SF).collect()
     assert rows and all(0.0 < r["min_ratio"] <= r["avg_ratio"] <= 1.2 for r in rows)
+    # the in-band certificate the driver's rows-only record carries
+    # (VERDICT r04 #6): repeating any doc 4x compresses strictly better
+    assert all(r["n_mono_violations"] == 0 for r in rows)
+    assert all(r["avg_ratio_x4"] < r["avg_ratio"] for r in rows)
     # the invariant the UDF encodes, pinned on extreme inputs
     rep_txt = ("spam " * 200).encode()
     var_txt = " ".join(f"w{i}" for i in range(200)).encode()
@@ -628,10 +632,10 @@ def test_touch_attribution_conserves_purchases(spark):
     assert sum(r["n_purchases"] for r in rows) == n_purch
 
 
-def test_r5_staged_covers_unchecked_queries():
-    """The staged r5 rotation must (a) name only registered queries,
+def test_r6_staged_covers_unchecked_queries():
+    """The staged r6 rotation must (a) name only registered queries,
     (b) together with the current window cover EVERY query lacking a
-    driver row across CORRECTNESS_r01..r03, with no overlap — so the
+    driver row across CORRECTNESS_r01..r04, with no overlap — so the
     next rotation is mechanical and cannot waste driver slots."""
     import json
     import os
@@ -639,7 +643,7 @@ def test_r5_staged_covers_unchecked_queries():
     import cloudtrail_streamer_spark.registry as R
 
     R._load_all()
-    staged, window = set(R._R5_STAGED), set(R._WINDOW_PRIORITY)
+    staged, window = set(R._R6_STAGED), set(R._WINDOW_PRIORITY)
     missing = staged - set(R._REGISTRY)
     assert not missing, f"staged names not registered: {sorted(missing)}"
     assert not (staged & window), "staged/window overlap wastes slots"
