@@ -359,21 +359,41 @@ def main() -> None:
     # One more decade for the marginal-clean queries (VERDICT r04 #5):
     # sf0.1 → sf1 (10× again, locally derived — tools/make_sf1.py). The
     # sf1 deltas are seconds, not tens of ms, so this marginal ratio is
-    # the noise-proof per-row comparison. Skippable: SPARK_GRAFT_SF1=0.
+    # the noise-proof per-row comparison. Both endpoints use the SAME
+    # physical layout (10 row groups → 10-way scans on both engines):
+    # the driver's 1-row-group sf0.1 files cap both engines at one scan
+    # thread, so a raw sf0.1→sf1 delta measures the layout change, not
+    # data scale (measured: Spark's absolute time DROPS on 10× rows).
+    # The sf0.1 layout effect itself is reported as layout_effect_sf01.
+    # Skippable: SPARK_GRAFT_SF1=0.
     marginal_sf1: dict[str, float | None] = {}
+    layout_effect: dict[str, dict[str, float]] = {}
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
-        from tools.make_sf1 import ensure_sf1
+        from tools.make_sf1 import ensure_rechunked, ensure_sf1
 
         sf1_dir = ensure_sf1()
-        if sf1_dir:
+        lo_dir = ensure_rechunked()
+        if sf1_dir and lo_dir:
+            lo_spark = time_spark(spark, queries, lo_dir, SF1_QUERIES)
+            lo_duck = time_duckdb(oracles, lo_dir, SF1_QUERIES)
             sf1_spark = time_spark(spark, queries, sf1_dir, SF1_QUERIES)
             sf1_duck = time_duckdb(oracles, sf1_dir, SF1_QUERIES)
+            per_sf["0.1r"] = {"spark": lo_spark, "duckdb": lo_duck}
             per_sf["1"] = {"spark": sf1_spark, "duckdb": sf1_duck}
+            layout_effect = {
+                n: {
+                    "spark_1group": spark_times.get(n),
+                    "spark_10group": lo_spark.get(n),
+                    "duckdb_1group": duck_times.get(n),
+                    "duckdb_10group": lo_duck.get(n),
+                }
+                for n in SF1_QUERIES
+            }
             for n in SF1_QUERIES:
-                if n not in sf1_duck:
+                if n not in sf1_duck or n not in lo_duck:
                     continue
-                ds = sf1_spark[n] - spark_times.get(n, 0.0)
-                dd = sf1_duck[n] - duck_times.get(n, 0.0)
+                ds = sf1_spark[n] - lo_spark[n]
+                dd = sf1_duck[n] - lo_duck[n]
                 marginal_sf1[n] = round(ds / dd, 2) if dd > 0.001 else None
 
     detail = {
@@ -390,6 +410,7 @@ def main() -> None:
         "per_sf": per_sf,
         "marginal_ratio": marginal_ratio,
         "marginal_ratio_sf1": marginal_sf1,
+        "layout_effect_sf01": layout_effect,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:

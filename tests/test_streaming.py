@@ -281,9 +281,19 @@ def test_stream_stream_join_equals_batch(spark):
         .groupBy("p_user")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
-    got = {r["p_user"]: r["n_pairs"] for r in out.collect()}
+    out_rows = out.collect()
+    got = {r["p_user"]: r["n_pairs"] for r in out_rows}
     want = {r["p_user"]: r["n_pairs"] for r in batch.collect()}
     assert got == want and len(got) > 0
+    # bounded-state certificate (VERDICT r04 #7): state peaked at a
+    # finite value, the watermark advanced (lag well under the stream's
+    # multi-day span), and the replay really ran micro-batches
+    n_events = ev.count()
+    r0 = out_rows[0]
+    assert 0 < r0["state_rows_peak"] <= n_events
+    assert r0["state_bytes_peak"] > 0
+    assert 0 <= r0["wm_lag_sec"] < 2 * 86400
+    assert r0["n_batches"] > 1
 
 
 def test_custom_state_final_equals_batch(spark):
@@ -294,8 +304,15 @@ def test_custom_state_final_equals_batch(spark):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    got = {r["user_id"]: r["n"] for r in out.collect()}
+    out_rows = out.collect()
+    got = {r["user_id"]: r["n"] for r in out_rows}
     assert got == {r["user_id"]: r["n"] for r in batch}
+    # bounded-state certificate (VERDICT r04 #7): keyed state must peak
+    # at exactly |users| rows — state growing with rows-processed, not
+    # keys, would exceed it
+    assert out_rows[0]["state_rows_peak"] == len(batch)
+    assert out_rows[0]["state_bytes_peak"] > 0
+    assert out_rows[0]["n_batches"] > 1
 
 
 def test_checkpoint_recovery_exactly_once(spark):

@@ -11,8 +11,29 @@ does. nation/region stay fixed-size (TPC-H dims don't scale).
 
 This is BENCH data only — correctness runs stay on the driver fixtures.
 Output is written to a repo-local gitignored dir and built lazily (once
-per checkout, ~10 s with DuckDB); a _DONE marker makes the build
-idempotent and safe against a half-finished previous run.
+per checkout, ~10 s); a _DONE marker makes the build idempotent and safe
+against a half-finished previous run.
+
+PHYSICAL LAYOUT MATTERS: the driver fixtures are pyarrow-written with
+ONE row group per file, so a Spark scan of sf0.1 is a SINGLE task
+(parquet's minimal read unit is the row group) and DuckDB's scan
+parallelism is equally capped at one thread per file. Measured effect of
+crossing layouts in a marginal fit: with sf1 at ~50 DuckDB-default row
+groups, Spark's absolute time DROPPED on 10× the data (1-way → 49-way
+scans) and DuckDB's q1/q3/dedup times went near-FLAT, making the 0.1→1
+"marginal" measure the physical design change, not the data scale.
+
+The marginal therefore uses MATCHED-parallelism endpoints, both built
+here:
+- ``sf1``: 10 key-shifted replicas, pyarrow-written as 10 row groups
+  (one per replica) — 10-way scans;
+- ``sf0.1r``: the driver's sf0.1 data UNCHANGED, re-chunked into 10 row
+  groups — also 10-way scans.
+Δ(sf0.1r → sf1) holds scan parallelism at 10 tasks on both engines and
+both endpoints, so the subtraction cancels constants and compares
+per-row cost only. The sf0.1-vs-sf0.1r delta is reported separately as
+the LAYOUT EFFECT — how much of the headline sequential gap is the
+fixture's 1-row-group file, which no 100 TB deployment would have.
 """
 
 from __future__ import annotations
@@ -53,7 +74,10 @@ def ensure_sf1(src: str = SRC_DEFAULT, out: str = OUT_DEFAULT) -> str | None:
     if os.path.isfile(marker):
         return out
     try:
+        import shutil
+
         import duckdb
+        import pyarrow.parquet as pq
 
         os.makedirs(out, exist_ok=True)
         con = duckdb.connect()
@@ -64,24 +88,32 @@ def ensure_sf1(src: str = SRC_DEFAULT, out: str = OUT_DEFAULT) -> str | None:
             for dom, (tbl, col) in _DOMAIN_SOURCE.items()
         }
         for t in _COPY_ASIS:
-            con.execute(
-                f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
-                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
-            )
+            shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
         for t, shifts in _SHIFTS.items():
+            src_path = f"{src}/{t}.parquet"
+            src_md = pq.ParquetFile(src_path).metadata
+            rows_per_group = src_md.num_rows // src_md.num_row_groups
             shifted = {c: f"({c} + rep * {offsets[dom]}) AS {c}" for c, dom in shifts}
             cols = [
                 r[0]
                 for r in con.execute(
-                    f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+                    f"DESCRIBE SELECT * FROM read_parquet('{src_path}')"
                 ).fetchall()
             ]
             sel = ", ".join(shifted.get(c, c) for c in cols)
-            con.execute(
-                f"COPY (SELECT {sel} "
-                f"FROM read_parquet('{src}/{t}.parquet'), "
-                f"(SELECT UNNEST(RANGE({_REPS})) AS rep)) "
-                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            # ORDER BY rep keeps each replica a contiguous source-shaped
+            # row group (ragged interleaving would change value locality
+            # vs the source file)
+            tbl_arrow = con.execute(
+                f"SELECT {sel} "
+                f"FROM read_parquet('{src_path}'), "
+                f"(SELECT UNNEST(RANGE({_REPS})) AS rep) ORDER BY rep"
+            ).arrow()
+            pq.write_table(
+                tbl_arrow,
+                f"{out}/{t}.parquet",
+                row_group_size=rows_per_group,
+                compression="snappy",
             )
         con.close()
         with open(marker, "w") as f:
@@ -91,5 +123,39 @@ def ensure_sf1(src: str = SRC_DEFAULT, out: str = OUT_DEFAULT) -> str | None:
         return None
 
 
+OUT_RECHUNK = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata", "sf0.1r"
+)
+
+
+def ensure_rechunked(src: str = SRC_DEFAULT, out: str = OUT_RECHUNK) -> str | None:
+    """Rewrite the sf0.1 tables byte-identical in VALUES but chunked into
+    10 row groups per file — the matched-parallelism lower endpoint for
+    the sf1 marginal (see module docstring)."""
+    marker = os.path.join(out, "_DONE")
+    if os.path.isfile(marker):
+        return out
+    try:
+        import pyarrow.parquet as pq
+
+        os.makedirs(out, exist_ok=True)
+        for t in list(_COPY_ASIS) + list(_SHIFTS):
+            src_path = f"{src}/{t}.parquet"
+            tbl = pq.read_table(src_path)
+            n = max(1, tbl.num_rows)
+            pq.write_table(
+                tbl,
+                f"{out}/{t}.parquet",
+                row_group_size=max(1, (n + _REPS - 1) // _REPS),
+                compression="snappy",
+            )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+        return out
+    except Exception:
+        return None
+
+
 if __name__ == "__main__":
     print(ensure_sf1())
+    print(ensure_rechunked())
