@@ -204,6 +204,15 @@ def connected_components(
     keyed by node id, no driver loop-carried data. Lineage is truncated
     per round (localCheckpoint) so the plan doesn't deepen geometrically.
 
+    Every join carries an explicit MERGE hint: labels/nb/ptr are all
+    O(|nodes|) relations that GROW with the data, and without the hint
+    AQE's runtime size estimate happily converts the loop's joins to
+    broadcasts — which re-ships the full label table to every executor
+    per round (5× at 1000 executors) and OOM'd the sf1 stress drive
+    under the plain driver-protocol session. Sort-merge keyed by node id
+    is the GraphX-shaped plan: after the first exchange the loop reuses
+    the same hash partitioning, and sorts spill instead of dying.
+
     edges: columns (id_a, id_b); nodes: column (id). Returns (id, comp).
     """
     und = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionByName(
@@ -212,19 +221,19 @@ def connected_components(
     labels = nodes.select("id", F.col("id").alias("comp"))
     for _ in range(rounds):
         nb = (
-            und.join(labels.select(F.col("id").alias("b"), "comp"), "b")
+            und.join(labels.select(F.col("id").alias("b"), "comp").hint("merge"), "b")
             .groupBy("a")
             .agg(F.min("comp").alias("nb_comp"))
         )
         labels = (
-            labels.join(nb, labels.id == nb.a, "left")
+            labels.join(nb.hint("merge"), labels.id == nb.a, "left")
             .select(
                 "id", F.least("comp", F.coalesce("nb_comp", "comp")).alias("comp")
             )
         )
         ptr = labels.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
         labels = (
-            labels.join(ptr, labels.comp == ptr.pid, "left")
+            labels.join(ptr.hint("merge"), labels.comp == ptr.pid, "left")
             .select("id", F.coalesce("pcomp", "comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
@@ -353,9 +362,13 @@ def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
         F.array_union("sa", "sb")
     )
+    # merge hints: both join inputs are O(N) (pairs) or O(N)-with-fat-
+    # shingle-arrays (sa/sb) — every side grows with the corpus, so a
+    # runtime-estimate broadcast is wrong at scale and OOMs the plain
+    # 1 g driver session at sf1; SMJ on doc id is the plan that survives
     edges = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .where(jac >= _CC_EDGE_THRESHOLD)
         .select("id_a", "id_b")
     )

@@ -113,27 +113,66 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORR_ORACLE = """
+WITH m AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sx,
+         SUM(CAST(o_custkey AS BIGINT)) AS sy,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+             * CAST(o_custkey AS BIGINT)) AS sxy,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxx,
+         SUM(CAST(o_custkey AS BIGINT) * CAST(o_custkey AS BIGINT)) AS syy
+  FROM orders GROUP BY o_orderstatus
+)
 SELECT
   o_orderstatus,
-  round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS price_cust_corr,
-  round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS cov_samp,
-  round(covar_pop(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS cov_pop
-FROM orders
-GROUP BY o_orderstatus
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS price_cust_corr,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 100.0), 4) AS cov_samp,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100.0), 4) AS cov_pop
+FROM m
 """
 
 
 @query("agg_corr_stats", oracle=_CORR_ORACLE, survey_id="B-25-ext")
 def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bivariate aggregates (corr / covar_samp / covar_pop) per group —
-    single-pass partial+final hash agg, same moment accumulators in both
-    engines; 4-dp rounding absorbs summation-order ulps."""
+    """Bivariate aggregates (corr / covar_samp / covar_pop) per group,
+    from EXACT integer moments (price in cents, custkey integral):
+    n·Σxy − Σx·Σy etc. accumulate as DECIMAL(38,0) / HUGEINT — merge-
+    order independent — and only the final ratio is floating point, with
+    identical association on both engines so the pre-rounding doubles
+    are bit-equal. Native covar/corr accumulators relied on "4-dp
+    rounding absorbs ulps", which failed the sf1 stress drive (cov
+    magnitude ~1.7e5 landed an ulp apart across the round boundary:
+    .0009 vs .001). Single-pass partial+final hash agg, same shuffle as
+    before; the 100 divisor un-scales the cents (corr is scale-free)."""
     o = table(spark, sf_dir, "orders")
-    ck = F.col("o_custkey").cast("double")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.corr("o_totalprice", ck), 4).alias("price_cust_corr"),
-        F.round(F.covar_samp("o_totalprice", ck), 4).alias("cov_samp"),
-        F.round(F.covar_pop("o_totalprice", ck), 4).alias("cov_pop"),
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = d(cents("o_totalprice"))
+    y = d(F.col("o_custkey"))
+    m = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    n_d = F.col("n").cast("double")
+    return m.select(
+        "o_orderstatus",
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4).alias("price_cust_corr"),
+        F.round(num / (n_d * (F.col("n") - 1).cast("double") * F.lit(100.0)), 4).alias(
+            "cov_samp"
+        ),
+        F.round(num / (n_d * n_d * F.lit(100.0)), 4).alias("cov_pop"),
     )
 
 

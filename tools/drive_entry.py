@@ -28,6 +28,13 @@ def main() -> int:
         for k in 1 2 3 4; do python tools/drive_entry.py --shard $k/4 & done
     """
     argv = list(sys.argv[1:])
+    skip: set[str] = set()
+    if argv and argv[0] == "--skip":
+        if len(argv) < 2:
+            print("--skip needs a comma-separated name list")
+            return 2
+        skip = set(argv[1].split(","))
+        argv = argv[2:]
     shard_k, shard_n = 1, 1
     if argv and argv[0] == "--shard":
         if len(argv) < 2 or "/" not in argv[1]:
@@ -59,6 +66,9 @@ def main() -> int:
             print(f"unknown query names: {sorted(unknown)}")
             return 2
         qs = {n: qs[n] for n in subset}
+    if skip:
+        qs = {n: f for n, f in qs.items() if n not in skip}
+        print(f"skipping {sorted(skip & set(oracles) | skip)}")
     if shard_n > 1:
         names = sorted(qs)
         qs = {n: qs[n] for i, n in enumerate(names) if i % shard_n == shard_k - 1}
@@ -67,20 +77,34 @@ def main() -> int:
     register_duckdb_views(con, sf_dir)
     failed = []
     for name, fn in sorted(qs.items()):
+        import time
+
+        t0 = time.perf_counter()
         sdf = fn(spark, sf_dir).toPandas()
+        t_spark = time.perf_counter() - t0
         # op-local persists otherwise accumulate across ~250 queries in
         # this long-lived session (ADVICE r03: memory pressure + LRU churn)
         spark.catalog.clearCache()
         if name not in oracles:
-            print(f"{name:32s} rows {len(sdf):>8} (R-tier, rows-only)")
+            print(
+                f"{name:32s} rows {len(sdf):>8} (R-tier, rows-only)"
+                f"  [s={t_spark:.1f}s]",
+                flush=True,
+            )
             continue
+        t0 = time.perf_counter()
         odf = con.execute(oracles[name]).fetchdf()
+        t_duck = time.perf_counter() - t0
         try:
             assert_frames_match(sdf, odf, name)
-            print(f"{name:32s} rows {len(sdf):>8} MATCH")
+            print(
+                f"{name:32s} rows {len(sdf):>8} MATCH  "
+                f"[s={t_spark:.1f}s d={t_duck:.1f}s]",
+                flush=True,
+            )
         except AssertionError as exc:
             failed.append(name)
-            print(f"{name:32s} FAIL: {exc}")
+            print(f"{name:32s} FAIL: {exc}", flush=True)
     print(f"\n{len(qs) - len(failed)}/{len(qs)} queries OK")
     return 1 if failed else 0
 
