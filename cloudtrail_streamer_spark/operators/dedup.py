@@ -703,7 +703,7 @@ _PAGERANK_D = 0.85
 _PAGERANK_ITERS = 3
 
 _PAGERANK_ORACLE = f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          CAST(COUNT(*) AS DOUBLE) AS w
   FROM lineitem l
@@ -714,7 +714,7 @@ WITH edges AS (
   GROUP BY 1, 2
 ), outw AS (
   SELECT src, SUM(w) AS total_w FROM edges GROUP BY src
-), norm AS (
+), norm AS MATERIALIZED (
   SELECT e.src, e.dst, e.w / o.total_w AS p
   FROM edges e JOIN outw o ON e.src = o.src
 ), nodes AS (

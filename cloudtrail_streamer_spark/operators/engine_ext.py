@@ -165,8 +165,13 @@ def join_fuzzy_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("b_name"),
         "variant",
     )
+    # merge hint: both join inputs sit BELOW an explode, so Catalyst
+    # sizes them from the 2 MB customer scan and elects a broadcast —
+    # of an N·(len+1)-row exploded relation (3M rows at sf1, OOM; at
+    # cluster scale it would ship the whole variant index to every
+    # executor). Shuffle on the short variant key is the scale plan.
     return (
-        a.join(b, ["variant"])
+        a.join(b.hint("merge"), ["variant"])
         .where(F.col("a_key") < F.col("b_key"))
         .select("a_key", "b_key", "a_name", "b_name")
         .distinct()

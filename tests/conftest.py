@@ -34,6 +34,14 @@ def ddb():
 
 
 def register_duckdb_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    # Cap DuckDB's spill: a pathological oracle (e.g. a fact-table CTE
+    # re-inlined per reference — the graph_pagerank_trade lesson) must
+    # ERROR, not silently fill the disk and take down every concurrent
+    # engine process with "No space left on device".
+    try:
+        con.execute("SET max_temp_directory_size='16GB'")
+    except duckdb.Error:
+        pass  # older DuckDB without the setting
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -7,6 +7,7 @@ Usage: python tools/drive_entry.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -47,12 +48,26 @@ def main() -> int:
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     subset = set(argv[1:])
-    spark = (
+    # Driver-protocol default: a PLAIN session (1 g heap, no engine
+    # confs). CTS_DRIVER_MEM exists for cross-scale STRESS drives only
+    # (sf1 = 100x the gate scale on the same heap is an under-provision
+    # artifact, not an engine defect, once the plan itself is
+    # broadcast-free — plans are separately pinned by tests/test_plans).
+    mem = os.environ.get("CTS_DRIVER_MEM")
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if mem:
+        builder = builder.config("spark.driver.memory", mem).config(
+            # stress drives collect full result sets driver-side for the
+            # t2 compare; linear-but-large outputs (6M fuzzy-join pairs
+            # at sf1) overflow the 1 GiB default
+            "spark.driver.maxResultSize",
+            "8g",
+        )
+    spark = builder.getOrCreate()
     import __spark_entry__ as e
 
     rows = e.entry(spark).collect()
