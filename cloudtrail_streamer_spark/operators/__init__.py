@@ -6,6 +6,7 @@ from cloudtrail_streamer_spark.operators import (  # noqa: F401
     engine_ext,
     functions_ops,
     joins,
+    lakehouse,
     multimodal,
     pipeline_ext,
     projection,

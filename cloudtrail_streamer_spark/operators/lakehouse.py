@@ -1,0 +1,240 @@
+"""Lakehouse table-maintenance surfaces (VERDICT r04 "next #8").
+
+The two engine capabilities the registry still lacked a query for:
+
+- ``merge_upsert_partitioned`` — MERGE INTO semantics (update matched,
+  insert unmatched) on a partitioned parquet table, executed the way a
+  copy-on-write table format executes it at 100 TB: touch only the
+  partitions the source batch lands in, rewrite those via dynamic
+  partition overwrite, leave every other partition's files untouched.
+  The sandbox has no Delta/Iceberg, so the "table" is the same
+  partitioned-parquet + dynamic-overwrite contract the repo's
+  ``sink_dynamic_partition_overwrite`` already pins; what's new here is
+  the full MERGE dataflow on top of it.
+- ``join_reorder_cbo`` — cost-based join reordering fed by ANALYZE
+  statistics: tables saved to the session catalog, ``ANALYZE TABLE ...
+  COMPUTE STATISTICS FOR ALL COLUMNS``, ``spark.sql.cbo.enabled`` +
+  ``spark.sql.cbo.joinReorder.enabled`` on, and a 3-table join written
+  deliberately big-table-first. With stats present Catalyst reorders to
+  join the filtered dimension pair first (plan-pinned in
+  tests/test_plans.py); the result itself is H-tier hash-checked.
+
+Upstream ``mozilla-services/cloudtrail-streamer`` (a ~300-LoC Go
+S3→Kinesis forwarder, SURVEY §2.A) has neither surface; these extend
+§2.B per the BASELINE.json north star. Registered AFTER the r5 window
+freeze, so both ride the r6 rotation (`registry._R6_STAGED`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import scratch_dir, table
+from cloudtrail_streamer_spark.functions import cents
+from cloudtrail_streamer_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# merge_upsert_partitioned — MERGE INTO on a partitioned parquet table
+# ---------------------------------------------------------------------------
+
+# Post-merge state, derived directly from `orders` (the oracle never sees
+# the scratch table; it recomputes what the merged table MUST contain):
+# matched rows ('P'-status orders of 1995) get a 10% price bump in exact
+# integer cents; unmatched source rows (every 97th orderkey, re-keyed)
+# insert into a brand-new 2005 partition.
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         o_orderstatus, o_orderkey
+  FROM orders
+), merged AS (
+  SELECT o_year,
+         CASE WHEN o_orderstatus = 'P' AND o_year = 1995
+              THEN price_c + price_c // 10 ELSE price_c END AS price_c,
+         o_orderstatus
+  FROM base
+  UNION ALL
+  SELECT 2005 AS o_year, price_c, 'N' AS o_orderstatus
+  FROM base WHERE o_orderkey % 97 = 0
+)
+SELECT o_year,
+       COUNT(*) AS n_rows,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pending
+FROM merged
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("merge_upsert_partitioned", oracle=_MERGE_ORACLE, survey_id="B-5-ext")
+def merge_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO target USING source — WHEN MATCHED UPDATE, WHEN NOT
+    MATCHED INSERT — as a partitioned-lake rewrite that touches ONLY the
+    partitions the source batch hits:
+
+    1. target = orders partitioned by order year (written once to
+       scratch, the "table" under maintenance);
+    2. source = an update batch (1995 'P'-status orders, price +10% in
+       integer cents) plus an insert batch (re-keyed rows bound for a
+       brand-new 2005 partition);
+    3. the touched-partition slice of the target is isolated with a
+       broadcast LEFT SEMI join on the partition key (partition pruning
+       — at 100 TB only the touched partitions' files are read, the
+       same file-skipping join_dpp_partitioned pins), merged with the
+       source (left join + coalesce = UPDATE, unionByName = INSERT),
+       localCheckpoint-ed (a copy-on-write format materializes exactly
+       these rewritten files too — and Spark requires breaking the
+       read-path/write-path cycle), and written back with dynamic
+       partition overwrite: the 1995 and 2005 partitions are replaced,
+       1996-2001 files are never rewritten;
+    4. the certificate reads the table back and aggregates per year —
+       untouched partitions must be byte-identical counts, 1995 must
+       carry the bumped cents, 2005 must exist with exactly the
+       inserted rows.
+
+    Money stays in integer cents end to end (SURVEY §5.3); the +10%% is
+    ``price_c div 10`` — positive-integer floor division, identical in
+    both engines."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    ).withColumn("price_c", cents("o_totalprice"))
+    tgt_path = os.path.join(scratch_dir("merge_upsert_partitioned", sf_dir), "orders_tbl")
+    cols = ["o_orderkey", "o_orderstatus", "price_c", "o_year"]
+    o.select(*cols).write.mode("overwrite").partitionBy("o_year").parquet(tgt_path)
+
+    updates = (
+        o.where((F.col("o_orderstatus") == "P") & (F.col("o_year") == 1995))
+        .select("o_orderkey", (F.col("price_c") + F.expr("price_c div 10")).alias("new_price_c"))
+    )
+    inserts = o.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("price_c"),
+        F.lit(2005).cast("int").alias("o_year"),
+    )
+
+    tgt = spark.read.parquet(tgt_path)
+    touched_years = (
+        updates.select(F.lit(1995).cast("int").alias("o_year"))
+        .unionByName(inserts.select("o_year"))
+        .distinct()
+    )
+    tgt_touched = tgt.join(F.broadcast(touched_years), "o_year", "left_semi")
+    merged_slice = (
+        tgt_touched.join(F.broadcast(updates), "o_orderkey", "left")
+        .withColumn("price_c", F.coalesce("new_price_c", "price_c"))
+        .select(*cols)
+        .unionByName(inserts.select(*cols))
+        .localCheckpoint(eager=True)
+    )
+    merged_slice.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("o_year").parquet(tgt_path)
+
+    back = spark.read.parquet(tgt_path)
+    return (
+        back.groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("price_c").cast("double") / 100.0).alias("sum_price"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("long")
+            .alias("n_pending"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_reorder_cbo — ANALYZE-fed cost-based join reordering
+# ---------------------------------------------------------------------------
+
+_CBO_ORACLE = """
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+_CBO_CONFS = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+
+
+def _cbo_tag(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return "".join(ch if ch.isalnum() else "_" for ch in base)
+
+
+@query("join_reorder_cbo", oracle=_CBO_ORACLE, survey_id="B-10-ext")
+def join_reorder_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering driven by ANALYZE statistics. The
+    query text joins big-table-first — ``orders ⋈ customer ⋈ nation`` —
+    which rule-based Catalyst executes left-deep exactly as written.
+    With per-column stats in the catalog and CBO + joinReorder enabled,
+    the optimizer instead builds the filtered ``customer ⋈ nation``
+    dimension pair first (2 of 25 nations survive) and joins the orders
+    fact last — the order a human would hand-write, recovered from
+    cost. tests/test_plans.py pins BOTH that the reorder happened
+    (relation order flips in the optimized plan) and that stats flowed
+    (optimized plan carries a rowCount estimate).
+
+    Mechanics: the three fixtures are saved as catalog tables (external,
+    scratch-backed, names scale-tagged so two sf_dirs never alias one
+    catalog entry), ``ANALYZE TABLE ... FOR ALL COLUMNS`` computes
+    rowCount/NDV/min/max — the metastore stats a 100 TB deployment
+    maintains — and the plan is forced through the optimizer INSIDE the
+    CBO conf window (QueryExecution caches it), so the session confs
+    are restored before returning and no other query inherits them."""
+    tag = _cbo_tag(sf_dir)
+    root = scratch_dir("join_reorder_cbo", sf_dir)
+    names = {}
+    for tbl in ("orders", "customer", "nation"):
+        name = f"cbo_{tbl}_{tag}"
+        names[tbl] = name
+        if spark.catalog.tableExists(name):
+            spark.sql(f"DROP TABLE {name}")
+        table(spark, sf_dir, tbl).write.mode("overwrite").option(
+            "path", os.path.join(root, name)
+        ).saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    prior = {c: spark.conf.get(c, None) for c in _CBO_CONFS}
+    try:
+        for c in _CBO_CONFS:
+            spark.conf.set(c, "true")
+        df = spark.sql(
+            f"""
+            SELECT n_name,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue
+            FROM {names['orders']}
+            JOIN {names['customer']} ON o_custkey = c_custkey
+            JOIN {names['nation']} ON c_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_7')
+            GROUP BY n_name
+            ORDER BY n_name
+            """
+        )
+        # Materialize the physical plan while CBO is on: QueryExecution
+        # memoizes optimized/spark plans, so the reordered plan survives
+        # the conf restore below and is what a later collect() executes.
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for c, v in prior.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    return df

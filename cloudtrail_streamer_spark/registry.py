@@ -113,12 +113,14 @@ _WINDOW_PRIORITY: list[str] = [
     "pipeline_dataset_card",
 ]
 
-# Round-6 rotation: the 8 queries that will still lack a driver row after
-# r5 (the _R5_STAGED tail that did not fit the 50-slot window). At the next
-# rotation, move these into _WINDOW_PRIORITY's first slots and back-fill the
-# remaining 42 with the green queries whose plans changed most recently.
-# tests/test_engine.py validates that window + staged covers every query
-# that lacks a driver row.
+# Round-6 rotation: the queries that will still lack a driver row after
+# r5 — the 8-query _R5_STAGED tail that did not fit the 50-slot window,
+# plus the two lakehouse surfaces (VERDICT r04 #8) registered mid-r5,
+# AFTER the r5 window was fixed. At the next rotation, move these into
+# _WINDOW_PRIORITY's first slots and back-fill the remaining 40 with the
+# green queries whose plans changed most recently. tests/test_engine.py
+# validates that window + staged covers every query that lacks a driver
+# row.
 _R6_STAGED: list[str] = [
     "agg_sample_estimate_ci",
     "win_cohort_ltv",
@@ -128,6 +130,8 @@ _R6_STAGED: list[str] = [
     "agg_benford_audit",
     "set_intersect_all",
     "agg_cbo_stats",
+    "merge_upsert_partitioned",
+    "join_reorder_cbo",
 ]
 
 

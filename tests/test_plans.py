@@ -493,3 +493,58 @@ def test_dedup_pipeline_caches_shared_stages(spark):
     plan = _nodes(spark, "pipeline_dedup_e2e")
     assert "InMemoryTableScan" in plan
     spark.catalog.clearCache()
+
+
+def test_cbo_join_reorder_flips_join_tree(spark):
+    """join_reorder_cbo: with ANALYZE stats in the catalog and CBO on,
+    the optimizer must abandon the as-written big-table-first order
+    (orders ⋈ customer ⋈ nation) and build the filtered dimension pair
+    first — the optimized plan's relation order flips to
+    customer/nation before orders. Rule-based Catalyst never reorders
+    inner joins, so the flip can only come from ANALYZE-fed costing
+    (rowCount itself is not assertable here: LogicalPlan.stats is
+    recomputed under the restored non-CBO conf as size-only)."""
+    import re
+
+    df = all_queries()["join_reorder_cbo"](spark, SF)
+    qe = df._jdf.queryExecution()
+    opt = qe.optimizedPlan()
+    rels = re.findall(r"cbo_(orders|customer|nation)_\w+", opt.toString())
+    order = list(dict.fromkeys(rels))
+    assert order and order[-1] == "orders", (
+        f"CBO should join the dimension pair first, orders last: {order}"
+    )
+    # conf hygiene: the op restores session CBO confs before returning
+    assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+
+
+def test_merge_rewrites_only_touched_partitions(spark):
+    """merge_upsert_partitioned: dynamic partition overwrite must
+    replace ONLY the partitions the source batch touches (1995 updates,
+    2005 inserts). Untouched partitions keep their original data files
+    from the initial write — their mtimes predate every touched-
+    partition file written by the merge pass."""
+    import os
+
+    from cloudtrail_streamer_spark.catalog import scratch_dir
+
+    all_queries()["merge_upsert_partitioned"](spark, SF).collect()
+    root = os.path.join(scratch_dir("merge_upsert_partitioned", SF), "orders_tbl")
+    parts = {
+        d: [
+            os.path.getmtime(os.path.join(root, d, f))
+            for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        ]
+        for d in os.listdir(root)
+        if d.startswith("o_year=")
+    }
+    assert "o_year=2005" in parts, "insert partition must exist"
+    untouched = [m for d, ms in parts.items() for m in ms
+                 if d not in ("o_year=1995", "o_year=2005")]
+    touched = [m for d in ("o_year=1995", "o_year=2005") for m in parts[d]]
+    assert untouched and touched
+    assert max(untouched) < min(touched), (
+        "untouched partitions must keep their original files; "
+        "a full-table rewrite would stamp every partition at merge time"
+    )
