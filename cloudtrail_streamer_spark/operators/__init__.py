@@ -2,6 +2,7 @@
 
 from cloudtrail_streamer_spark.operators import (  # noqa: F401
     aggregates,
+    datasource_py,
     dedup,
     engine_ext,
     functions_ops,

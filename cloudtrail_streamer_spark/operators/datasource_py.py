@@ -1,0 +1,183 @@
+"""Spark 4 Python DataSource with planning-time split pruning (B-1-ext).
+
+The upstream reference's only "source" is an S3 object fetch inside a
+Lambda (``main.go`` approx, SURVEY §2.A A-5/A-6). A Spark-native engine
+exposes sources through the DataSource V2 API; Spark 4 extends that to
+pure-Python sources (``pyspark.sql.datasource``) with real planner
+integration: ``partitions()`` decides parallelism at planning time and
+``pushFilters()`` lets the source consume predicates BEFORE any split
+is read. This module exercises both with a deterministic CloudTrail-ish
+event generator:
+
+- every field is pure integer arithmetic on ``event_id`` (name, region,
+  error flag), so a DuckDB ``range()`` query can mirror the generated
+  relation exactly — the source is H-tier hash-checkable;
+- ``aws_region`` is constant per split, so an ``EqualTo`` filter on it
+  prunes whole splits at planning time (the generate/fetch work for
+  pruned splits never runs — the same mechanism a 100 TB deployment
+  uses to skip S3 prefixes/partitions at the source);
+- ``read()`` yields pyarrow RecordBatches built from numpy vectors —
+  Arrow-columnar transfer into the JVM, no per-row Python.
+
+CONTRACT (learned the hard way in a probe): a filter NOT yielded back
+from ``pushFilters`` is claimed, and Spark DELETES its Filter node — a
+claimed-but-unapplied filter silently returns wrong rows. This reader
+claims only ``EqualTo`` on ``aws_region`` and enforces it by split
+pruning, which is exhaustive because region is split-constant. The
+pushdown path needs ``spark.sql.python.filterPushdown.enabled`` (a
+session.py RUNTIME_CONF); with it off, Spark keeps the Filter node and
+results are identical, just unpruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+
+from cloudtrail_streamer_spark.registry import query
+
+REGIONS = ["us-east-1", "us-west-2", "eu-west-1", "ap-south-1"]
+EVENT_NAMES = [
+    "AssumeRole",
+    "GetObject",
+    "PutObject",
+    "DeleteObject",
+    "ConsoleLogin",
+    "CreateUser",
+    "DescribeInstances",
+]
+
+
+class _CTGenSplit(InputPartition):
+    def __init__(self, start: int, end: int, region: str):
+        self.start = start
+        self.end = end
+        self.region = region
+
+
+class _CTGenReader(DataSourceReader):
+    """Deterministic generator reader. ``n_events`` ids are dealt into
+    ``splits`` contiguous ranges; split ``s`` carries region
+    ``REGIONS[s % 4]`` for every id in it."""
+
+    def __init__(self, options):
+        self.n_events = int(options.get("n_events", 64000))
+        self.n_splits = int(options.get("splits", 8))
+        self._region_eqs: set[str] = set()
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("aws_region",):
+                # Claimed: region is split-constant, so pruning splits in
+                # partitions() applies this predicate exhaustively (an
+                # impossible value simply prunes every split).
+                self._region_eqs.add(f.value)
+            else:
+                yield f  # unsupported — Spark keeps its Filter node
+
+    def partitions(self):
+        step = -(-self.n_events // self.n_splits)  # ceil
+        out = []
+        for s in range(self.n_splits):
+            region = REGIONS[s % len(REGIONS)]
+            if self._region_eqs and any(v != region for v in self._region_eqs):
+                continue
+            start = s * step
+            end = min((s + 1) * step, self.n_events)
+            if start < end:
+                out.append(_CTGenSplit(start, end, region))
+        return out
+
+    def read(self, split: _CTGenSplit):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(split.start, split.end, dtype=np.int64)
+        names = np.array(EVENT_NAMES, dtype=object)[ids % len(EVENT_NAMES)]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(names, type=pa.string()),
+                pa.array([split.region] * len(ids), type=pa.string()),
+                pa.array(ids * 60 + 1_704_067_200, type=pa.int64()),
+                pa.array((ids % 13 == 0).astype(np.int32), type=pa.int32()),
+            ],
+            names=["event_id", "event_name", "aws_region", "epoch_s", "error_code"],
+        )
+
+
+class CloudTrailGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cloudtrail_gen"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, event_name string, aws_region string, "
+            "epoch_s bigint, error_code int"
+        )
+
+    def reader(self, schema):
+        return _CTGenReader(self.options)
+
+
+# DuckDB mirror of the generator arithmetic: 1-based list indexing over
+# the same modulo scheme, step = ceil(64000/8) = 8000 ids per split.
+_PYDS_ORACLE = """
+WITH ev AS (
+  SELECT r.range AS event_id,
+         ['AssumeRole','GetObject','PutObject','DeleteObject',
+          'ConsoleLogin','CreateUser','DescribeInstances']
+           [(r.range % 7) + 1] AS event_name,
+         ['us-east-1','us-west-2','eu-west-1','ap-south-1']
+           [((r.range // 8000) % 4) + 1] AS aws_region,
+         CASE WHEN r.range % 13 = 0 THEN 1 ELSE 0 END AS error_code
+  FROM range(0, 64000) r
+)
+SELECT event_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(error_code) AS BIGINT) AS n_errors,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM ev
+WHERE aws_region = 'us-east-1'
+GROUP BY event_name
+ORDER BY event_name
+"""
+
+
+@query("source_python_datasource", oracle=_PYDS_ORACLE, survey_id="B-1-ext")
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the registered Python DataSource with a region predicate the
+    source consumes at planning time: 6 of 8 splits are pruned before a
+    single row is generated (pinned by a reader-level unit test in
+    tests/test_engine.py). The surviving 16k rows arrive as Arrow
+    batches and flow into a JVM-side hash aggregate. The oracle
+    recomputes the identical relation from ``range()`` arithmetic —
+    the full generate→prune→aggregate path is value-hash-checked.
+    ``sf_dir`` is unused: the source generates its input, which is the
+    point."""
+    spark.dataSource.register(CloudTrailGenDataSource)
+    df = (
+        spark.read.format("cloudtrail_gen")
+        .option("n_events", 64000)
+        .option("splits", 8)
+        .load()
+    )
+    return (
+        df.where(F.col("aws_region") == "us-east-1")
+        .groupBy("event_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("error_code").cast("long").alias("n_errors"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_name")
+    )

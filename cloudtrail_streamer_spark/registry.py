@@ -132,6 +132,7 @@ _R6_STAGED: list[str] = [
     "agg_cbo_stats",
     "merge_upsert_partitioned",
     "join_reorder_cbo",
+    "source_python_datasource",
 ]
 
 

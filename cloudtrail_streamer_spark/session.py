@@ -49,6 +49,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # rejects; read as long and convert (catalog.table truncates to micros,
     # exactly matching DuckDB's nanos→micros truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Let Python DataSources see predicates at planning time
+    # (operators/datasource_py.py prunes generator splits with it; off =
+    # same results, no source-side pruning). Default is false in 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 # Build-time confs used when *we* own session construction (tests, bench).

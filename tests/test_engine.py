@@ -660,3 +660,38 @@ def test_r6_staged_covers_unchecked_queries():
     # window MAY re-verify green queries whose plans changed — r4 does
     # for the replanned dedup pipeline and sim kernel routing)
     assert not (staged & checked), f"staged but already green: {sorted(staged & checked)}"
+
+
+def test_python_datasource_split_pruning():
+    """The claimed EqualTo(aws_region) must prune generator splits at
+    planning time — and ONLY matching splits may survive, because Spark
+    deletes the Filter node for claimed predicates (a claimed-but-
+    unapplied filter would silently return wrong rows)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from cloudtrail_streamer_spark.operators.datasource_py import _CTGenReader
+
+    r = _CTGenReader({"n_events": "64000", "splits": "8"})
+    unsupported = list(
+        r.pushFilters(
+            [EqualTo(("aws_region",), "us-east-1"), GreaterThan(("event_id",), 5)]
+        )
+    )
+    # only the region equality is claimed; everything else handed back
+    assert unsupported == [GreaterThan(("event_id",), 5)]
+    parts = r.partitions()
+    assert [(p.start, p.end, p.region) for p in parts] == [
+        (0, 8000, "us-east-1"),
+        (32000, 40000, "us-east-1"),
+    ]
+    n = sum(b.num_rows for p in parts for b in r.read(p))
+    assert n == 16000
+    # an impossible value prunes everything (still exhaustive, still correct)
+    r2 = _CTGenReader({"n_events": "64000", "splits": "8"})
+    list(r2.pushFilters([EqualTo(("aws_region",), "mars-north-1")]))
+    assert r2.partitions() == []
+    # no filters: all 8 splits, full domain
+    r3 = _CTGenReader({"n_events": "64000", "splits": "8"})
+    parts3 = r3.partitions()
+    assert len(parts3) == 8
+    assert sum(b.num_rows for p in parts3 for b in r3.read(p)) == 64000
