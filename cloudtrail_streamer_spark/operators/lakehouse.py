@@ -238,3 +238,130 @@ def join_reorder_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(c, v)
     return df
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_time_travel — manifest-versioned table, file-level COW
+# ---------------------------------------------------------------------------
+
+_TT_ORACLE = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         o_orderstatus
+  FROM orders
+), v1 AS (
+  SELECT 1 AS version, price_c, o_orderstatus FROM base
+), v2 AS (
+  SELECT 2 AS version,
+         CASE WHEN o_orderstatus = 'P' AND o_year = 1995
+              THEN price_c + price_c // 10 ELSE price_c END AS price_c,
+         o_orderstatus
+  FROM base
+), u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT version,
+       COUNT(*) AS n_rows,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pending
+FROM u
+GROUP BY version
+ORDER BY version
+"""
+
+
+def _tt_file_list(spark: SparkSession, path: str) -> list[str]:
+    """Distinct data-file URIs under a parquet dir, listed Spark-side
+    (works on any FS a cluster would use). Metadata-scale collect: one
+    string per data FILE, the same cardinality an Iceberg manifest
+    holds."""
+    return [
+        r["f"]
+        for r in spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+
+
+@query("sink_snapshot_time_travel", oracle=_TT_ORACLE, survey_id="B-5-ext")
+def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table with time travel, the way Iceberg/Delta
+    structure it — immutable data files + per-version manifests — built
+    from parquet primitives:
+
+    - **v1**: orders (integer-cents) written as hash-bucketed-by-year
+      files; manifest v1 = the file list (captured via
+      ``input_file_name()``, i.e. listed by Spark, not the driver OS).
+    - **v2 (copy-on-write update)**: the price bump touches only
+      'P'-status 1995 rows, so only the FILES containing 1995 rows are
+      read (``spark.read.parquet(*affected)``) and rewritten into new
+      delta files. Manifest v2 = (v1 files − affected) ∪ new files:
+      untouched files are REUSED by reference — nothing is copied, and
+      the replaced files are never deleted, which is exactly why the
+      old snapshot stays readable.
+    - **time travel**: reading AS OF v is just "read the files manifest
+      v names". The certificate aggregates BOTH versions from their
+      manifests; v1 must still show pre-update prices after v2 exists.
+
+    At 100 TB the manifests are the metadata layer a table format keeps
+    in its catalog; the per-version file-list collect here is one
+    string per data file (tests/test_plans.py pins file reuse and
+    old-snapshot immutability)."""
+    root = scratch_dir("sink_snapshot_time_travel", sf_dir)
+    data_v1 = os.path.join(root, "data_v1")
+    data_v2 = os.path.join(root, "data_v2delta")
+    man_dir = os.path.join(root, "manifests")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    o.repartition(4, "o_year").write.mode("overwrite").parquet(data_v1)
+    v1_files = _tt_file_list(spark, data_v1)
+    spark.createDataFrame([(f,) for f in v1_files], "f string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(man_dir, "v=1"))
+
+    # COW: locate the files holding any matched row, rewrite ONLY those
+    matched = (F.col("o_orderstatus") == "P") & (F.col("o_year") == 1995)
+    affected = [
+        r["f"]
+        for r in spark.read.parquet(data_v1)
+        .where(matched)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    bumped = F.col("price_c") + F.expr("price_c div 10")
+    spark.read.parquet(*affected).withColumn(
+        "price_c", F.when(matched, bumped).otherwise(F.col("price_c"))
+    ).write.mode("overwrite").parquet(data_v2)
+    v2_files = [f for f in v1_files if f not in set(affected)] + _tt_file_list(
+        spark, data_v2
+    )
+    spark.createDataFrame([(f,) for f in v2_files], "f string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(man_dir, "v=2"))
+
+    # time travel: AS OF v = read exactly the files manifest v names
+    outs = []
+    for v in (1, 2):
+        files = [
+            r["f"]
+            for r in spark.read.parquet(os.path.join(man_dir, f"v={v}")).collect()
+        ]
+        snap = spark.read.parquet(*files)
+        outs.append(
+            snap.agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum("price_c").cast("double") / 100.0).alias("sum_price"),
+                F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+                .cast("long")
+                .alias("n_pending"),
+            ).select("version", "n_rows", "sum_price", "n_pending")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("version")

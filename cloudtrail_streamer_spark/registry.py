@@ -133,6 +133,7 @@ _R6_STAGED: list[str] = [
     "merge_upsert_partitioned",
     "join_reorder_cbo",
     "source_python_datasource",
+    "sink_snapshot_time_travel",
 ]
 
 

@@ -548,3 +548,31 @@ def test_merge_rewrites_only_touched_partitions(spark):
         "untouched partitions must keep their original files; "
         "a full-table rewrite would stamp every partition at merge time"
     )
+
+
+def test_time_travel_reuses_untouched_files(spark):
+    """sink_snapshot_time_travel: v2's manifest must REFERENCE (not
+    copy) every v1 file the update didn't touch, and the replaced v1
+    files must still exist on disk — old snapshots stay readable
+    because data files are immutable, exactly the Iceberg/Delta
+    contract."""
+    import os
+
+    from cloudtrail_streamer_spark.catalog import scratch_dir
+
+    all_queries()["sink_snapshot_time_travel"](spark, SF).collect()
+    root = scratch_dir("sink_snapshot_time_travel", SF)
+    man = {
+        v: {
+            r["f"]
+            for r in spark.read.parquet(os.path.join(root, "manifests", f"v={v}")).collect()
+        }
+        for v in (1, 2)
+    }
+    shared = man[1] & man[2]
+    replaced = man[1] - man[2]
+    added = man[2] - man[1]
+    assert shared, "untouched v1 files must be reused by reference in v2"
+    assert replaced and added, "the COW update must swap at least one file"
+    for f in man[1] | man[2]:
+        assert os.path.exists(f.replace("file://", "").replace("file:", "")), f
