@@ -31,6 +31,8 @@ results are identical, just unpruned.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -38,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from cloudtrail_streamer_spark.registry import query
@@ -126,6 +129,9 @@ class CloudTrailGenDataSource(DataSource):
     def reader(self, schema):
         return _CTGenReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return _CTGenStreamReader(self.options)
+
 
 # DuckDB mirror of the generator arithmetic: 1-based list indexing over
 # the same modulo scheme, step = ceil(64000/8) = 8000 ids per split.
@@ -179,5 +185,114 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
         )
+        .orderBy("event_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: SimpleDataSourceStreamReader + checkpoint resume
+# ---------------------------------------------------------------------------
+
+
+class _CTGenStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming read of the same generated relation.
+    ``read(start)`` returns one chunk and the next offset; Spark
+    checkpoints the offset, so a restarted query resumes mid-stream
+    instead of re-reading — the exactly-once source contract."""
+
+    def __init__(self, options):
+        self.n_events = int(options.get("n_events", 2000))
+        self.chunk = int(options.get("chunk", 700))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        if pos >= self.n_events:
+            return iter([]), {"pos": pos}
+        end = min(pos + self.chunk, self.n_events)
+        rows = [
+            (
+                i,
+                EVENT_NAMES[i % len(EVENT_NAMES)],
+                REGIONS[(i // 500) % len(REGIONS)],
+                1_704_067_200 + i * 60,
+                int(i % 13 == 0),
+            )
+            for i in range(pos, end)
+        ]
+        return iter(rows), {"pos": end}
+
+
+_SDS_ORACLE = """
+WITH ev AS (
+  SELECT r.range AS event_id,
+         ['AssumeRole','GetObject','PutObject','DeleteObject',
+          'ConsoleLogin','CreateUser','DescribeInstances']
+           [(r.range % 7) + 1] AS event_name,
+         CASE WHEN r.range % 13 = 0 THEN 1 ELSE 0 END AS error_code
+  FROM range(0, 2000) r
+)
+SELECT event_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(error_code) AS BIGINT) AS n_errors
+FROM ev
+GROUP BY event_name
+ORDER BY event_name
+"""
+
+
+@query("stream_python_datasource", oracle=_SDS_ORACLE, survey_id="B-3-ext")
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the Python DataSource, driven to completion as
+    a sequence of availableNow runs AGAINST ONE CHECKPOINT: each run
+    consumes the reader's next prefetched chunk (700 ids), commits its
+    offset, and stops; the next run restores both the source offset and
+    the aggregation state from the checkpoint and continues — 2000 ids
+    take ≥3 restart cycles, so the final complete-mode counts prove
+    offset commit AND state-store recovery end to end, not just a
+    single lucky batch. The final per-event-name aggregate is
+    chunking-independent, which is what makes this H-tier: the oracle
+    recomputes it from ``range()`` arithmetic with no knowledge of how
+    many cycles ran. sf_dir is unused (generated source)."""
+    import shutil
+
+    from cloudtrail_streamer_spark.catalog import scratch_dir
+    from cloudtrail_streamer_spark.session import configure
+
+    configure(spark)
+    spark.dataSource.register(CloudTrailGenDataSource)
+    root = scratch_dir("stream_python_datasource", sf_dir)
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh stream per invocation
+    sink = f"sds_out_{os.getpid()}"
+    n_total, max_cycles = 2000, 8
+    for _ in range(max_cycles):
+        q = (
+            spark.readStream.format("cloudtrail_gen")
+            .option("n_events", n_total)
+            .option("chunk", 700)
+            .load()
+            .groupBy("event_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("error_code").cast("long").alias("n_errors"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = spark.sql(f"SELECT SUM(n_events) FROM {sink}").collect()[0][0] or 0
+        if got >= n_total:
+            break
+    return (
+        spark.table(sink)
+        .select("event_name", "n_events", F.col("n_errors").cast("long").alias("n_errors"))
         .orderBy("event_name")
     )

@@ -134,6 +134,7 @@ _R6_STAGED: list[str] = [
     "join_reorder_cbo",
     "source_python_datasource",
     "sink_snapshot_time_travel",
+    "stream_python_datasource",
 ]
 
 

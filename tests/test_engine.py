@@ -695,3 +695,24 @@ def test_python_datasource_split_pruning():
     parts3 = r3.partitions()
     assert len(parts3) == 8
     assert sum(b.num_rows for p in parts3 for b in r3.read(p)) == 64000
+
+
+def test_python_stream_reader_offset_resume():
+    """The streaming reader's offset contract: chunked progress, exact
+    resumption from any checkpointed offset, and a terminal empty read
+    — what makes the multi-restart availableNow drive exactly-once."""
+    from cloudtrail_streamer_spark.operators.datasource_py import _CTGenStreamReader
+
+    r = _CTGenStreamReader({"n_events": "2000", "chunk": "700"})
+    rows, off = r.read({"pos": 0})
+    rows = list(rows)
+    assert len(rows) == 700 and off == {"pos": 700}
+    assert rows[0][0] == 0 and rows[-1][0] == 699
+    # resume mid-stream (as a restarted query would, from the checkpoint)
+    rows2, off2 = r.read({"pos": 1400})
+    rows2 = list(rows2)
+    assert len(rows2) == 600 and off2 == {"pos": 2000}
+    assert rows2[0][0] == 1400 and rows2[-1][0] == 1999
+    # terminal: no data, offset unchanged
+    rows3, off3 = r.read({"pos": 2000})
+    assert list(rows3) == [] and off3 == {"pos": 2000}
