@@ -126,8 +126,11 @@ def merge_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tgt_touched = tgt.join(F.broadcast(touched_years), "o_year", "left_semi")
+    # No broadcast hint on the update batch: it scales with the source
+    # (unlike touched_years, which is bounded by the partition count), so
+    # size-based selection / AQE must keep the right to shuffle it.
     merged_slice = (
-        tgt_touched.join(F.broadcast(updates), "o_orderkey", "left")
+        tgt_touched.join(updates, "o_orderkey", "left")
         .withColumn("price_c", F.coalesce("new_price_c", "price_c"))
         .select(*cols)
         .unionByName(inserts.select(*cols))
