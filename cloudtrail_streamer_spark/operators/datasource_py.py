@@ -38,11 +38,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
+from cloudtrail_streamer_spark.catalog import table
 from cloudtrail_streamer_spark.registry import query
 
 REGIONS = ["us-east-1", "us-west-2", "eu-west-1", "ap-south-1"]
@@ -295,4 +298,158 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(sink)
         .select("event_name", "n_events", F.col("n_errors").cast("long").alias("n_errors"))
         .orderBy("event_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch writer: V2 commit protocol with Kinesis-style delivery caps
+# ---------------------------------------------------------------------------
+
+
+class _ChunkCommit(WriterCommitMessage):
+    """Per-task delivery receipt (must be picklable)."""
+
+    def __init__(self, chunks: list[tuple[int, int]]):
+        self.chunks = chunks  # [(n_records, n_bytes), ...]
+
+
+class _KinesisStubWriter(DataSourceWriter):
+    """Executor-side chunked delivery with the upstream forwarder's
+    limits (A-8: ≤500 records and ≤5 MB per PutRecords call — here a
+    256 KiB test-scale byte cap, same mechanism). ``write`` flushes a
+    gzipped JSON-lines chunk whenever EITHER cap would overflow and
+    returns the per-chunk receipts; the driver-side ``commit`` runs
+    once, only if every task succeeded — the transactional half the
+    upstream Lambda lacks. ``abort`` removes this attempt's files, so a
+    retried job cannot double-deliver."""
+
+    RECORD_CAP = 500
+    BYTE_CAP = 256 * 1024
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        self.run_id = options.get("run_id", "r0")
+
+    def write(self, iterator):
+        import gzip
+        import json
+        import os
+        import uuid
+
+        chunks: list[tuple[int, int]] = []
+        buf: list[bytes] = []
+        nbytes = 0
+
+        def flush():
+            nonlocal buf, nbytes
+            if not buf:
+                return
+            name = os.path.join(
+                self.path, f"chunk_{self.run_id}_{uuid.uuid4().hex}.json.gz"
+            )
+            with gzip.open(name, "wb") as fh:
+                fh.writelines(buf)
+            chunks.append((len(buf), nbytes))
+            buf, nbytes = [], 0
+
+        for row in iterator:
+            rec = (json.dumps(row.asDict(), default=str) + "\n").encode()
+            if buf and (
+                len(buf) >= self.RECORD_CAP or nbytes + len(rec) > self.BYTE_CAP
+            ):
+                flush()
+            buf.append(rec)
+            nbytes += len(rec)
+        flush()
+        return _ChunkCommit(chunks)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        chunks = [c for m in messages if m is not None for c in m.chunks]
+        with open(os.path.join(self.path, f"_MANIFEST_{self.run_id}.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_chunks": len(chunks),
+                    "n_records": sum(c[0] for c in chunks),
+                    "max_chunk_records": max((c[0] for c in chunks), default=0),
+                    "max_chunk_bytes": max((c[1] for c in chunks), default=0),
+                },
+                fh,
+            )
+
+    def abort(self, messages):
+        import glob
+        import os
+
+        for f in glob.glob(os.path.join(self.path, f"chunk_{self.run_id}_*.json.gz")):
+            os.remove(f)
+
+
+class KinesisStubSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_stub"
+
+    def writer(self, schema, overwrite: bool):
+        return _KinesisStubWriter(self.options)
+
+
+@query("sink_python_datasource_writer", survey_id="B-6-ext")  # Tier R
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliver the events table through the Python DataSourceWriter and
+    certify the V2 commit protocol end to end: per-task ``write`` chunks
+    rows under the A-8 caps and returns receipts, the driver ``commit``
+    folds every receipt into ONE manifest (written exactly once, after
+    all tasks succeed), and the certificate re-reads BOTH sides —
+    manifest totals vs the delivered gzip files re-parsed through the
+    engine's own json.gz source path. Rows-only driver tier (chunk
+    boundaries depend on physical partitioning); the INVARIANTS the row
+    carries are exact: delivered records == source rows, every chunk
+    within both caps, chunk count consistent with the caps."""
+    import glob
+    import json as _json
+
+    from cloudtrail_streamer_spark.catalog import scratch_dir
+    from cloudtrail_streamer_spark.session import configure
+
+    configure(spark)
+    spark.dataSource.register(KinesisStubSink)
+    out = os.path.join(scratch_dir("sink_python_datasource_writer", sf_dir), "delivery")
+    os.makedirs(out, exist_ok=True)
+    for f in glob.glob(os.path.join(out, "*")):
+        os.remove(f)  # fresh delivery per invocation
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    n_src = ev.count()
+    ev.write.format("kinesis_stub").option("path", out).option(
+        "run_id", str(os.getpid())
+    ).mode("append").save()
+
+    with open(
+        os.path.join(out, f"_MANIFEST_{os.getpid()}.json")
+    ) as fh:
+        man = _json.load(fh)
+    redelivered = spark.read.json(
+        os.path.join(out, "*.json.gz"), schema="event_id LONG, event_type STRING, value DOUBLE"
+    )
+    n_redelivered = redelivered.count()
+    return spark.createDataFrame(
+        [
+            (
+                int(man["n_chunks"]),
+                int(man["n_records"]),
+                int(man["max_chunk_records"]),
+                int(man["max_chunk_bytes"]),
+                bool(man["n_records"] == n_src == n_redelivered),
+                bool(man["max_chunk_records"] <= _KinesisStubWriter.RECORD_CAP),
+                bool(man["max_chunk_bytes"] <= _KinesisStubWriter.BYTE_CAP),
+            )
+        ],
+        "n_chunks long, n_records long, max_chunk_records long, "
+        "max_chunk_bytes long, records_match boolean, record_cap_ok boolean, "
+        "byte_cap_ok boolean",
     )

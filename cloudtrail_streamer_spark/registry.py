@@ -135,6 +135,7 @@ _R6_STAGED: list[str] = [
     "source_python_datasource",
     "sink_snapshot_time_travel",
     "stream_python_datasource",
+    "sink_python_datasource_writer",
 ]
 
 

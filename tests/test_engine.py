@@ -716,3 +716,47 @@ def test_python_stream_reader_offset_resume():
     # terminal: no data, offset unchanged
     rows3, off3 = r.read({"pos": 2000})
     assert list(rows3) == [] and off3 == {"pos": 2000}
+
+
+def test_python_datasource_writer_chunking_and_abort(tmp_path):
+    """The V2 writer's delivery invariants, pinned off-cluster: record
+    cap flushes at exactly 500, byte cap flushes before overflow, the
+    receipts account for every row, and abort removes exactly this
+    attempt's files (retry safety)."""
+    import gzip
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from cloudtrail_streamer_spark.operators.datasource_py import (
+        _KinesisStubWriter,
+    )
+
+    out = str(tmp_path)
+    w = _KinesisStubWriter({"path": out, "run_id": "t1"})
+    msg = w.write(iter([Row(event_id=i, event_type="click") for i in range(1200)]))
+    assert [c[0] for c in msg.chunks] == [500, 500, 200]
+    w.commit([msg])
+    man = json.load(open(os.path.join(out, "_MANIFEST_t1.json")))
+    assert man["n_records"] == 1200 and man["n_chunks"] == 3
+    assert man["max_chunk_records"] == 500
+    # the delivered bytes re-parse to the same rows
+    files = [f for f in os.listdir(out) if f.startswith("chunk_t1_")]
+    n = sum(
+        sum(1 for _ in gzip.open(os.path.join(out, f), "rt")) for f in files
+    )
+    assert n == 1200
+    # byte cap: 64 KiB payloads must flush every ~4 rows, never overflow
+    w2 = _KinesisStubWriter({"path": out, "run_id": "t2"})
+    big = "x" * 65536
+    msg2 = w2.write(iter([Row(event_id=i, payload=big) for i in range(10)]))
+    assert all(b <= w2.BYTE_CAP for _, b in msg2.chunks)
+    assert sum(c[0] for c in msg2.chunks) == 10
+    # abort removes ONLY this attempt's files
+    w2.abort([msg2])
+    left = [f for f in os.listdir(out) if f.startswith("chunk_t2_")]
+    assert left == []
+    assert [f for f in os.listdir(out) if f.startswith("chunk_t1_")], (
+        "abort must not touch other runs' deliveries"
+    )
