@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -395,6 +396,9 @@ class KinesisStubSink(DataSource):
     def writer(self, schema, overwrite: bool):
         return _KinesisStubWriter(self.options)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return _KinesisStubStreamWriter(self.options)
+
 
 @query("sink_python_datasource_writer", survey_id="B-6-ext")  # Tier R
 def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,4 +456,127 @@ def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_chunks long, n_records long, max_chunk_records long, "
         "max_chunk_bytes long, records_match boolean, record_cap_ok boolean, "
         "byte_cap_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming writer: per-epoch commit, idempotent on batch replay
+# ---------------------------------------------------------------------------
+
+
+class _KinesisStubStreamWriter(_KinesisStubWriter, DataSourceStreamWriter):
+    """The streaming half of the sink: ``write`` (inherited) chunks each
+    micro-batch partition under the same caps; ``commit(messages,
+    batchId)`` writes ONE epoch manifest per batch and — the
+    exactly-once upgrade — refuses to re-commit an epoch whose manifest
+    already exists, so a batch replayed after a crash between sink
+    commit and checkpoint write cannot double-deliver (the manual
+    idempotent-by-batchId logic of streaming/sinks.py, expressed
+    through the engine-level V2 protocol instead of user foreachBatch
+    code)."""
+
+    def commit(self, messages, batchId: int):  # noqa: N803 (Spark API name)
+        import json
+        import os
+
+        man = os.path.join(self.path, f"_EPOCH_{batchId}.json")
+        if os.path.exists(man):
+            return  # replayed epoch: already delivered, drop duplicates
+        chunks = [c for m in messages if m is not None for c in m.chunks]
+        with open(man, "w") as fh:
+            json.dump(
+                {
+                    "batch_id": batchId,
+                    "n_chunks": len(chunks),
+                    "n_records": sum(c[0] for c in chunks),
+                    "max_chunk_records": max((c[0] for c in chunks), default=0),
+                    "max_chunk_bytes": max((c[1] for c in chunks), default=0),
+                },
+                fh,
+            )
+
+    def abort(self, messages, batchId: int):  # noqa: N803
+        _KinesisStubWriter.abort(self, messages)
+
+
+@query("sink_python_stream_writer", survey_id="B-6-ext")  # Tier R
+def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python source INTO Python sink, streaming end to end: the
+    cloudtrail_gen stream (offset-checkpointed 700-id chunks) written
+    through the kinesis_stub streaming writer across repeated
+    availableNow restarts of ONE checkpoint. Every restart resumes from
+    the committed source offset and delivers its batches through the
+    per-epoch commit protocol. The certificate re-reads the delivered
+    gzip records and the epoch manifests: zero duplicate event_ids
+    (exactly-once across ≥3 restarts), manifest totals == delivered ==
+    generated domain, caps held per chunk, one manifest per epoch.
+    Rows-only driver tier (epoch/chunk boundaries are physical)."""
+    import glob
+    import json as _json
+
+    from cloudtrail_streamer_spark.catalog import scratch_dir
+    from cloudtrail_streamer_spark.session import configure
+
+    configure(spark)
+    spark.dataSource.register(CloudTrailGenDataSource)
+    spark.dataSource.register(KinesisStubSink)
+    root = scratch_dir("sink_python_stream_writer", sf_dir)
+    out = os.path.join(root, "delivery")
+    ckpt = os.path.join(root, "ckpt")
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    n_total, max_cycles, cycles = 2000, 8, 0
+    for _ in range(max_cycles):
+        q = (
+            spark.readStream.format("cloudtrail_gen")
+            .option("n_events", n_total)
+            .option("chunk", 700)
+            .load()
+            .writeStream.format("kinesis_stub")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        cycles += 1
+        mans = [
+            _json.load(open(f))
+            for f in glob.glob(os.path.join(out, "_EPOCH_*.json"))
+        ]
+        if sum(m["n_records"] for m in mans) >= n_total:
+            break
+
+    delivered = spark.read.json(
+        os.path.join(out, "*.json.gz"),
+        schema="event_id LONG, event_name STRING, aws_region STRING, "
+        "epoch_s LONG, error_code INT",
+    )
+    agg = delivered.agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.count_distinct("event_id").alias("n_distinct"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(len(mans)),
+                int(cycles),
+                int(sum(m["n_records"] for m in mans)),
+                int(agg["n_delivered"]),
+                int(agg["n_distinct"]),
+                bool(agg["n_delivered"] == agg["n_distinct"] == n_total),
+                bool(
+                    max(m["max_chunk_records"] for m in mans)
+                    <= _KinesisStubWriter.RECORD_CAP
+                ),
+            )
+        ],
+        "n_epochs long, n_restarts long, manifest_records long, "
+        "n_delivered long, n_distinct long, exactly_once boolean, "
+        "record_cap_ok boolean",
     )

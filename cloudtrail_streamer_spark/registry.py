@@ -136,6 +136,7 @@ _R6_STAGED: list[str] = [
     "sink_snapshot_time_travel",
     "stream_python_datasource",
     "sink_python_datasource_writer",
+    "sink_python_stream_writer",
 ]
 
 

@@ -760,3 +760,32 @@ def test_python_datasource_writer_chunking_and_abort(tmp_path):
     assert [f for f in os.listdir(out) if f.startswith("chunk_t1_")], (
         "abort must not touch other runs' deliveries"
     )
+
+
+def test_python_stream_writer_epoch_idempotent(tmp_path):
+    """A replayed epoch (same batchId committed twice, as after a crash
+    between sink commit and checkpoint write) must be a no-op: one
+    manifest, original totals — the exactly-once guarantee."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from cloudtrail_streamer_spark.operators.datasource_py import (
+        _KinesisStubStreamWriter,
+    )
+
+    out = str(tmp_path)
+    w = _KinesisStubStreamWriter({"path": out, "run_id": "e1"})
+    msg = w.write(iter([Row(event_id=i) for i in range(100)]))
+    w.commit([msg], batchId=7)
+    man_path = os.path.join(out, "_EPOCH_7.json")
+    first = json.load(open(man_path))
+    assert first["n_records"] == 100 and first["batch_id"] == 7
+    # replay the same epoch with different (duplicate) content
+    msg2 = w.write(iter([Row(event_id=i) for i in range(100)]))
+    w.commit([msg2], batchId=7)
+    assert json.load(open(man_path)) == first, "replayed epoch must not re-commit"
+    # a NEW epoch commits normally
+    w.commit([msg2], batchId=8)
+    assert os.path.exists(os.path.join(out, "_EPOCH_8.json"))
