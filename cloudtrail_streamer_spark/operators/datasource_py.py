@@ -571,7 +571,7 @@ def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(agg["n_distinct"]),
                 bool(agg["n_delivered"] == agg["n_distinct"] == n_total),
                 bool(
-                    max(m["max_chunk_records"] for m in mans)
+                    max((m["max_chunk_records"] for m in mans), default=0)
                     <= _KinesisStubWriter.RECORD_CAP
                 ),
             )
