@@ -115,12 +115,14 @@ _WINDOW_PRIORITY: list[str] = [
 
 # Round-6 rotation: the queries that will still lack a driver row after
 # r5 — the 8-query _R5_STAGED tail that did not fit the 50-slot window,
-# plus the two lakehouse surfaces (VERDICT r04 #8) registered mid-r5,
-# AFTER the r5 window was fixed. At the next rotation, move these into
-# _WINDOW_PRIORITY's first slots and back-fill the remaining 40 with the
-# green queries whose plans changed most recently. tests/test_engine.py
-# validates that window + staged covers every query that lacks a driver
-# row.
+# plus the round-5 surfaces registered AFTER the r5 window was fixed
+# (VERDICT r04 #8 lakehouse family: MERGE, CBO reorder, time travel;
+# and the Python DataSource quadrant: batch/stream x read/write). At
+# the next rotation, move these into _WINDOW_PRIORITY's first slots and
+# back-fill the remaining slots with the green queries whose plans
+# changed most recently (the streaming ops now on RocksDB state are
+# good candidates). tests/test_engine.py validates that window + staged
+# covers every query that lacks a driver row.
 _R6_STAGED: list[str] = [
     "agg_sample_estimate_ci",
     "win_cohort_ltv",
