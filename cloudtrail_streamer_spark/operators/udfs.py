@@ -177,6 +177,44 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@udtf(returnType="prop_key string, prop_val string", useArrow=True)
+class _ExplodePropsArrow:
+    """Arrow-optimized Python UDTF (Spark 4 ``useArrow=True``): the
+    author writes the identical row-generator as ``_ExplodeProps``, but
+    the executor boundary ships whole Arrow batches instead of pickled
+    rows — the UDTF analog of the scalar ``useArrow`` rung, and the
+    variant to prefer at 100 TB where the generator runs per-row over
+    billions of inputs."""
+
+    def eval(self, props: str):  # noqa: D102
+        import json
+
+        if props is None:
+            return
+        try:
+            obj = json.loads(props)
+        except (ValueError, TypeError):
+            return
+        if isinstance(obj, dict):
+            for k in sorted(obj):
+                yield str(k), str(obj[k])
+
+
+@query("udtf_arrow", oracle=_UDTF_ORACLE, survey_id="B-54-ext")
+def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same lateral-generator contract and oracle as ``udtf_python`` —
+    the two UDTF boundary modes are proven value-identical on one
+    contract, mirroring how the scalar ladder shares ``_UDF_ORACLE``."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_arrow")
+    spark.udtf.register("explode_props_arrow", _ExplodePropsArrow)
+    return spark.sql(
+        """
+        SELECT e.event_id, p.prop_key, p.prop_val
+        FROM events_udtf_arrow e, LATERAL explode_props_arrow(e.props) p
+        """
+    )
+
+
 _ARROW_BATCH_ORACLE = """
 SELECT o_orderkey,
        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,

@@ -139,6 +139,14 @@ _R6_STAGED: list[str] = [
     "stream_python_datasource",
     "sink_python_datasource_writer",
     "sink_python_stream_writer",
+    # SQL-language quartet + transformWithState (registered this round,
+    # after the r5 window was fixed — staged so the next rotation is
+    # mechanical):
+    "udf_sql_declarative",
+    "udf_sql_table_valued",
+    "sql_scripting_param",
+    "udtf_arrow",
+    "stream_transform_with_state",
 ]
 
 

@@ -576,3 +576,26 @@ def test_time_travel_reuses_untouched_files(spark):
     assert replaced and added, "the COW update must swap at least one file"
     for f in man[1] | man[2]:
         assert os.path.exists(f.replace("file://", "").replace("file:", "")), f
+
+
+def test_sql_udf_inlines_no_python(spark):
+    """Scalar SQL UDF body must inline into the projection — no Python
+    eval node of any kind (the whole point of the fifth UDF rung)."""
+    plan = _plan(spark, "udf_sql_declarative")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Project" in plan
+
+
+def test_sql_table_udf_decorrelates_to_hash_join(spark):
+    """Table-valued SQL UDF called via correlated LATERAL must
+    decorrelate into an equi-join — a nested-loop per-row evaluation
+    would be the 100 TB scale-killer."""
+    plan = _plan(spark, "udf_sql_table_valued")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan or "HashJoin" in plan, plan
+
+
+def test_udtf_arrow_uses_arrow_eval(spark):
+    """useArrow=True UDTF must execute on the Arrow batch boundary."""
+    plan = _plan(spark, "udtf_arrow")
+    assert "Generate" in plan or "PythonUDTF" in plan, plan

@@ -498,3 +498,63 @@ def test_cascade_foreachbatch_equivalence(spark):
     )
     batch = activity_histogram(daily_user_counts(table(spark, SF, "events")))
     assert sorted(streamed.collect()) == sorted(batch.collect())
+
+
+def test_tws_processor_state_logic():
+    """Unit-drive the StatefulProcessor kernel for
+    stream_transform_with_state with a fake handle/state — the TWS code
+    path stays tested even where protobuf (its wire protocol dep) is
+    absent and the op executes on the applyInPandasWithState fallback."""
+    import pandas as pd
+
+    from cloudtrail_streamer_spark.streaming.windows_stream import (
+        _RunningUserProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema):
+            assert name == "running" and "cents" in schema
+            return self.state
+
+    proc = _RunningUserProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    b1 = pd.DataFrame({"value": [1.25, 2.00]})
+    b2 = pd.DataFrame({"value": [0.75]})
+    (out1,) = proc.handleInputRows((7,), iter([b1]), None)
+    assert out1.iloc[0].to_dict() == {"user_id": 7, "n": 2, "total_value": 3.25}
+    (out2,) = proc.handleInputRows((7,), iter([b2]), None)
+    assert out2.iloc[0].to_dict() == {"user_id": 7, "n": 3, "total_value": 4.00}
+    assert handle.state.v == (3, 400)
+    proc.close()
+
+
+def test_tws_final_equals_batch(spark):
+    """stream_transform_with_state: latest-per-user equals the batch
+    GROUP BY (the H-tier contract), and state stays keyed by user."""
+    out = all_queries()["stream_transform_with_state"](spark, SF).collect()
+    batch = (
+        table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {r["user_id"]: r["n"] for r in out} == {
+        r["user_id"]: r["n"] for r in batch
+    }
