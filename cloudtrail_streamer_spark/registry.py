@@ -147,6 +147,7 @@ _R6_STAGED: list[str] = [
     "sql_scripting_param",
     "udtf_arrow",
     "stream_transform_with_state",
+    "source_state_store_reader",
 ]
 
 

@@ -250,3 +250,59 @@ def source_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
         [(sink["run1"], sink["run2"], sink["run1"] + sink["run2"])],
         "n_first_run long, n_second_run long, n_total long",
     )
+
+
+_STATE_READER_ORACLE = """
+SELECT user_id, COUNT(*) AS n
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("source_state_store_reader", oracle=_STATE_READER_ORACLE, survey_id="B-3-ext")
+def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 State Data Source: read a streaming checkpoint's state
+    store back as a BATCH DataFrame (`spark.read.format("statestore")`)
+    — the operational surface for inspecting, auditing, or repairing
+    the state of a long-running stateful stream without touching the
+    stream itself. At 100 TB this is how you answer "what is in my
+    session-window state right now" or bootstrap a replacement query
+    from live state: the reader scans the per-partition state files in
+    parallel, no replay needed.
+
+    A per-user running-count stream runs to completion (AvailableNow)
+    with its checkpoint retained; the op then (a) lists the stateful
+    operator via the companion `state-metadata` source and asserts
+    exactly one keyed store, and (b) reads the final state and returns
+    (user_id, n) — which must equal the batch GROUP BY, because the
+    post-replay state IS the aggregate. H-tier against that oracle."""
+    import shutil
+    import uuid
+
+    replay = harness.write_replay_files(spark, sf_dir)
+    stream = harness.read_replay_stream(spark, replay)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="cts_ckpt_statereader_")
+    name = f"state_reader_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    stateful_ops = meta.select("operatorId", "stateStoreName").collect()
+    assert len(stateful_ops) == 1, f"expected one keyed store, got {stateful_ops}"
+
+    state = spark.read.format("statestore").load(ckpt)
+    out = state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("long").alias("n"),
+    )
+    rows = out.collect()  # materialize before the checkpoint is removed
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema="user_id long, n long")
