@@ -78,14 +78,16 @@ FROM tf JOIN df USING (term) CROSS JOIN n
 """
 
 
-@query("text_tfidf", oracle=_TFIDF_ORACLE, survey_id="B-60")
-def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF per (doc, term): two aggregations + a term-keyed join.
+# Corpora below this doc count take the single-pass window plan; at or
+# above it (or when footer stats are unavailable) the skew-free df-join
+# plan. A stopword's window partition holds ≤ |docs| rows, so below the
+# threshold the straggler is bounded at ~10M rows per hot term — cheap
+# next to a second tokenize pass; above it, unbounded skew loses.
+_TFIDF_WINDOW_MAX_DOCS = 10_000_000
 
-    Scale: df table is |vocab| rows → broadcast side of the join; the
-    big tf table never shuffles twice. N arrives as a scalar via a
-    cross-join of a 1-row aggregate (no collect to the driver).
-    """
+
+def _tfidf_frame(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    """Shared TF-IDF plan builder; ``strategy`` picks the df stage."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
@@ -93,25 +95,59 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df as a window over tf (tf already has one row per (doc, term)) —
-    # a single pass: explode → shuffle(doc,term) → shuffle(term);
-    # a separate df-aggregate branch would recompute the whole tf
-    # subtree (Catalyst only reuses identical exchanges).
-    df = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        tf.withColumn("df", df)
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            F.col("tf").cast("long").alias("tf"),
-            F.col("df").cast("long").alias("df"),
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
-            ).alias("tfidf"),
+    if strategy == "window":
+        # df as a window over tf (tf has one row per (doc, term)): a
+        # single pass — explode → shuffle(doc,term) → shuffle(term) —
+        # but every row of a hot term lands in ONE partition.
+        with_df = tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
         )
+    else:
+        # df as an aggregate branch + join back: the term-keyed
+        # exchange moves only partial counts (≤ partitions × |vocab|
+        # rows), and the join's hot terms are splittable by AQE's
+        # skew-join — no stage inherits the stopword skew. Price: the
+        # tokenize/tf subtree is computed twice (column pruning gives
+        # the two branches different exchanges, so neither static
+        # ReuseExchange nor AQE stage reuse merges them — verified on
+        # the executed adaptive plan). A second map-side tokenize is
+        # embarrassingly parallel and straggler-free, which at corpus
+        # scale is the right trade against an unsplittable sort.
+        df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        with_df = tf.join(df_tbl, "term")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return with_df.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+        ).alias("tfidf"),
     )
+
+
+@query("text_tfidf", oracle=_TFIDF_ORACLE, survey_id="B-60")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term), df-stage cost-routed on O(1) footer
+    stats (the similarity.py kernel-routing precedent; VERDICT r04
+    flagged the window's stopword skew as the one plan watch item):
+
+    - small corpus (< _TFIDF_WINDOW_MAX_DOCS): single-pass window —
+      fastest when the hot-term partitions are bounded small;
+    - large or unknown corpus: df-aggregate + term join — skew-free
+      (AQE can split the join's hot terms; it cannot split a window
+      partition), at the price of a second straggler-free tokenize.
+
+    Both strategies are hash-equal (tests/test_engine.py pins it); the
+    oracle checks whichever the stats pick. N arrives as a scalar via
+    a cross-join of a 1-row aggregate (no collect to the driver).
+    """
+    from cloudtrail_streamer_spark.stats import row_count
+
+    n_docs = row_count(sf_dir, "documents")
+    strategy = "window" if 0 <= n_docs < _TFIDF_WINDOW_MAX_DOCS else "join"
+    return _tfidf_frame(spark, sf_dir, strategy)
 
 
 _LANG_STATS_ORACLE = """

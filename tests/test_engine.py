@@ -789,3 +789,18 @@ def test_python_stream_writer_epoch_idempotent(tmp_path):
     # a NEW epoch commits normally
     w.commit([msg2], batchId=8)
     assert os.path.exists(os.path.join(out, "_EPOCH_8.json"))
+
+
+def test_tfidf_strategies_agree(spark):
+    """text_tfidf's two df stages (single-pass window vs skew-free
+    aggregate+join) must produce identical rows — the cost router may
+    pick either without changing results."""
+    from cloudtrail_streamer_spark.operators.text import _tfidf_frame
+
+    a = _tfidf_frame(spark, SF, "window").collect()
+    b = _tfidf_frame(spark, SF, "join").collect()
+    key = lambda r: (r["doc_id"], r["term"])  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, b), key=lambda t: (t[0], t[1])
+    )
+    assert len(a) == len({key(r) for r in a})
