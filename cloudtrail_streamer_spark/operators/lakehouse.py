@@ -368,3 +368,127 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("version", "n_rows", "sum_price", "n_pending")
         )
     return outs[0].unionByName(outs[1]).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_vacuum — retention: expire old snapshots, delete dead files
+# ---------------------------------------------------------------------------
+
+_VACUUM_ORACLE = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         o_orderstatus
+  FROM orders
+), v2 AS (
+  SELECT CASE WHEN o_orderstatus = 'P' AND o_year = 1995
+              THEN price_c + price_c // 10 ELSE price_c END AS price_c,
+         o_orderstatus
+  FROM base
+)
+SELECT 2 AS version,
+       COUNT(*) AS n_rows,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pending
+FROM v2
+"""
+
+
+def _uri_to_path(uri: str) -> str:
+    return uri[len("file:") :] if uri.startswith("file:") else uri
+
+
+@query("sink_snapshot_vacuum", oracle=_VACUUM_ORACLE, survey_id="B-5-ext")
+def sink_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on the manifest-versioned snapshot table
+    (`sink_snapshot_time_travel`'s layout): expire every snapshot
+    older than the retained set and delete the data files no retained
+    manifest references — the maintenance half of copy-on-write,
+    without which a COW table's storage grows monotonically.
+
+    Build: v1 = orders hash-bucketed by year (8 files, so the 1995
+    bucket isolates the update); v2 = COW price bump touching only the
+    file(s) holding ('P', 1995) rows. Vacuum retains {v2}: dead files
+    = manifest v1 − manifest v2, deleted FS-side (at 100 TB this is
+    the catalog's distributed delete; the set is manifest-diff-sized,
+    never a directory scan of the data lake). In-op certificate
+    asserts (raise = red driver row):
+
+    - at least one file died AND at least one survived from v1 (the
+      vacuum is neither a no-op nor a truncate);
+    - after vacuum the data root holds exactly manifest v2's files;
+    - reading expired v1 by its manifest now FAILS (path gone);
+    - the returned v2 aggregate — computed from the POST-VACUUM table
+      — still hash-matches the oracle, proving deletion touched only
+      dead files.
+    """
+    import shutil
+
+    root = scratch_dir("sink_snapshot_vacuum", sf_dir)
+    for sub in ("data_v1", "data_v2delta"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    data_v1 = os.path.join(root, "data_v1")
+    data_v2 = os.path.join(root, "data_v2delta")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    o.repartition(8, "o_year").write.mode("overwrite").parquet(data_v1)
+    v1_files = _tt_file_list(spark, data_v1)
+
+    matched = (F.col("o_orderstatus") == "P") & (F.col("o_year") == 1995)
+    affected = [
+        r["f"]
+        for r in spark.read.parquet(data_v1)
+        .where(matched)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    bumped = F.col("price_c") + F.expr("price_c div 10")
+    spark.read.parquet(*affected).withColumn(
+        "price_c", F.when(matched, bumped).otherwise(F.col("price_c"))
+    ).write.mode("overwrite").parquet(data_v2)
+    v2_files = [f for f in v1_files if f not in set(affected)] + _tt_file_list(
+        spark, data_v2
+    )
+
+    # VACUUM: retained manifests = {v2}; everything else is dead.
+    dead = [f for f in v1_files if f not in set(v2_files)]
+    assert dead and len(dead) < len(v1_files), (
+        f"degenerate vacuum: {len(dead)}/{len(v1_files)} files dead"
+    )
+    for f in dead:
+        os.remove(_uri_to_path(f))
+
+    # certificate: v1 must be unreadable now, v2 exactly intact
+    try:
+        spark.read.parquet(*v1_files).count()
+        raise AssertionError("expired snapshot v1 still readable after vacuum")
+    except Exception as e:  # noqa: BLE001 - any read failure is the pass
+        if isinstance(e, AssertionError):
+            raise
+    on_disk = set()
+    for d in (data_v1, data_v2):
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                on_disk.add(fn)
+    live_names = {os.path.basename(_uri_to_path(f)) for f in v2_files}
+    assert on_disk == live_names, (
+        f"post-vacuum files != manifest v2: extra={sorted(on_disk - live_names)} "
+        f"missing={sorted(live_names - on_disk)}"
+    )
+
+    snap = spark.read.parquet(*v2_files)
+    return snap.agg(
+        F.lit(2).cast("int").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("price_c").cast("double") / 100.0).alias("sum_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+        .cast("long")
+        .alias("n_pending"),
+    ).select("version", "n_rows", "sum_price", "n_pending")

@@ -148,6 +148,7 @@ _R6_STAGED: list[str] = [
     "udtf_arrow",
     "stream_transform_with_state",
     "source_state_store_reader",
+    "sink_snapshot_vacuum",
 ]
 
 
