@@ -473,3 +473,114 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("l_extendedprice")).cast("long").alias("revenue_cents"),
         )
     )
+
+
+_RUNTIME_BLOOM_ORACLE = """
+SELECT l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '2-HIGH'
+GROUP BY l_linestatus
+"""
+
+# Conf window for Catalyst's InjectRuntimeFilter rule. The application-
+# side scan threshold (default 10 GB) exists so tiny probe sides don't
+# pay bloom-build cost; the fixtures are far below it, so it is zeroed
+# to exercise the exact path a 100 TB lineitem scan takes by default.
+# Broadcast is disabled INSIDE the window only: the rule targets shuffle
+# joins (a broadcast join already prunes at the build side), and at real
+# scale the fact⋈fact join is never broadcastable anyway.
+_RUNTIME_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query("join_runtime_bloom", oracle=_RUNTIME_BLOOM_ORACLE, survey_id="B-10-ext")
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-NATIVE runtime bloom-filter join pruning — the optimizer
+    injects what ``join_bloom_prefilter`` hand-rolls: with
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` the
+    InjectRuntimeFilter rule plants a ``BloomFilterAggregate`` subquery
+    on the selective build side (2-HIGH orders) and a
+    ``might_contain(...)`` predicate on the probe side's scan, so only
+    probable matches ever shuffle. False positives are removed by the
+    exact equi-join that follows — the result is exact (H-tier) while
+    the shuffle moves ~selectivity·|lineitem| rows. The plan is forced
+    through the optimizer INSIDE the conf window (QueryExecution
+    memoizes it — the join_reorder_cbo pattern), then every conf is
+    restored so no other query inherits the broadcast opt-out;
+    tests/test_plans.py pins might_contain + bloom_filter_agg in the
+    memoized plan. At 100 TB this is the default-on path (thresholds
+    un-zeroed): the rule fires exactly when the probe scan is big
+    enough for the bloom build to pay for itself."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    from cloudtrail_streamer_spark.functions import cents
+
+    prior = {c: spark.conf.get(c, None) for c in _RUNTIME_BLOOM_CONFS}
+    try:
+        for c, v in _RUNTIME_BLOOM_CONFS.items():
+            spark.conf.set(c, v)
+        high = o.where(F.col("o_orderpriority") == "2-HIGH").select("o_orderkey")
+        df = (
+            li.join(high, li.l_orderkey == high.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(cents("l_extendedprice")).cast("long").alias("revenue_cents"),
+            )
+        )
+        # Materialize the physical plan while the runtime-filter confs
+        # are live: the memoized plan carries the injected bloom filter
+        # and is what a later collect() executes.
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for c, v in prior.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    return df
+
+
+_SHUFFLE_HASH_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("join_shuffle_hash", oracle=_SHUFFLE_HASH_ORACLE, survey_id="B-10-ext")
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third join strategy, explicitly elected: SHUFFLE_HASH builds
+    an in-memory hash table per partition instead of sorting both sides
+    (sort-merge) or replicating one side everywhere (broadcast). The
+    right call when the build side is too big to broadcast but its
+    per-partition slice fits executor memory — it skips both sides'
+    O(n log n) sorts, and unlike SMJ it never spills sorted runs for a
+    one-pass join. customer (build, hinted) ⋈ orders (probe):
+    tests/test_plans.py pins ShuffledHashJoin with ZERO Sort nodes
+    below it, vs the SMJ Catalyst would otherwise pick once the dim
+    outgrows the broadcast threshold. At 100 TB the hint holds per
+    partition: 32k shuffle partitions put ~1/32k of the build side in
+    each hash table, which is the memory contract — AQE can still
+    rebalance skewed partitions under it."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    from cloudtrail_streamer_spark.functions import cents
+
+    return (
+        o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents("o_totalprice")).cast("long").alias("revenue_cents"),
+        )
+    )

@@ -149,6 +149,8 @@ _R6_STAGED: list[str] = [
     "stream_transform_with_state",
     "source_state_store_reader",
     "sink_snapshot_vacuum",
+    "join_runtime_bloom",
+    "join_shuffle_hash",
 ]
 
 

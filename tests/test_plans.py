@@ -599,3 +599,25 @@ def test_udtf_arrow_uses_arrow_eval(spark):
     """useArrow=True UDTF must execute on the Arrow batch boundary."""
     plan = _plan(spark, "udtf_arrow")
     assert "Generate" in plan or "PythonUDTF" in plan, plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_runtime_bloom: Catalyst's InjectRuntimeFilter must plant a
+    bloom build on the selective side and a might_contain predicate on
+    the probe side, and the conf window must restore the session's
+    broadcast threshold after planning."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    plan = _plan(spark, "join_runtime_bloom")
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan or "BloomFilterAggregate" in plan, plan
+    after = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    assert before == after, f"conf leaked: {before!r} -> {after!r}"
+
+
+def test_shuffle_hash_join_no_sort(spark):
+    """join_shuffle_hash: the hint must elect ShuffledHashJoin — a
+    one-pass hash build per partition with no Sort on either side."""
+    tree = _nodes(spark, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree, tree
+    assert "Sort" not in tree, tree
