@@ -492,3 +492,142 @@ def sink_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pending"),
     ).select("version", "n_rows", "sum_price", "n_pending")
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_changes — change data feed (CDF) between two snapshots
+# ---------------------------------------------------------------------------
+
+_CDF_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_orderstatus
+  FROM orders
+)
+SELECT o_orderkey, 'update_preimage' AS change_type, price_c
+FROM base WHERE o_orderstatus = 'P' AND o_year = 1995
+UNION ALL
+SELECT o_orderkey, 'update_postimage' AS change_type,
+       price_c + price_c // 10 AS price_c
+FROM base WHERE o_orderstatus = 'P' AND o_year = 1995
+UNION ALL
+SELECT o_orderkey, 'delete' AS change_type, price_c
+FROM base WHERE o_orderstatus = 'O' AND o_year = 1995
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, 'insert' AS change_type, price_c
+FROM base WHERE o_orderstatus = 'P' AND o_year = 1994
+"""
+
+
+@query("sink_snapshot_changes", oracle=_CDF_ORACLE, survey_id="B-5-ext")
+def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two snapshots of the manifest-versioned
+    table — Delta's ``table_changes(v1, v2)`` / Iceberg's incremental
+    read, recovered from the COW layout alone: because commits rewrite
+    whole files, the v1→v2 row-level diff lives ENTIRELY in the
+    manifest diff (files v1 lost = preimages, files v2 gained =
+    postimages). The CDF therefore reads only those files — at 100 TB
+    that is |touched files|, never a two-full-snapshot scan — and one
+    keyed full-outer join classifies every row:
+
+    - key in both, payload equal   → COW copy artifact, no change row;
+    - key in both, payload differs → ``update_preimage`` + ``update_postimage``;
+    - key only in removed files    → ``delete``;
+    - key only in added files      → ``insert``.
+
+    The v2 commit exercises all three change types in one transaction:
+    'P'/1995 prices bumped (update), 'O'/1995 rows dropped (delete),
+    and 1994-'P' rows re-keyed +10M appended as a new file (insert —
+    an append never rewrites, so it enters the diff purely as an added
+    file). The 1↔2 row fan-out for updates is an array-of-structs +
+    explode, all JVM-side."""
+    import shutil
+
+    root = scratch_dir("sink_snapshot_changes", sf_dir)
+    for sub in ("data_v1", "data_v2delta", "data_v2ins"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    data_v1 = os.path.join(root, "data_v1")
+    data_v2 = os.path.join(root, "data_v2delta")
+    data_ins = os.path.join(root, "data_v2ins")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    o.repartition(4, "o_year").write.mode("overwrite").parquet(data_v1)
+    v1_files = _tt_file_list(spark, data_v1)
+
+    # one COW commit: update P/1995, delete O/1995, append re-keyed 1994-P
+    upd = (F.col("o_orderstatus") == "P") & (F.col("o_year") == 1995)
+    del_ = (F.col("o_orderstatus") == "O") & (F.col("o_year") == 1995)
+    affected = [
+        r["f"]
+        for r in spark.read.parquet(data_v1)
+        .where(upd | del_)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert affected and len(affected) < len(v1_files), "diff must be partial"
+    bumped = F.col("price_c") + F.expr("price_c div 10")
+    spark.read.parquet(*affected).where(~del_).withColumn(
+        "price_c", F.when(upd, bumped).otherwise(F.col("price_c"))
+    ).write.mode("overwrite").parquet(data_v2)
+    o.where((F.col("o_orderstatus") == "P") & (F.col("o_year") == 1994)).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    ).write.mode("overwrite").parquet(data_ins)
+
+    # manifest diff: removed = affected, added = rewrite + append files.
+    # The CDF scans ONLY these — untouched files cancel out by reference.
+    pre = spark.read.parquet(*affected).select(
+        "o_orderkey", F.col("price_c").alias("pre_c")
+    )
+    post = spark.read.parquet(data_v2, data_ins).select(
+        "o_orderkey", F.col("price_c").alias("post_c")
+    )
+    j = pre.join(post, "o_orderkey", "full_outer")
+    ch = F.when(
+        F.col("pre_c").isNotNull() & F.col("post_c").isNotNull(),
+        F.when(
+            F.col("pre_c") != F.col("post_c"),
+            F.array(
+                F.struct(
+                    F.lit("update_preimage").alias("change_type"),
+                    F.col("pre_c").alias("price_c"),
+                ),
+                F.struct(
+                    F.lit("update_postimage").alias("change_type"),
+                    F.col("post_c").alias("price_c"),
+                ),
+            ),
+        ).otherwise(F.array()),
+    ).otherwise(
+        F.when(
+            F.col("pre_c").isNotNull(),
+            F.array(
+                F.struct(
+                    F.lit("delete").alias("change_type"),
+                    F.col("pre_c").alias("price_c"),
+                )
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.lit("insert").alias("change_type"),
+                    F.col("post_c").alias("price_c"),
+                )
+            )
+        )
+    )
+    return (
+        j.select("o_orderkey", F.explode(ch).alias("c"))
+        .select(
+            "o_orderkey",
+            F.col("c.change_type").alias("change_type"),
+            F.col("c.price_c").alias("price_c"),
+        )
+    )

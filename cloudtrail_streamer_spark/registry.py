@@ -151,6 +151,7 @@ _R6_STAGED: list[str] = [
     "sink_snapshot_vacuum",
     "join_runtime_bloom",
     "join_shuffle_hash",
+    "sink_snapshot_changes",
 ]
 
 
