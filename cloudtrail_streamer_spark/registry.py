@@ -152,6 +152,7 @@ _R6_STAGED: list[str] = [
     "join_runtime_bloom",
     "join_shuffle_hash",
     "sink_snapshot_changes",
+    "sink_snapshot_restore",
 ]
 
 
