@@ -517,7 +517,7 @@ SELECT o_orderkey, 'delete' AS change_type, price_c
 FROM base WHERE o_orderstatus = 'O' AND o_year = 1995
 UNION ALL
 SELECT o_orderkey + 10000000 AS o_orderkey, 'insert' AS change_type, price_c
-FROM base WHERE o_orderstatus = 'P' AND o_year = 1994
+FROM base WHERE o_orderstatus = 'P' AND o_year = 1996
 """
 
 
@@ -539,7 +539,7 @@ def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The v2 commit exercises all three change types in one transaction:
     'P'/1995 prices bumped (update), 'O'/1995 rows dropped (delete),
-    and 1994-'P' rows re-keyed +10M appended as a new file (insert —
+    and 1996-'P' rows re-keyed +10M appended as a new file (insert —
     an append never rewrites, so it enters the diff purely as an added
     file). The 1↔2 row fan-out for updates is an array-of-structs +
     explode, all JVM-side."""
@@ -561,7 +561,7 @@ def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.repartition(4, "o_year").write.mode("overwrite").parquet(data_v1)
     v1_files = _tt_file_list(spark, data_v1)
 
-    # one COW commit: update P/1995, delete O/1995, append re-keyed 1994-P
+    # one COW commit: update P/1995, delete O/1995, append re-keyed 1996-P
     upd = (F.col("o_orderstatus") == "P") & (F.col("o_year") == 1995)
     del_ = (F.col("o_orderstatus") == "O") & (F.col("o_year") == 1995)
     affected = [
@@ -577,7 +577,7 @@ def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(*affected).where(~del_).withColumn(
         "price_c", F.when(upd, bumped).otherwise(F.col("price_c"))
     ).write.mode("overwrite").parquet(data_v2)
-    o.where((F.col("o_orderstatus") == "P") & (F.col("o_year") == 1994)).withColumn(
+    o.where((F.col("o_orderstatus") == "P") & (F.col("o_year") == 1996)).withColumn(
         "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
     ).write.mode("overwrite").parquet(data_ins)
 
@@ -742,3 +742,136 @@ def sink_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("version", "n_rows", "sum_price", "n_pending")
         )
     return outs[0].unionByName(outs[1]).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_concurrent_commit — optimistic concurrency + CAS rebase
+# ---------------------------------------------------------------------------
+
+_OCC_ORACLE = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         o_orderstatus
+  FROM orders
+), fin AS (
+  SELECT CASE
+           WHEN o_orderstatus = 'P' AND o_year = 1995
+             THEN price_c + price_c // 10
+           WHEN o_orderstatus = 'F' AND o_year = 1997
+             THEN price_c + price_c // 20
+           ELSE price_c
+         END AS price_c,
+         o_orderstatus, o_year
+  FROM base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' AND o_year = 1995
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bump_a,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' AND o_year = 1997
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bump_b
+FROM fin
+"""
+
+
+@query("sink_snapshot_concurrent_commit", oracle=_OCC_ORACLE, survey_id="B-5-ext")
+def sink_snapshot_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency control on the snapshot table — the
+    Delta/Iceberg commit protocol: writers never lock; each prepares
+    its delta files against a base snapshot, then compare-and-swaps
+    the manifest head. Two writers race from the same base v1:
+
+    - **A** bumps 'P'/1995 prices (+10%), CAS v1→v2 succeeds;
+    - **B** bumps 'F'/1997 prices (+5%), built against v1 — its CAS
+      sees head=v2 ≠ base=v1 and FAILS (certified in-op);
+    - **B resolves by manifest rebase**: its replaced-file set is
+      checked against A's committed diff — DISJOINT (year-bucketed
+      files; certified), so B's edit commutes and v3 =
+      (v2 − B's replaced files) ∪ B's new files is committed WITHOUT
+      re-reading or re-writing any data: conflict detection and
+      resolution are both O(|manifest|) metadata, which is why OCC
+      scales to thousands of concurrent 100 TB-table writers. A true
+      overlap would instead force re-execution on the new base —
+      the retry loop every table format documents.
+
+    The returned single row aggregates the FINAL head (v3): both
+    updates applied exactly once, hash-checked against the both-bumps
+    oracle."""
+    import shutil
+
+    root = scratch_dir("sink_snapshot_concurrent_commit", sf_dir)
+    for sub in ("data_v1", "data_a", "data_b"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    data_v1 = os.path.join(root, "data_v1")
+    data_a = os.path.join(root, "data_a")
+    data_b = os.path.join(root, "data_b")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    # physically partition by year (duplicated column: explicit file-list
+    # reads drop the directory key, so o_year stays a data column) — the
+    # two writers' touch sets are then disjoint BY LAYOUT, not by hash
+    # luck: hash-bucketing put 1995 and 1997 in one bucket mod 8.
+    o.withColumn("y", F.col("o_year")).write.partitionBy("y").mode(
+        "overwrite"
+    ).parquet(data_v1)
+    v1_files = _tt_file_list(spark, data_v1)
+    head = {"version": 1, "files": v1_files}
+
+    def _prepare(pred, bump_expr, out_dir):
+        """One writer's prepare phase against base v1: COW-rewrite only
+        the files holding matched rows; return (replaced, new) files."""
+        replaced = [
+            r["f"]
+            for r in spark.read.parquet(data_v1)
+            .where(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        spark.read.parquet(*replaced).withColumn(
+            "price_c", F.when(pred, bump_expr).otherwise(F.col("price_c"))
+        ).write.mode("overwrite").parquet(out_dir)
+        return replaced, _tt_file_list(spark, out_dir)
+
+    pred_a = (F.col("o_orderstatus") == "P") & (F.col("o_year") == 1995)
+    pred_b = (F.col("o_orderstatus") == "F") & (F.col("o_year") == 1997)
+    a_replaced, a_new = _prepare(
+        pred_a, F.col("price_c") + F.expr("price_c div 10"), data_a
+    )
+    b_replaced, b_new = _prepare(
+        pred_b, F.col("price_c") + F.expr("price_c div 20"), data_b
+    )
+
+    def _cas(base_version, files):
+        if head["version"] != base_version:
+            return False
+        head.update(version=base_version + 1, files=files)
+        return True
+
+    # A commits first: CAS v1 -> v2 succeeds.
+    assert _cas(1, [f for f in v1_files if f not in set(a_replaced)] + a_new)
+    # B's CAS against its stale base MUST fail — that's the protocol.
+    assert not _cas(1, [f for f in v1_files if f not in set(b_replaced)] + b_new), (
+        "stale-base CAS must be rejected"
+    )
+    # Conflict check: B's replaced set vs A's committed diff.
+    assert not (set(b_replaced) & (set(a_replaced) | set(a_new))), (
+        "touch sets overlap: rebase is unsound, writer must re-execute"
+    )
+    # Disjoint => rebase B's manifest onto v2 and CAS v2 -> v3.
+    assert _cas(2, [f for f in head["files"] if f not in set(b_replaced)] + b_new)
+    assert head["version"] == 3
+
+    fin = spark.read.parquet(*head["files"])
+    return fin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum("price_c").cast("double") / 100.0).alias("sum_price"),
+        F.sum(F.when(pred_a, 1).otherwise(0)).cast("long").alias("n_bump_a"),
+        F.sum(F.when(pred_b, 1).otherwise(0)).cast("long").alias("n_bump_b"),
+    ).select("n_rows", "sum_price", "n_bump_a", "n_bump_b")

@@ -153,6 +153,7 @@ _R6_STAGED: list[str] = [
     "join_shuffle_hash",
     "sink_snapshot_changes",
     "sink_snapshot_restore",
+    "sink_snapshot_concurrent_commit",
 ]
 
 
