@@ -875,3 +875,128 @@ def sink_snapshot_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.when(pred_a, 1).otherwise(0)).cast("long").alias("n_bump_a"),
         F.sum(F.when(pred_b, 1).otherwise(0)).cast("long").alias("n_bump_b"),
     ).select("n_rows", "sum_price", "n_bump_a", "n_bump_b")
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_mor_deletes — merge-on-read equality deletes + compaction
+# ---------------------------------------------------------------------------
+
+_MOR_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_orderstatus
+  FROM orders
+), live AS (
+  SELECT * FROM base
+  WHERE NOT (o_orderstatus = 'O' AND o_year = 1995)
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+         CAST(SUM(CASE WHEN o_year = 1995 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_1995
+  FROM live
+)
+SELECT 2 AS version, n_rows, sum_price, n_1995 FROM agg
+UNION ALL
+SELECT 3 AS version, n_rows, sum_price, n_1995 FROM agg
+ORDER BY version
+"""
+
+
+@query("sink_snapshot_mor_deletes", oracle=_MOR_ORACLE, survey_id="B-5-ext")
+def sink_snapshot_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row deletes — the OTHER half of the table-format
+    design space from this family's copy-on-write ops (Iceberg v2
+    equality deletes / Delta deletion vectors): a delete commit writes
+    an O(|deleted keys|) side file and NO data rewrite, and every read
+    anti-joins the delete file until compaction absorbs it.
+
+    - **v2 (MOR delete)**: drop all 'O'/1995 orders by writing just
+      their keys. Write cost is |deletes|, not |touched files| — the
+      reason formats choose MOR for high-frequency small deletes where
+      COW would rewrite a file per trickle.
+    - **read of v2**: data files ⟕anti delete keys. The delete set is
+      DataFrame-sized-small → Catalyst broadcasts the anti-join's
+      build side; at 100 TB a grown delete set shuffles instead, which
+      is exactly the read amplification MOR trades for cheap writes.
+    - **v3 (compaction)**: absorb the deletes — COW-rewrite ONLY the
+      files that contain deleted rows (the year-partitioned layout
+      isolates them), drop the delete file. Read amplification returns
+      to zero.
+
+    The certificate is the returned frame itself: the v2 (merge-on-
+    read) and v3 (compacted) aggregates must be IDENTICAL rows — same
+    oracle — proving the anti-join view and the materialized rewrite
+    are the same table. In-op asserts pin the mechanics: the delete
+    commit writes zero data files, and compaction rewrites only the
+    delete-bearing files."""
+    import shutil
+
+    root = scratch_dir("sink_snapshot_mor_deletes", sf_dir)
+    for sub in ("data_v1", "deletes_v2", "data_v3"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    data_v1 = os.path.join(root, "data_v1")
+    del_v2 = os.path.join(root, "deletes_v2")
+    data_v3 = os.path.join(root, "data_v3")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    o.withColumn("y", F.col("o_year")).write.partitionBy("y").mode(
+        "overwrite"
+    ).parquet(data_v1)
+    v1_files = _tt_file_list(spark, data_v1)
+
+    def _data_files() -> set[str]:
+        found = set()
+        for r, _d, fs in os.walk(data_v1):
+            for fn in fs:
+                if fn.endswith(".parquet"):
+                    found.add(os.path.join(r, fn))
+        return found
+
+    # v2: MOR delete — keys only, no data rewrite (certified).
+    doomed = (F.col("o_orderstatus") == "O") & (F.col("o_year") == 1995)
+    before = _data_files()
+    spark.read.parquet(data_v1).where(doomed).select("o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(del_v2)
+    assert _data_files() == before, "MOR delete must not touch data files"
+
+    def _mor_read(files):
+        dels = spark.read.parquet(del_v2).select("o_orderkey")
+        return spark.read.parquet(*files).join(dels, "o_orderkey", "left_anti")
+
+    # v3: compaction — rewrite ONLY delete-bearing files, drop the side file.
+    bearing = [
+        r["f"]
+        for r in spark.read.parquet(data_v1)
+        .where(doomed)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    assert bearing and len(bearing) < len(v1_files), "compaction must be partial"
+    _mor_read(bearing).write.mode("overwrite").parquet(data_v3)
+    v3_files = [f for f in v1_files if f not in set(bearing)] + _tt_file_list(
+        spark, data_v3
+    )
+
+    outs = []
+    for v, snap in ((2, _mor_read(v1_files)), (3, spark.read.parquet(*v3_files))):
+        outs.append(
+            snap.agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.sum("price_c").cast("double") / 100.0).alias("sum_price"),
+                F.sum(F.when(F.col("o_year") == 1995, 1).otherwise(0))
+                .cast("long")
+                .alias("n_1995"),
+            ).select("version", "n_rows", "sum_price", "n_1995")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("version")

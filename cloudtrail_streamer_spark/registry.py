@@ -154,6 +154,7 @@ _R6_STAGED: list[str] = [
     "sink_snapshot_changes",
     "sink_snapshot_restore",
     "sink_snapshot_concurrent_commit",
+    "sink_snapshot_mor_deletes",
 ]
 
 

@@ -621,3 +621,13 @@ def test_shuffle_hash_join_no_sort(spark):
     assert "ShuffledHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree, tree
     assert "Sort" not in tree, tree
+
+
+def test_mor_delete_read_broadcasts_anti_join(spark):
+    """sink_snapshot_mor_deletes: the merge-on-read anti-join must
+    broadcast the (small) delete-key side — the data files never
+    shuffle to apply deletes."""
+    plan = _plan(spark, "sink_snapshot_mor_deletes")
+    assert "LeftAnti" in plan, plan
+    anti = plan.index("LeftAnti")
+    assert "BroadcastHashJoin" in plan[max(0, anti - 60) : anti + 60], plan
