@@ -1000,3 +1000,489 @@ def sink_snapshot_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("version", "n_rows", "sum_price", "n_1995")
         )
     return outs[0].unionByName(outs[1]).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# stream_snapshot_changes — streaming consumption of the commit log
+# ---------------------------------------------------------------------------
+
+_STREAM_CDF_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_orderstatus
+  FROM orders
+)
+SELECT 2 AS commit_version, o_orderkey,
+       'update_preimage' AS change_type, price_c
+FROM base WHERE o_orderstatus = 'P' AND o_year = 1995
+UNION ALL
+SELECT 2, o_orderkey, 'update_postimage', price_c + price_c // 10
+FROM base WHERE o_orderstatus = 'P' AND o_year = 1995
+UNION ALL
+SELECT 3, o_orderkey, 'update_preimage', price_c
+FROM base WHERE o_orderstatus = 'F' AND o_year = 1996
+UNION ALL
+SELECT 3, o_orderkey, 'update_postimage', price_c + price_c // 20
+FROM base WHERE o_orderstatus = 'F' AND o_year = 1996
+"""
+
+
+@query("stream_snapshot_changes", oracle=_STREAM_CDF_ORACLE, survey_id="B-5-ext")
+def stream_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING consumption of the snapshot table's commit log — the
+    Delta `readStream.option("readChangeFeed")` shape: the table's
+    commit log (one manifest file per commit) IS a file-stream source,
+    so every downstream system tails the table incrementally instead
+    of re-scanning it. `maxFilesPerTrigger=1` + availableNow delivers
+    ONE commit per micro-batch (certified in-op: no batch carries two);
+    each batch diffs the arriving manifest against its predecessor —
+    the same manifest-diff CDF as `sink_snapshot_changes`, touching
+    only the commit's replaced/added files — and appends the change
+    rows to the feed. Out-of-order commit arrival is handled by holding
+    a manifest until its predecessor has been consumed (the driver
+    holds only file LISTS — metadata scale). Restart recovery comes
+    free from the file source's checkpointed offsets.
+
+    Three commits: v1 base (no changes emitted), v2 bumps 'P'/1995
+    +10%, v3 bumps 'F'/1996 +5% — year-partitioned layout makes the
+    two commits' touch sets disjoint, so each batch's diff is exactly
+    one partition's files. The returned feed (commit_version, key,
+    change_type, price) is H-tier hash-checked."""
+    import shutil
+    import tempfile
+
+    root = scratch_dir("stream_snapshot_changes", sf_dir)
+    for sub in ("data_v1", "data_c2", "data_c3", "log", "feed"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    data_v1 = os.path.join(root, "data_v1")
+    log_dir = os.path.join(root, "log")
+    feed_dir = os.path.join(root, "feed")
+    os.makedirs(log_dir)
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    o.withColumn("y", F.col("o_year")).write.partitionBy("y").mode(
+        "overwrite"
+    ).parquet(data_v1)
+
+    def _commit(version: int, files: list[str]) -> None:
+        """Append one manifest file (= one commit) to the log, named so
+        one file == one commit for maxFilesPerTrigger batching."""
+        tmp = os.path.join(root, f"_man_tmp_{version}")
+        spark.createDataFrame(
+            [(version, f) for f in files], "version int, f string"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(
+            os.path.join(tmp, part), os.path.join(log_dir, f"commit_{version}.parquet")
+        )
+        shutil.rmtree(tmp)
+
+    manifests = {1: _tt_file_list(spark, data_v1)}
+    _commit(1, manifests[1])
+    for version, (status, year, divisor, out) in (
+        (2, ("P", 1995, 10, os.path.join(root, "data_c2"))),
+        (3, ("F", 1996, 20, os.path.join(root, "data_c3"))),
+    ):
+        prev = manifests[version - 1]
+        pred = (F.col("o_orderstatus") == status) & (F.col("o_year") == year)
+        replaced = [
+            r["f"]
+            for r in spark.read.parquet(*prev)
+            .where(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        spark.read.parquet(*replaced).withColumn(
+            "price_c",
+            F.when(pred, F.col("price_c") + F.expr(f"price_c div {divisor}")).otherwise(
+                F.col("price_c")
+            ),
+        ).write.mode("overwrite").parquet(out)
+        manifests[version] = [f for f in prev if f not in set(replaced)] + (
+            _tt_file_list(spark, out)
+        )
+        _commit(version, manifests[version])
+
+    # --- the consumer: tail the commit log, emit per-commit CDF ------
+    seen: dict[int, list[str]] = {}
+    pending: dict[int, list[str]] = {}
+    batch_commit_counts: list[int] = []
+    state = {"next": 1}
+
+    def consume(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()  # manifest rows only: metadata scale
+        arrived: dict[int, list[str]] = {}
+        for r in rows:
+            arrived.setdefault(r["version"], []).append(r["f"])
+        batch_commit_counts.append(len(arrived))
+        pending.update(arrived)
+        ss = batch_df.sparkSession
+        while state["next"] in pending:
+            v = state["next"]
+            files = pending.pop(v)
+            seen[v] = files
+            state["next"] = v + 1
+            if v == 1:
+                continue
+            removed = [f for f in seen[v - 1] if f not in set(files)]
+            added = [f for f in files if f not in set(seen[v - 1])]
+            pre = ss.read.parquet(*removed).select(
+                "o_orderkey", F.col("price_c").alias("pre_c")
+            )
+            post = ss.read.parquet(*added).select(
+                "o_orderkey", F.col("price_c").alias("post_c")
+            )
+            j = pre.join(post, "o_orderkey", "full_outer")
+            ch = F.when(
+                F.col("pre_c").isNotNull() & F.col("post_c").isNotNull(),
+                F.when(
+                    F.col("pre_c") != F.col("post_c"),
+                    F.array(
+                        F.struct(
+                            F.lit("update_preimage").alias("change_type"),
+                            F.col("pre_c").alias("price_c"),
+                        ),
+                        F.struct(
+                            F.lit("update_postimage").alias("change_type"),
+                            F.col("post_c").alias("price_c"),
+                        ),
+                    ),
+                ).otherwise(F.array()),
+            ).otherwise(
+                F.when(
+                    F.col("pre_c").isNotNull(),
+                    F.array(
+                        F.struct(
+                            F.lit("delete").alias("change_type"),
+                            F.col("pre_c").alias("price_c"),
+                        )
+                    ),
+                ).otherwise(
+                    F.array(
+                        F.struct(
+                            F.lit("insert").alias("change_type"),
+                            F.col("post_c").alias("price_c"),
+                        )
+                    )
+                )
+            )
+            (
+                j.select("o_orderkey", F.explode(ch).alias("c"))
+                .select(
+                    F.lit(v).cast("int").alias("commit_version"),
+                    "o_orderkey",
+                    F.col("c.change_type").alias("change_type"),
+                    F.col("c.price_c").alias("price_c"),
+                )
+                .write.mode("append")
+                .parquet(feed_dir)
+            )
+
+    q = (
+        spark.readStream.schema("version int, f string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+        .writeStream.foreachBatch(consume)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cts_ckpt_cdfstream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # incremental-consumption certificate: every commit consumed, one
+    # per micro-batch, in order.
+    assert state["next"] == 4 and not pending, f"commits unconsumed: {pending}"
+    assert all(c <= 1 for c in batch_commit_counts), (
+        f"a micro-batch carried >1 commit: {batch_commit_counts}"
+    )
+    return spark.read.parquet(feed_dir)
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_partition_evolution — spec change without rewriting history
+# ---------------------------------------------------------------------------
+
+_PART_EVO_ORACLE = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT 'full' AS read_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+FROM base
+UNION ALL
+SELECT 'y1996', CAST(COUNT(*) AS BIGINT), CAST(SUM(price_c) AS BIGINT)
+FROM base WHERE o_year = 1996
+UNION ALL
+SELECT 'y2000_O', CAST(COUNT(*) AS BIGINT), CAST(SUM(price_c) AS BIGINT)
+FROM base WHERE o_year = 2000 AND o_orderstatus = 'O'
+"""
+
+
+def _footer_bounds(path: str, col: str):
+    """(min, max) of a column across a parquet file's row groups, read
+    from the FOOTER only — the stats an Iceberg/Delta writer records in
+    its manifest at commit time. Zero data pages touched."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            c = md.row_group(rg).column(ci)
+            if c.path_in_schema != col or c.statistics is None:
+                continue
+            s = c.statistics
+            lo = s.min if lo is None or s.min < lo else lo
+            hi = s.max if hi is None or s.max > hi else hi
+    return lo, hi
+
+
+@query(
+    "sink_snapshot_partition_evolution",
+    oracle=_PART_EVO_ORACLE,
+    survey_id="B-5-ext",
+)
+def sink_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION, the Iceberg capability Hive-style
+    layouts cannot express: the table starts partitioned by (year) and
+    later commits switch to (year, status) — WITHOUT rewriting a single
+    historical file. Iceberg makes this work by divorcing pruning from
+    directory layout: manifests carry per-file partition-column bounds
+    (recorded from parquet footers at commit time), planning prunes
+    against the manifest, and a residual filter handles whatever the
+    coarser old spec couldn't cut. This op builds exactly that from
+    parquet primitives:
+
+    - **spec-1 commit** (years ≤ 1998): files range-clustered by
+      `o_year` only; manifest rows carry footer (y_min, y_max,
+      st_min, st_max) + spec=1.
+    - **spec-2 commit** (years ≥ 1999, the spec change): new files
+      range-clustered by (o_year, o_orderstatus); same manifest schema,
+      spec=2. Old files are untouched — evolution is a metadata act.
+    - **reads** plan by intersecting the predicate with manifest
+      bounds: `y=1996` touches only spec-1 files (spec-2 pruned by
+      year bounds); `y=2000 AND st='O'` prunes WITHIN spec-2 on the
+      NEW dimension (certified: strictly fewer files than the spec-2
+      total) while old files are year-pruned — no false drops because
+      bounds-skipping is conservative and the residual filter is
+      always applied.
+
+    At 100 TB the manifest is the catalog's metadata layer (one row
+    per file); the only driver-side state here is that file list.
+    Result rows (full / y1996 / y2000_O aggregates) are H-tier
+    hash-checked against the raw `orders` oracle."""
+    root = scratch_dir("sink_snapshot_partition_evolution", sf_dir)
+    data_s1 = os.path.join(root, "data_spec1")
+    data_s2 = os.path.join(root, "data_spec2")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    # spec-1: cluster by year only (4 distinct years ≤ 1998)
+    o.where(F.col("o_year") <= 1998).repartitionByRange(4, "o_year").write.mode(
+        "overwrite"
+    ).parquet(data_s1)
+    # spec-2: the evolved spec clusters by (year, status)
+    o.where(F.col("o_year") >= 1999).repartitionByRange(
+        6, "o_year", "o_orderstatus"
+    ).write.mode("overwrite").parquet(data_s2)
+
+    manifest = []  # one row per data file — Iceberg-manifest scale
+    for spec, d in ((1, data_s1), (2, data_s2)):
+        for uri in _tt_file_list(spark, d):
+            p = _uri_to_path(uri)
+            y_lo, y_hi = _footer_bounds(p, "o_year")
+            st_lo, st_hi = _footer_bounds(p, "o_orderstatus")
+            manifest.append(
+                {"spec": spec, "file": uri, "y": (y_lo, y_hi), "st": (st_lo, st_hi)}
+            )
+
+    def _plan(y_eq=None, st_eq=None):
+        """Manifest-bounds pruning: keep files whose footer range can
+        contain the predicate; conservative, so residual filter below
+        restores exactness."""
+        return [
+            m
+            for m in manifest
+            if (y_eq is None or m["y"][0] <= y_eq <= m["y"][1])
+            and (st_eq is None or m["st"][0] <= st_eq <= m["st"][1])
+        ]
+
+    def _read(read_id, y_eq=None, st_eq=None):
+        picked = _plan(y_eq, st_eq)
+        df = spark.read.parquet(*[m["file"] for m in picked])
+        if y_eq is not None:
+            df = df.where(F.col("o_year") == y_eq)  # residual filter
+        if st_eq is not None:
+            df = df.where(F.col("o_orderstatus") == st_eq)
+        return picked, df.agg(
+            F.lit(read_id).alias("read_id"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_c").cast("long").alias("sum_price_c"),
+        ).select("read_id", "n_rows", "sum_price_c")
+
+    n_s1 = sum(1 for m in manifest if m["spec"] == 1)
+    n_s2 = len(manifest) - n_s1
+    full_picked, full_df = _read("full")
+    b_picked, b_df = _read("y1996", y_eq=1996)
+    c_picked, c_df = _read("y2000_O", y_eq=2000, st_eq="O")
+
+    # Evolution certificates: the old spec still serves year pruning,
+    # the new spec prunes on the dimension the old one never had.
+    assert len(full_picked) == len(manifest)
+    assert all(m["spec"] == 1 for m in b_picked) and len(b_picked) < n_s1, (
+        f"y=1996 must touch only a strict subset of spec-1 files: "
+        f"{len(b_picked)}/{n_s1}"
+    )
+    assert all(m["spec"] == 2 for m in c_picked) and len(c_picked) < n_s2, (
+        f"y=2000&st='O' must prune WITHIN spec-2 via the evolved "
+        f"dimension: {len(c_picked)}/{n_s2}"
+    )
+    return full_df.unionByName(b_df).unionByName(c_df)
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_wap_branch — write-audit-publish on branch refs
+# ---------------------------------------------------------------------------
+
+_WAP_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year
+  FROM orders
+), staged AS (
+  SELECT price_c // 2 AS price_c FROM base WHERE o_year = 2001
+), published AS (
+  SELECT price_c FROM base UNION ALL SELECT price_c FROM staged
+)
+SELECT 'tag_v1' AS ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+FROM base
+UNION ALL
+SELECT 'main_published', CAST(COUNT(*) AS BIGINT), CAST(SUM(price_c) AS BIGINT)
+FROM published
+"""
+
+
+@query("sink_snapshot_wap_branch", oracle=_WAP_ORACLE, survey_id="B-5-ext")
+def sink_snapshot_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (WAP) — the Iceberg branch/tag workflow that
+    makes data quality a COMMIT gate instead of a post-hoc scramble:
+    producers stage a commit on an audit branch, a DQ suite runs
+    against the BRANCH snapshot (readers of main never see it), and
+    publishing is a metadata-only fast-forward of the main ref onto
+    the audited branch head. Refs and tags are just named pointers
+    into the same manifest store the repo's other snapshot ops use —
+    branches move, tags don't.
+
+    Staged here: a good batch (year-2001 corrections at half price,
+    re-keyed) on branch ``audit_good`` — its DQ run (null keys,
+    duplicate keys, negative prices, each a violation COUNT like
+    `dq_constraint_suite`) passes, so main fast-forwards; and a bad
+    batch (negative prices) on ``audit_bad`` — its audit fails, the
+    publish is REFUSED, and main provably never moves. Certificates:
+    main's pre-publish row count excludes staged rows (isolation);
+    the publish writes zero data files (fast-forward = pointer swap,
+    O(1) metadata); the ``v1`` tag still reads the original snapshot
+    after main has moved on.
+
+    At 100 TB this is why WAP works: audit reads cost one branch scan,
+    publish costs nothing, and a failed audit costs ONLY the staged
+    files — never a rewrite of main. Result rows (tag_v1 +
+    main_published aggregates) are H-tier hash-checked."""
+    root = scratch_dir("sink_snapshot_wap_branch", sf_dir)
+    data_v1 = os.path.join(root, "data_v1")
+    data_good = os.path.join(root, "staged_good")
+    data_bad = os.path.join(root, "staged_bad")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    o.repartition(4).write.mode("overwrite").parquet(data_v1)
+    n_base = spark.read.parquet(data_v1).count()
+
+    # stage two candidate commits as branch-only file sets
+    o.where(F.col("o_year") == 2001).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.expr("price_c div 2").alias("price_c"),
+        F.col("o_year"),
+    ).write.mode("overwrite").parquet(data_good)
+    o.where(F.col("o_year") == 2000).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        (-F.col("price_c")).alias("price_c"),
+        F.col("o_year"),
+    ).write.mode("overwrite").parquet(data_bad)
+
+    v1_files = _tt_file_list(spark, data_v1)
+    refs = {"main": list(v1_files)}  # branches: movable pointers
+    tags = {"v1": list(v1_files)}  # tags: immutable pointers
+    refs["audit_good"] = v1_files + _tt_file_list(spark, data_good)
+    refs["audit_bad"] = v1_files + _tt_file_list(spark, data_bad)
+
+    def _audit(branch: str) -> bool:
+        """DQ gate over the branch snapshot: every check a violation
+        count, green = all zeros (the dq_constraint_suite pattern)."""
+        r = (
+            spark.read.parquet(*refs[branch])
+            .agg(
+                F.sum(F.col("o_orderkey").isNull().cast("long")).alias("nulls"),
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dups"),
+                F.sum((F.col("price_c") < 0).cast("long")).alias("neg"),
+            )
+            .first()
+        )
+        return r["nulls"] == 0 and r["dups"] == 0 and r["neg"] == 0
+
+    def _publish(branch: str) -> bool:
+        """Fast-forward main onto an audited branch head: refuse on a
+        red audit; on green, move the pointer — no data I/O."""
+        if not _audit(branch):
+            return False
+        refs["main"] = list(refs[branch])
+        return True
+
+    # isolation: main never sees staged rows before publish
+    assert spark.read.parquet(*refs["main"]).count() == n_base
+
+    data_files_before = {
+        f for d in (data_v1, data_good, data_bad) for f in _tt_file_list(spark, d)
+    }
+    assert _publish("audit_bad") is False, "red audit must refuse publish"
+    assert set(refs["main"]) == set(v1_files), "refused publish moved main"
+    assert _publish("audit_good") is True, "green audit must publish"
+    data_files_after = {
+        f for d in (data_v1, data_good, data_bad) for f in _tt_file_list(spark, d)
+    }
+    # fast-forward certificate: publishing wrote ZERO data files
+    assert data_files_after == data_files_before
+
+    def _agg(ref_id: str, files: list[str]) -> DataFrame:
+        return (
+            spark.read.parquet(*files)
+            .agg(
+                F.lit(ref_id).alias("ref"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("price_c").cast("long").alias("sum_price_c"),
+            )
+            .select("ref", "n_rows", "sum_price_c")
+        )
+
+    # the tag still reads v1 even though main has moved past it
+    return _agg("tag_v1", tags["v1"]).unionByName(_agg("main_published", refs["main"]))

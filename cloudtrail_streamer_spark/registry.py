@@ -155,6 +155,9 @@ _R6_STAGED: list[str] = [
     "sink_snapshot_restore",
     "sink_snapshot_concurrent_commit",
     "sink_snapshot_mor_deletes",
+    "stream_snapshot_changes",
+    "sink_snapshot_partition_evolution",
+    "sink_snapshot_wap_branch",
 ]
 
 
