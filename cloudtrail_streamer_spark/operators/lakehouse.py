@@ -1486,3 +1486,114 @@ def sink_snapshot_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the tag still reads v1 even though main has moved past it
     return _agg("tag_v1", tags["v1"]).unionByName(_agg("main_published", refs["main"]))
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_rename_widen — schema evolution beyond what parquet can say
+# ---------------------------------------------------------------------------
+
+_RENAME_WIDEN_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year
+  FROM orders
+), evolved AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_year >= 2000 THEN price_c * 100 ELSE price_c END
+           AS price_cents
+  FROM base
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+FROM evolved
+GROUP BY o_orderstatus
+"""
+
+
+@query("sink_snapshot_rename_widen", oracle=_RENAME_WIDEN_ORACLE, survey_id="B-5-ext")
+def sink_snapshot_rename_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column RENAME + type WIDENING without rewriting a file — the
+    schema-evolution class parquet name-matching cannot express
+    (mergeSchema sees a renamed column as drop+add and a retyped one
+    as a conflict). Iceberg solves it with FIELD IDs: the table schema
+    binds logical names/types to stable ids, each data file records
+    the physical name/type it was written with, and the READER
+    reconciles per file group — rename and widen are metadata commits.
+
+    Built here from parquet primitives: commit v1 writes years <2000
+    with physical column ``price_c`` INT; commit v2 renames field 2 to
+    ``price_cents`` and widens it to BIGINT — a manifest-only edit
+    (certified: the v1 file set is untouched); commit v3 appends
+    years ≥2000 in the NEW physical schema with values scaled ×100
+    past INT range, so the widening is load-bearing, not cosmetic.
+    The read plans one branch per distinct physical schema (rename =
+    alias, widen = upcast — both zero-copy columnar projections), and
+    unions them; at 100 TB that projection is pushed to each scan task
+    and costs nothing over a plain read. Completes the evolution triad
+    with `scan_schema_evolution` (add-column) and
+    `sink_snapshot_partition_evolution` (spec change). Final
+    per-status aggregate is H-tier hash-checked."""
+    root = scratch_dir("sink_snapshot_rename_widen", sf_dir)
+    data_v1 = os.path.join(root, "data_v1")
+    data_v3 = os.path.join(root, "data_v3")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    # v1: old physical schema — field 2 named price_c, INT32
+    o.where(F.col("o_year") < 2000).select(
+        "o_orderkey", "o_orderstatus", F.col("price_c").cast("int").alias("price_c")
+    ).repartition(4).write.mode("overwrite").parquet(data_v1)
+    v1_files = _tt_file_list(spark, data_v1)
+
+    # table schema history: field_id -> (logical_name, logical_type);
+    # per-fileset physical bindings live in the manifest, Iceberg-style
+    schema_v1 = {2: ("price_c", "int")}
+    schema_v2 = {2: ("price_cents", "bigint")}  # the rename+widen commit
+    manifest = [{"files": v1_files, "phys": schema_v1}]
+
+    # v2 is METADATA-ONLY: certify no data file changed
+    v1_stat = {f: os.stat(_uri_to_path(f)).st_mtime_ns for f in v1_files}
+    current_schema = schema_v2  # the only thing the commit writes
+    assert {
+        f: os.stat(_uri_to_path(f)).st_mtime_ns for f in v1_files
+    } == v1_stat, "rename/widen commit must not touch data files"
+
+    # v3: appended data arrives in the NEW physical schema; ×100 values
+    # overflow INT32, proving the widened type is actually required
+    o.where(F.col("o_year") >= 2000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price_c") * 100).cast("bigint").alias("price_cents"),
+    ).repartition(2).write.mode("overwrite").parquet(data_v3)
+    manifest.append({"files": _tt_file_list(spark, data_v3), "phys": current_schema})
+
+    # reader: one projection branch per distinct physical binding
+    logical_name, logical_type = current_schema[2]
+    branches = []
+    for entry in manifest:
+        phys_name, _ = entry["phys"][2]
+        branches.append(
+            spark.read.parquet(*entry["files"]).select(
+                "o_orderstatus",
+                F.col(phys_name).cast(logical_type).alias(logical_name),
+            )
+        )
+    evolved = branches[0]
+    for b in branches[1:]:
+        evolved = evolved.unionByName(b)
+    out = evolved.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(logical_name).cast("long").alias("sum_price_cents"),
+    )
+    # widening certificate: the evolved column is BIGINT and the new
+    # data really exceeds INT32 range — the widen was load-bearing
+    assert evolved.schema[logical_name].dataType.simpleString() == "bigint"
+    assert (
+        branches[1].agg(F.max(logical_name)).first()[0] > 2**31 - 1
+    ), "v3 values must overflow the pre-widen INT32 type"
+    return out

@@ -158,6 +158,7 @@ _R6_STAGED: list[str] = [
     "stream_snapshot_changes",
     "sink_snapshot_partition_evolution",
     "sink_snapshot_wap_branch",
+    "sink_snapshot_rename_widen",
 ]
 
 
