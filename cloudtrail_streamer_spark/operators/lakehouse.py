@@ -1597,3 +1597,125 @@ def sink_snapshot_rename_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         branches[1].agg(F.max(logical_name)).first()[0] > 2**31 - 1
     ), "v3 values must overflow the pre-widen INT32 type"
     return out
+
+
+# ---------------------------------------------------------------------------
+# stream_snapshot_ingest — streaming writer side of the table format
+# ---------------------------------------------------------------------------
+
+_STREAM_INGEST_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("stream_snapshot_ingest", oracle=_STREAM_INGEST_ORACLE, survey_id="B-6-ext")
+def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming WRITER side of the table format (Delta/Iceberg
+    streaming sink): each micro-batch lands as one ACID append commit —
+    data files first, then a manifest entry keyed by the stream's
+    transaction id (batchId) — so the table's readers (including
+    `stream_snapshot_changes`' CDF tail) see whole commits or nothing.
+    Exactly-once comes from the txn key, not the transport: a commit
+    whose batchId is already in the log is REFUSED, which survives the
+    two distinct failure modes certified here:
+
+    - **restart with the checkpoint intact**: the source's offsets
+      replay nothing; zero new commits.
+    - **checkpoint LOSS (disaster recovery)**: the whole spool replays
+      under fresh batchIds 0..2 that collide with the committed txn
+      ids; every commit is refused and the table provably doesn't
+      change — the Delta `txn`/`idempotent writes` contract.
+
+    Data files are written with per-batch overwrite so a crash between
+    data write and manifest append re-runs cleanly (the manifest is
+    the commit point — files without a manifest entry are invisible,
+    exactly the orphan-file rule `sink_snapshot_vacuum` reaps by).
+    Final snapshot aggregate is H-tier hash-checked against `orders`;
+    at 100 TB each commit costs O(|batch|) data + one manifest row per
+    file, and the refusal check is a dict probe on the driver."""
+    import shutil
+    import tempfile
+
+    root = scratch_dir("stream_snapshot_ingest", sf_dir)
+    for sub in ("spool", "data", "feedlog"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    spool = os.path.join(root, "spool")
+    data_root = os.path.join(root, "data")
+    os.makedirs(spool)
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    # three arrival chunks -> three micro-batches (one file each)
+    for i, pred in enumerate(
+        (
+            F.col("o_year") <= 1996,
+            (F.col("o_year") > 1996) & (F.col("o_year") <= 1999),
+            F.col("o_year") > 1999,
+        )
+    ):
+        tmp = os.path.join(root, f"_spool_tmp_{i}")
+        o.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(spool, f"chunk_{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    commits: list[dict] = []  # the manifest log: (version, txn, files)
+    committed_txns: set[int] = set()
+    refused: list[int] = []
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_txns:
+            refused.append(batch_id)  # idempotent-writes refusal
+            return
+        d = os.path.join(data_root, f"b{batch_id:05d}")
+        batch_df.write.mode("overwrite").parquet(d)  # crash-safe re-run
+        files = _tt_file_list(batch_df.sparkSession, d)
+        # manifest append IS the commit point
+        commits.append(
+            {"version": len(commits) + 1, "txn": batch_id, "files": files}
+        )
+        committed_txns.add(batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="cts_ckpt_ingest_")
+
+    def run(checkpoint: str) -> None:
+        q = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_orderstatus string, price_c bigint, o_year int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ckpt)
+    assert len(commits) == 3 and not refused, "initial drain must commit 3"
+    run(ckpt)  # restart, checkpoint intact: offsets replay nothing
+    assert len(commits) == 3 and not refused, "intact restart must be a no-op"
+    run(tempfile.mkdtemp(prefix="cts_ckpt_ingest2_"))  # checkpoint LOST
+    assert len(commits) == 3, "replayed txns must never re-commit"
+    assert sorted(refused) == [0, 1, 2], f"all replayed txns refused: {refused}"
+    assert [c["version"] for c in commits] == [1, 2, 3]
+
+    snapshot = [f for c in commits for f in c["files"]]
+    return (
+        spark.read.parquet(*snapshot)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_c").cast("long").alias("sum_price_c"),
+        )
+    )
