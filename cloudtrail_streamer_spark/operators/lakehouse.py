@@ -1719,3 +1719,71 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").cast("long").alias("sum_price_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_metadata_only_agg — answering queries from the metadata layer
+# ---------------------------------------------------------------------------
+
+_META_ONLY_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS k_min,
+       CAST(MAX(o_orderkey) AS BIGINT) AS k_max
+FROM orders
+GROUP BY o_year
+"""
+
+
+@query("scan_metadata_only_agg", oracle=_META_ONLY_ORACLE, survey_id="B-2-ext")
+def scan_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only query answering — the Iceberg/Delta optimization
+    where `COUNT(*) GROUP BY partition` and un-deleted `MIN/MAX` never
+    touch a data page: the manifest layer already holds per-file row
+    counts and column bounds (recorded at commit time from parquet
+    footers), so the answer is an aggregation over manifest ENTRIES —
+    O(files) metadata I/O instead of O(rows) data I/O. At 100 TB this
+    is the difference between milliseconds and a cluster-wide scan.
+
+    Here: orders land partitioned by year (partition purity makes the
+    per-partition rollup exact); the manifest is built from footers
+    (num_rows + o_orderkey min/max per file — ZERO data pages read,
+    the same `_footer_bounds` path the partition-evolution manifest
+    uses); the returned relation aggregates manifest rows only. The
+    exactness conditions are the real ones: row counts need no
+    deletes in scope (this table has none — MOR deletes would force
+    the `sink_snapshot_mor_deletes` anti-join path), and MIN/MAX need
+    footer stats present for the column. Both hold and the result is
+    H-tier hash-checked against a full DuckDB scan of `orders` —
+    the certificate that metadata answered what data would have."""
+    import pyarrow.parquet as pq
+
+    root = scratch_dir("scan_metadata_only_agg", sf_dir)
+    data = os.path.join(root, "data")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    o.write.partitionBy("o_year").mode("overwrite").parquet(data)
+
+    # manifest build: footers only — no spark.read of the data dir
+    entries = []
+    for part in os.listdir(data):
+        if not part.startswith("o_year="):
+            continue
+        y = int(part.split("=", 1)[1])
+        pdir = os.path.join(data, part)
+        for f in os.listdir(pdir):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(pdir, f)).metadata
+            k_lo, k_hi = _footer_bounds(os.path.join(pdir, f), "o_orderkey")
+            entries.append((y, md.num_rows, k_lo, k_hi))
+
+    manifest = spark.createDataFrame(
+        entries, "o_year int, n_rows long, k_min long, k_max long"
+    )
+    return manifest.groupBy("o_year").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("k_min").cast("long").alias("k_min"),
+        F.max("k_max").cast("long").alias("k_max"),
+    )

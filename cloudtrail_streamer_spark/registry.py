@@ -160,6 +160,7 @@ _R6_STAGED: list[str] = [
     "sink_snapshot_wap_branch",
     "sink_snapshot_rename_widen",
     "stream_snapshot_ingest",
+    "scan_metadata_only_agg",
 ]
 
 
