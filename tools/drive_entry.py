@@ -22,7 +22,7 @@ def main() -> int:
     """Usage: drive_entry.py [--shard K/N] [sf_dir] [query_name ...]
 
     With query names, checks only those (fast iteration on a changed
-    op); the no-args form is the full 250-query gate. ``--shard K/N``
+    op); the no-args form is the full registry gate (277 queries at r5). ``--shard K/N``
     (K in 1..N) keeps only every N-th query of the sorted name order
     starting at K-1, so N processes can split the full gate and run it
     in ~1/N wall-clock (judge note, VERDICT r04 #4):
