@@ -1556,12 +1556,9 @@ def sink_snapshot_rename_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema_v2 = {2: ("price_cents", "bigint")}  # the rename+widen commit
     manifest = [{"files": v1_files, "phys": schema_v1}]
 
-    # v2 is METADATA-ONLY: certify no data file changed
+    # v2 is METADATA-ONLY: the commit writes nothing but this binding
     v1_stat = {f: os.stat(_uri_to_path(f)).st_mtime_ns for f in v1_files}
-    current_schema = schema_v2  # the only thing the commit writes
-    assert {
-        f: os.stat(_uri_to_path(f)).st_mtime_ns for f in v1_files
-    } == v1_stat, "rename/widen commit must not touch data files"
+    current_schema = schema_v2
 
     # v3: appended data arrives in the NEW physical schema; ×100 values
     # overflow INT32, proving the widened type is actually required
@@ -1571,6 +1568,12 @@ def sink_snapshot_rename_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("price_c") * 100).cast("bigint").alias("price_cents"),
     ).repartition(2).write.mode("overwrite").parquet(data_v3)
     manifest.append({"files": _tt_file_list(spark, data_v3), "phys": current_schema})
+
+    # certify across the whole lifecycle (evolution commit + append):
+    # the pre-evolution files were never rewritten
+    assert {
+        f: os.stat(_uri_to_path(f)).st_mtime_ns for f in v1_files
+    } == v1_stat, "rename/widen must not touch pre-evolution data files"
 
     # reader: one projection branch per distinct physical binding
     logical_name, logical_type = current_schema[2]
