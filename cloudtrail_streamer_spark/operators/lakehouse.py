@@ -465,12 +465,21 @@ def sink_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in dead:
         os.remove(_uri_to_path(f))
 
-    # certificate: v1 must be unreadable now, v2 exactly intact
+    # certificate: v1 must be unreadable now, v2 exactly intact. Only a
+    # missing-path failure counts as the pass — an unrelated error
+    # (executor OOM, transient FS fault) must NOT be certified as
+    # "expired snapshot unreadable" (ADVICE r05).
     try:
         spark.read.parquet(*v1_files).count()
         raise AssertionError("expired snapshot v1 still readable after vacuum")
-    except Exception as e:  # noqa: BLE001 - any read failure is the pass
+    except Exception as e:  # noqa: BLE001 - classified below, not swallowed
         if isinstance(e, AssertionError):
+            raise
+        msg = str(e)
+        if not any(
+            marker in msg
+            for marker in ("PATH_NOT_FOUND", "Path does not exist", "FileNotFound")
+        ):
             raise
     on_disk = set()
     for d in (data_v1, data_v2):
@@ -516,7 +525,8 @@ UNION ALL
 SELECT o_orderkey, 'delete' AS change_type, price_c
 FROM base WHERE o_orderstatus = 'O' AND o_year = 1995
 UNION ALL
-SELECT o_orderkey + 10000000 AS o_orderkey, 'insert' AS change_type, price_c
+SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey,
+       'insert' AS change_type, price_c
 FROM base WHERE o_orderstatus = 'P' AND o_year = 1996
 """
 
@@ -577,8 +587,14 @@ def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(*affected).where(~del_).withColumn(
         "price_c", F.when(upd, bumped).otherwise(F.col("price_c"))
     ).write.mode("overwrite").parquet(data_v2)
+    # Insert keys are re-keyed past the ACTUAL max orderkey (collected
+    # once, one columnar MAX — metadata-cheap), not a fixed +10M: TPC-H
+    # orderkeys exceed 10M around sf2, and a collision would make the
+    # full-outer CDF silently misclassify inserts as updates (ADVICE r05).
+    # The oracle derives the identical offset via a scalar subquery.
+    key_offset = o.agg(F.max("o_orderkey")).first()[0] + 1
     o.where((F.col("o_orderstatus") == "P") & (F.col("o_year") == 1996)).withColumn(
-        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        "o_orderkey", F.col("o_orderkey") + F.lit(key_offset)
     ).write.mode("overwrite").parquet(data_ins)
 
     # manifest diff: removed = affected, added = rewrite + append files.
@@ -1311,6 +1327,13 @@ def sink_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataF
                 {"spec": spec, "file": uri, "y": (y_lo, y_hi), "st": (st_lo, st_hi)}
             )
 
+    def _bounds_may_contain(bounds, v):
+        """A file with no footer statistics for the column (bounds
+        (None, None)) CANNOT be pruned — keep it so skipping stays
+        conservative, as the docstring promises (ADVICE r05)."""
+        lo, hi = bounds
+        return lo is None or hi is None or lo <= v <= hi
+
     def _plan(y_eq=None, st_eq=None):
         """Manifest-bounds pruning: keep files whose footer range can
         contain the predicate; conservative, so residual filter below
@@ -1318,8 +1341,8 @@ def sink_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataF
         return [
             m
             for m in manifest
-            if (y_eq is None or m["y"][0] <= y_eq <= m["y"][1])
-            and (st_eq is None or m["st"][0] <= st_eq <= m["st"][1])
+            if (y_eq is None or _bounds_may_contain(m["y"], y_eq))
+            and (st_eq is None or _bounds_may_contain(m["st"], st_eq))
         ]
 
     def _read(read_id, y_eq=None, st_eq=None):
@@ -1418,14 +1441,20 @@ def sink_snapshot_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.repartition(4).write.mode("overwrite").parquet(data_v1)
     n_base = spark.read.parquet(data_v1).count()
 
-    # stage two candidate commits as branch-only file sets
+    # stage two candidate commits as branch-only file sets. Staged keys
+    # are re-keyed past the ACTUAL max orderkey (one columnar MAX), not a
+    # fixed +10M/+20M: a collision with base keys at larger fixtures
+    # would trip the dup-key DQ check and silently flip the publish
+    # verdicts this query certifies (ADVICE r05). The result aggregates
+    # never expose key values, so the oracle is unaffected.
+    key_offset = o.agg(F.max("o_orderkey")).first()[0] + 1
     o.where(F.col("o_year") == 2001).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (F.col("o_orderkey") + F.lit(key_offset)).alias("o_orderkey"),
         F.expr("price_c div 2").alias("price_c"),
         F.col("o_year"),
     ).write.mode("overwrite").parquet(data_good)
     o.where(F.col("o_year") == 2000).select(
-        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        (F.col("o_orderkey") + F.lit(2 * key_offset)).alias("o_orderkey"),
         (-F.col("price_c")).alias("price_c"),
         F.col("o_year"),
     ).write.mode("overwrite").parquet(data_bad)

@@ -134,9 +134,15 @@ def sql_scripting_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent threshold should take at 100 TB. The IF/ELSE arm
     returns the empty frame with the same schema when the table is
     empty, exercising control flow, not just sequencing."""
+    # Conf-window discipline (ADVICE r05): enable scripting only for the
+    # duration of the sql() call and restore the prior value, mirroring
+    # _RUNTIME_BLOOM_CONFS handling in joins.py — a leaked session conf
+    # changes parser behavior for every later query in the process.
+    prior = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
-    return spark.sql(
+    try:
+        return spark.sql(
         """
         BEGIN
           DECLARE cut BIGINT;
@@ -161,4 +167,9 @@ def sql_scripting_param(spark: SparkSession, sf_dir: str) -> DataFrame:
           END IF;
         END
         """
-    )
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prior)

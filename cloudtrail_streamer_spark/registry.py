@@ -54,76 +54,18 @@ def _load_all() -> None:
 # everything else follows in registration order. Rotate this list each round
 # so that, across rounds, every query lands inside the driver's window.
 #
-# Round 5 (VERDICT r04 "next #1/#2"): window = the staged r5 rotation
-# (_R5_STAGED[:49] from r4) plus tpch_q12_late_shipments at slot 1 so the
-# repaired HUGEINT oracle re-earns its driver row (agg_entropy_peruser, the
-# other repaired oracle, was already staged and sits inside this window).
-# New-query registration remains FROZEN until the backlog drains. After r5,
-# only _R6_STAGED below still lacks driver rows.
+# Round 6 (VERDICT r05 "next #1"): window = the full _R6_STAGED backlog
+# (the 34 queries that lacked a driver row after r5 — the lakehouse
+# snapshot family, the Python DataSource quadrant, the SQL-UDF quartet,
+# agg_cbo_stats, and the 8-query r5 spillover tail) in slots 1-34, then
+# 16 back-fill slots re-verifying green queries whose PHYSICAL PLANS
+# changed most recently: the r5 AQE shuffled-hash beneficiaries
+# (tpch_q3, q1, dedup_exact), the cost-routed text_tfidf and
+# sim_search_topk, the streaming ops that gained bounded-state
+# certificates this round, and the bench-headline relational core.
+# After this rotation drains, the cross-round union is 277/277.
 _WINDOW_PRIORITY: list[str] = [
-    "tpch_q12_late_shipments",
-    "layout_zorder_buckets",
-    "win_retention_cohort",
-    "text_contamination_check",
-    "sample_reservoir_weighted",
-    "fn_string_advanced",
-    "source_incremental_checkpoint",
-    "agg_observe_metrics",
-    "sink_fanout_dual",
-    "join_null_safe",
-    "scan_rowgroup_stats",
-    "text_perplexity_score",
-    "text_heavy_hitters",
-    "join_dim_snapshot_asof",
-    "win_median_moving",
-    "fn_masking_governance",
-    "win_gap_detection",
-    "agg_error_rate_daily",
-    "fn_variant_json",
-    "agg_theta_sketch_setops",
-    "join_bloom_prefilter",
-    "fn_collation_lcase",
-    "text_bm25_topk",
-    "fn_try_arithmetic",
-    "text_repetition_filter",
-    "scan_file_metadata",
-    "agg_outlier_mad",
-    "udf_arrow_scalar",
-    "layout_compact_small_files",
-    "mv_incremental_refresh",
-    "join_fuzzy_symdelete",
-    "events_interpolate_linear",
-    "agg_regression_ols",
-    "agg_entropy_peruser",
-    "stream_join_static",
-    "win_streak_longest",
-    "agg_bitmap_distinct",
-    "embed_matryoshka_recall",
-    "graph_triangle_count",
-    "agg_moments_exact",
-    "fn_timezone_convert",
-    "agg_gini_coefficient",
-    "win_running_distinct",
-    "win_percent_change_yoy",
-    "text_pmi_bigrams",
-    "stream_cascade_agg",
-    "win_skyline_pareto",
-    "text_compression_quality",
-    "multimodal_image_dhash",
-    "pipeline_dataset_card",
-]
-
-# Round-6 rotation: the queries that will still lack a driver row after
-# r5 — the 8-query _R5_STAGED tail that did not fit the 50-slot window,
-# plus the round-5 surfaces registered AFTER the r5 window was fixed
-# (VERDICT r04 #8 lakehouse family: MERGE, CBO reorder, time travel;
-# and the Python DataSource quadrant: batch/stream x read/write). At
-# the next rotation, move these into _WINDOW_PRIORITY's first slots and
-# back-fill the remaining slots with the green queries whose plans
-# changed most recently (the streaming ops now on RocksDB state are
-# good candidates). tests/test_engine.py validates that window + staged
-# covers every query that lacks a driver row.
-_R6_STAGED: list[str] = [
+    # --- the 34-query backlog (every query without a driver row) ---
     "agg_sample_estimate_ci",
     "win_cohort_ltv",
     "win_markov_transitions",
@@ -139,9 +81,6 @@ _R6_STAGED: list[str] = [
     "stream_python_datasource",
     "sink_python_datasource_writer",
     "sink_python_stream_writer",
-    # SQL-language quartet + transformWithState (registered this round,
-    # after the r5 window was fixed — staged so the next rotation is
-    # mechanical):
     "udf_sql_declarative",
     "udf_sql_table_valued",
     "sql_scripting_param",
@@ -161,6 +100,37 @@ _R6_STAGED: list[str] = [
     "sink_snapshot_rename_widen",
     "stream_snapshot_ingest",
     "scan_metadata_only_agg",
+    # --- 16 back-fill: plans changed in r5/r6, re-earn fresh rows ---
+    "tpch_q3_shipping_priority",  # AQE SMJ->shuffled-hash (session.py)
+    "agg_group_q1",  # same
+    "dedup_exact",  # same
+    "text_tfidf",  # df-stage now cost-routed (text.py)
+    "sim_search_topk",  # kernel routing via footer row counts
+    "stream_custom_state",  # bounded-state certificate added r6
+    "stream_stream_join",  # bounded-state certificate added r6
+    "stream_watermark_late",  # state_rows_peak certificate (r5)
+    "stream_dedup_stateful",  # same
+    "stream_agg_update",  # same
+    "scan_pruned",  # bench headline set
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "top_n_per_group",
+    "win_rank",
+]
+
+# Round-7 staging: queries registered AFTER the r6 window was fixed.
+# Every name appended here still lacks a driver row; at the next
+# rotation, move these into _WINDOW_PRIORITY's first slots.
+# tests/test_engine.py validates that window + staged covers every
+# query that lacks a driver row.
+_R7_STAGED: list[str] = [
+    # pandas-on-Spark API parity family (operators/pandas_api.py,
+    # VERDICT r05 #7) — registered after the r6 window was fixed:
+    "ps_groupby_agg",
+    "ps_merge_join",
+    "ps_pivot_table",
+    "ps_sort_head",
 ]
 
 

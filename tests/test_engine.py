@@ -632,18 +632,19 @@ def test_touch_attribution_conserves_purchases(spark):
     assert sum(r["n_purchases"] for r in rows) == n_purch
 
 
-def test_r6_staged_covers_unchecked_queries():
-    """The staged r6 rotation must (a) name only registered queries,
-    (b) together with the current window cover EVERY query lacking a
-    driver row across CORRECTNESS_r01..r04, with no overlap — so the
-    next rotation is mechanical and cannot waste driver slots."""
+def test_staged_covers_unchecked_queries():
+    """The staged next-round rotation must (a) name only registered
+    queries, (b) together with the current window cover EVERY query
+    lacking a driver row across all CORRECTNESS_r* captures, with no
+    overlap — so the next rotation is mechanical and cannot waste
+    driver slots."""
     import json
     import os
 
     import cloudtrail_streamer_spark.registry as R
 
     R._load_all()
-    staged, window = set(R._R6_STAGED), set(R._WINDOW_PRIORITY)
+    staged, window = set(R._R7_STAGED), set(R._WINDOW_PRIORITY)
     missing = staged - set(R._REGISTRY)
     assert not missing, f"staged names not registered: {sorted(missing)}"
     assert not (staged & window), "staged/window overlap wastes slots"
@@ -804,3 +805,27 @@ def test_tfidf_strategies_agree(spark):
         map(tuple, b), key=lambda t: (t[0], t[1])
     )
     assert len(a) == len({key(r) for r in a})
+
+
+def test_scripting_conf_restored(spark):
+    """sql_scripting_param must restore spark.sql.scripting.enabled to
+    its prior value — a leaked parser conf changes behavior for every
+    later query in the process (ADVICE r05)."""
+    before = spark.conf.get("spark.sql.scripting.enabled", None)
+    all_queries()["sql_scripting_param"](spark, SF).collect()
+    after = spark.conf.get("spark.sql.scripting.enabled", None)
+    assert before == after, f"conf leaked: {before!r} -> {after!r}"
+
+
+def test_scratch_dir_distinct_per_sf():
+    """One process touching the same query at two scale factors must get
+    two scratch paths — aliasing would let the second build overwrite
+    files the first DataFrame's cached file index still points at
+    (VERDICT r05 #2; exactly bench.py --floor's lo/hi interleave)."""
+    from cloudtrail_streamer_spark.catalog import scratch_dir
+
+    a = scratch_dir("merge_upsert_partitioned", "/root/testdata/sf0.001")
+    b = scratch_dir("merge_upsert_partitioned", "/root/testdata/sf0.01")
+    assert a != b
+    # and stable on re-request (bench min-of-N reruns overwrite in place)
+    assert a == scratch_dir("merge_upsert_partitioned", "/root/testdata/sf0.001")

@@ -631,3 +631,29 @@ def test_mor_delete_read_broadcasts_anti_join(spark):
     assert "LeftAnti" in plan, plan
     anti = plan.index("LeftAnti")
     assert "BroadcastHashJoin" in plan[max(0, anti - 60) : anti + 60], plan
+
+
+def test_pandas_api_no_python_nodes(spark):
+    """The pandas-on-Spark family must compile to pure Catalyst plans —
+    zero Python evaluation nodes. The pandas dialect is a front-end,
+    not an execution path: a BatchEvalPython/ArrowEvalPython node here
+    would mean the engine silently left the JVM on a relational op."""
+    for name in ("ps_groupby_agg", "ps_merge_join", "ps_pivot_table", "ps_sort_head"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name}: {plan}"
+        assert "ArrowEvalPython" not in plan, f"{name}: {plan}"
+        assert "FlatMapGroupsInPandas" not in plan, f"{name}: {plan}"
+
+
+def test_ps_sort_head_takeordered(spark):
+    """sort_values().head(k) must plan as TakeOrderedAndProject (per-
+    partition top-k + k-row driver merge), never a global Sort."""
+    tree = _nodes(spark, "ps_sort_head")
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_ps_merge_broadcasts_bounded_dim(spark):
+    """ps_merge_join: the 25-row nation dim must broadcast under the
+    same size rules as the explicit-hint join (no shuffle of customer)."""
+    tree = _nodes(spark, "ps_merge_join")
+    assert "BroadcastHashJoin" in tree, tree
