@@ -134,12 +134,31 @@ concat_ws(' ',
 _SEED_OFFSET = 1000000
 
 
+def _guarded_base_id():
+    """doc_id pass-through with a JVM-side loud-failure guard: seeded
+    corpora re-key mutations at +_SEED_OFFSET / +2·_SEED_OFFSET, so a
+    base id >= _SEED_OFFSET (documents grows past 1M around sf10) would
+    silently alias a mutation id — and since the DuckDB oracle applies
+    the identical offsets, BOTH engines would corrupt identically and
+    the hash check would still 'pass' (the ADVICE r05 latent-offset
+    class). One codegen branch per row; mutations derive from base, so
+    guarding the source bounds every generation."""
+    return F.when(F.col("doc_id") < _SEED_OFFSET, F.col("doc_id")).otherwise(
+        F.expr(
+            "CAST(raise_error('seeded corpus: doc_id >= 1000000 would collide "
+            "with mutation ids — raise _SEED_OFFSET') AS BIGINT)"
+        )
+    )
+
+
 def seeded_neardup_corpus(docs: DataFrame) -> DataFrame:
     """Originals plus deterministic near-duplicate mutations (mutated ids
     offset by _SEED_OFFSET). The mutation leaves most 3-shingles intact,
     so (doc, mutation) pairs land around Jaccard 0.6-0.9 — exactly the
     band the 8×4 LSH parameters are tuned to catch."""
-    base = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    base = docs.select(
+        _guarded_base_id().alias("doc_id"), F.lower(F.col("text")).alias("text")
+    )
     mutated = base.select(
         (F.col("doc_id") + _SEED_OFFSET).alias("doc_id"),
         F.expr(_MUTATE_SQL).alias("text"),
@@ -329,7 +348,9 @@ def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative Spark algorithm is hash-checked against a declarative
     fixpoint. Tier H."""
     docs = table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    base = docs.select(
+        _guarded_base_id().alias("doc_id"), F.lower(F.col("text")).alias("text")
+    )
     m1 = base.select(
         (F.col("doc_id") + _SEED_OFFSET).alias("doc_id"),
         F.expr(_MUTATE_SQL).alias("text"),

@@ -384,7 +384,7 @@ off AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
   FROM toks
 )
-SELECT shard * 100000 + CAST(floor(start_off / 2048.0) AS BIGINT) AS bin_id,
+SELECT shard * 1000000000000 + CAST(floor(start_off / 2048.0) AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc,
@@ -416,9 +416,16 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = toks.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    bin_id = (F.col("shard") * 100000 + F.floor(F.col("start_off") / 2048.0)).cast(
-        "long"
-    )
+    # bin_id packs (shard, bin_no) into one BIGINT. The 1e12 stride
+    # allows 10^12 bins/shard ≈ 2×10^15 tokens per shard before any
+    # collision — past the 100 TB design point (a 1e5 stride collides at
+    # ~205M tokens/shard, i.e. around sf100 — same latent-offset class
+    # as the ADVICE r05 CDF key finding). Shard count is bounded (8), so
+    # the packed id stays far below 2^63.
+    bin_id = (
+        F.col("shard") * F.lit(1_000_000_000_000)
+        + F.floor(F.col("start_off") / 2048.0)
+    ).cast("long")
     return (
         off.groupBy(bin_id.alias("bin_id"))
         .agg(

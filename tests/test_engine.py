@@ -829,3 +829,23 @@ def test_scratch_dir_distinct_per_sf():
     assert a != b
     # and stable on re-request (bench min-of-N reruns overwrite in place)
     assert a == scratch_dir("merge_upsert_partitioned", "/root/testdata/sf0.001")
+
+
+def test_seeded_corpus_guard_trips(spark):
+    """A base doc_id >= _SEED_OFFSET must fail LOUDLY: the oracle applies
+    the identical offsets, so a silent collision would corrupt both
+    engines identically and the hash check would still pass."""
+    import pytest
+
+    from cloudtrail_streamer_spark.operators.dedup import (
+        _SEED_OFFSET,
+        seeded_neardup_corpus,
+    )
+
+    bad = spark.createDataFrame(
+        [(int(_SEED_OFFSET) + 5, "hello world")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="collide"):
+        seeded_neardup_corpus(bad).collect()
+    ok = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    assert seeded_neardup_corpus(ok).count() == 2
