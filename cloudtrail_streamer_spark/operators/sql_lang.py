@@ -173,3 +173,41 @@ def sql_scripting_param(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prior)
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_urgent_value,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_totalprice > 100000
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE, survey_id="B-24-ext")
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators): the same relational
+    pipeline a DataFrame chain expresses, written as linear SQL stages —
+    FROM |> WHERE |> AGGREGATE ... GROUP BY. Each stage is pure
+    Catalyst surface syntax (the parser desugars to the ordinary logical
+    plan), so pushdown/pruning/codegen are identical to the nested-SQL
+    twin the oracle runs: the WHERE reaches the parquet scan even though
+    it is written 'after' FROM. Zero execution cost for the readability
+    win — which is the point at 100 TB, where a mis-nested subquery that
+    blocks pushdown costs a full extra scan."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_totalprice > 100000
+        |> AGGREGATE COUNT(*) AS n_urgent_value,
+                     SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS sum_price_c
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_urgent_value, sum_price_c
+        """
+    )

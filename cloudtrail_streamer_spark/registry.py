@@ -131,6 +131,8 @@ _R7_STAGED: list[str] = [
     "ps_merge_join",
     "ps_pivot_table",
     "ps_sort_head",
+    # SQL pipe syntax (Spark 4 |> operators, operators/sql_lang.py):
+    "sql_pipe_syntax",
 ]
 
 

@@ -657,3 +657,13 @@ def test_ps_merge_broadcasts_bounded_dim(spark):
     same size rules as the explicit-hint join (no shuffle of customer)."""
     tree = _nodes(spark, "ps_merge_join")
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_sql_pipe_pushdown_reaches_scan(spark):
+    """sql_pipe_syntax: the |> WHERE stage must desugar into the same
+    logical Filter as nested SQL — i.e. its predicates reach the parquet
+    scan as PushedFilters, proving the pipe parser adds zero plan cost."""
+    plan = _plan(spark, "sql_pipe_syntax")
+    assert "PushedFilters" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_totalprice" in ln or "o_orderdate" in ln for ln in pushed), plan
