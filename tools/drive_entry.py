@@ -36,6 +36,18 @@ def main() -> int:
             return 2
         skip = set(argv[1].split(","))
         argv = argv[2:]
+    first_n = 0
+    if argv and argv[0] == "--first":
+        # Simulate the external driver's exact protocol: the FIRST N
+        # registry entries (the _WINDOW_PRIORITY slots), run in registry
+        # order in ONE process — the strictest local replica of the
+        # per-round capture, including any cross-query session-state
+        # interactions (conf windows, scratch reuse) in driver order.
+        if len(argv) < 2 or not argv[1].isdigit():
+            print("--first needs a count, e.g. --first 50")
+            return 2
+        first_n = int(argv[1])
+        argv = argv[2:]
     shard_k, shard_n = 1, 1
     if argv and argv[0] == "--shard":
         if len(argv) < 2 or "/" not in argv[1]:
@@ -88,10 +100,15 @@ def main() -> int:
         names = sorted(qs)
         qs = {n: qs[n] for i, n in enumerate(names) if i % shard_n == shard_k - 1}
         print(f"shard {shard_k}/{shard_n}: {len(qs)}/{len(names)} queries")
+    if first_n:
+        qs = {n: qs[n] for n in list(qs)[:first_n]}
+        print(f"first {len(qs)} registry entries, driver order")
     con = duckdb.connect()
     register_duckdb_views(con, sf_dir)
     failed = []
-    for name, fn in sorted(qs.items()):
+    # --first preserves registry order (the driver's); otherwise sorted
+    items = list(qs.items()) if first_n else sorted(qs.items())
+    for name, fn in items:
         import time
 
         t0 = time.perf_counter()
