@@ -527,3 +527,50 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("safe_parse"),
         F.try_element_at(arr, ((F.col("o_orderkey") % 5) + 2).cast("int")).alias("safe_elem"),
     )
+
+
+_XML_PARSE_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus AS status_from_xml,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c_from_xml,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c_xpath
+FROM orders
+WHERE o_orderkey % 97 = 0
+"""
+
+
+@query("fn_xml_parse", oracle=_XML_PARSE_ORACLE, survey_id="B-41-ext")
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML expression functions (Spark 4 built-ins): ``to_xml`` renders
+    each row's payload struct as an XML document, ``from_xml`` parses it
+    back against an explicit schema, and ``xpath_long`` extracts the
+    same field via an XPath query — both extraction paths must agree
+    with the raw columns (the oracle reads them straight from parquet,
+    so any render/parse asymmetry hash-fails). All three are Catalyst
+    expressions: codegen'd per row, no Python, and the from_xml schema
+    is explicit — schema_of_xml at 100 TB would be an extra parse of
+    every document. Filtered to ~1% of orders (keyed, deterministic) to
+    keep the driver compare small; the expressions are per-row, so the
+    1% slice exercises exactly what the full table would."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    doc = o.select(
+        "o_orderkey",
+        F.to_xml(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                cents("o_totalprice").alias("price_c"),
+            ),
+            {"rowTag": "order"},
+        ).alias("x"),
+    )
+    parsed = doc.select(
+        "o_orderkey",
+        F.from_xml("x", "status STRING, price_c BIGINT").alias("v"),
+        F.xpath_long("x", F.lit("/order/price_c")).alias("price_c_xpath"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("v.status").alias("status_from_xml"),
+        F.col("v.price_c").alias("price_c_from_xml"),
+        "price_c_xpath",
+    )

@@ -316,3 +316,35 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query("scan_xml_roundtrip", oracle=_CSV_ORACLE, survey_id="B-1-ext")
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source breadth (built-in XML reader/writer, spark-xml merged
+    into Spark 4 core): the same lossless round-trip contract as the
+    CSV/ORC rows — orders written as row-tagged XML, read back with an
+    EXPLICIT schema (never schema inference: for XML that is a full
+    extra parse of every document at 100 TB), aggregated, and checked
+    against the parquet-sourced oracle. XML is the interchange format
+    the CloudTrail world still emits from legacy feeds; the engine
+    treats it as just another scan whose parse cost is paid once at
+    ingest, never in the relational core."""
+    o = table(spark, sf_dir, "orders")
+    out = os.path.join(scratch_dir("scan_xml_roundtrip", sf_dir), "orders_xml")
+    o.write.mode("overwrite").format("xml").option("rootTag", "orders").option(
+        "rowTag", "order"
+    ).option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss").save(out)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in o.schema.fields)
+    back = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "order")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+        .load(out)
+    )
+    from cloudtrail_streamer_spark.functions import cents
+
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).cast("long").alias("total_cents"),
+    )

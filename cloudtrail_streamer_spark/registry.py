@@ -133,6 +133,9 @@ _R7_STAGED: list[str] = [
     "ps_sort_head",
     # SQL pipe syntax (Spark 4 |> operators, operators/sql_lang.py):
     "sql_pipe_syntax",
+    # built-in XML surface (spark-xml merged into Spark 4 core):
+    "scan_xml_roundtrip",
+    "fn_xml_parse",
 ]
 
 
