@@ -588,3 +588,134 @@ def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(is_out.cast("long")), F.lit(0)).cast("long").alias("n_outliers"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_domain_mixture — temperature-scaled source sampling weights
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+raw AS (
+  SELECT source, n_tokens,
+         pow(CAST(n_tokens AS DOUBLE)
+             / (SELECT SUM(n_tokens) FROM per_source), 0.7) AS w
+  FROM per_source
+)
+SELECT source, n_tokens,
+       round(w / (SELECT SUM(w) FROM raw), 4) AS p_sample,
+       CAST(round(1000000 * w / (SELECT SUM(w) FROM raw), 0) AS BIGINT)
+         AS planned_tokens_1m,
+       round(1000000 * (w / (SELECT SUM(w) FROM raw)) / n_tokens, 4)
+         AS effective_epochs
+FROM raw
+"""
+
+
+@query("pipeline_domain_mixture", oracle=_MIXTURE_ORACLE, survey_id="north-star")
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing for pretraining-data assembly
+    (the multilingual-sampling standard, p_i ∝ (n_i/N)^α with α=0.7):
+    per-source token counts → raw temperature weights → normalized
+    sampling probabilities, the planned token draw for a 1M-token
+    budget, and the effective epochs each source would be cycled
+    (planned/|source| — the over-sampling multiplier that α ramps up
+    for small domains). This is the table a data-loader consumes to
+    mix sources at training time.
+
+    Scale shape: ONE keyed aggregate over the corpus (token counting is
+    map-side partial), then the two normalization scalars (ΣN, Σw)
+    attach via broadcast of 1-row aggregates — never a driver collect,
+    never a second corpus pass. At 100 TB the per-source table is
+    ~|sources| rows (dozens), so everything after the first agg costs
+    nothing."""
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ")).cast("long"))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = per_source.agg(F.sum("n_tokens").cast("double").alias("tot_tokens"))
+    raw = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("tot_tokens"), F.lit(0.7)).alias("w"),
+    )
+    wsum = raw.agg(F.sum("w").alias("w_sum"))
+    p = F.col("w") / F.col("w_sum")
+    return raw.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_tokens",
+        F.round(p, 4).alias("p_sample"),
+        F.round(p * 1_000_000, 0).cast("long").alias("planned_tokens_1m"),
+        F.round(p * 1_000_000 / F.col("n_tokens"), 4).alias("effective_epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_psi_drift — population stability index between two time periods
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH bucketed AS (
+  SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS period
+  FROM events
+),
+counts AS (
+  SELECT bucket,
+         COUNT(*) FILTER (WHERE period = 'a') AS na,
+         COUNT(*) FILTER (WHERE period = 'b') AS nb
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM counts)
+SELECT bucket,
+       CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+       round((na + 1.0) / (ta + 10.0), 6) AS p_ref,
+       round((nb + 1.0) / (tb + 10.0), 6) AS p_cur,
+       round(((na + 1.0) / (ta + 10.0) - (nb + 1.0) / (tb + 10.0))
+             * ln(((na + 1.0) / (ta + 10.0)) / ((nb + 1.0) / (tb + 10.0))), 6)
+         AS psi_term
+FROM counts CROSS JOIN tot
+"""
+
+
+@query("agg_psi_drift", oracle=_PSI_ORACLE, survey_id="B-25-ext")
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between a reference and a current
+    period — the standard drift monitor a data/feature pipeline runs
+    before trusting new data (PSI < 0.1 stable, > 0.25 action). Fixed
+    width-50 value buckets (clamped to 10 bins — fixed edges, never
+    data-dependent quantiles, so the bucketing is reproducible across
+    runs and engines) and Laplace (+1) smoothing so empty bins
+    contribute a finite, exact term in both engines.
+
+    Scale shape: one pass, one keyed agg on (bucket) with the period
+    split as conditional counts (map-side partial), totals attached as
+    a broadcast 1-row aggregate. PSI over 100 TB costs exactly one
+    scan."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
+    period_a = (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).cast("long")
+    counts = e.select(bucket.alias("bucket"), period_a.alias("is_a")).groupBy(
+        "bucket"
+    ).agg(
+        F.sum("is_a").alias("na"),
+        (F.count(F.lit(1)) - F.sum("is_a")).alias("nb"),
+    )
+    tot = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = (F.col("na") + 1.0) / (F.col("ta") + 10.0)
+    pb = (F.col("nb") + 1.0) / (F.col("tb") + 10.0)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("na").cast("long").alias("n_ref"),
+        F.col("nb").cast("long").alias("n_cur"),
+        F.round(pa, 6).alias("p_ref"),
+        F.round(pb, 6).alias("p_cur"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )

@@ -1016,3 +1016,84 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((dfrac >= 0.2) & (bfrac <= 0.2)).alias("passes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_crossdoc_substring — repeated-substring detection across documents
+# ---------------------------------------------------------------------------
+
+_XDOC_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS w
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  ) g
+),
+shared AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) FILTER (WHERE s.w IS NOT NULL) AS BIGINT) AS n_shared,
+       round(CAST(COUNT(*) FILTER (WHERE s.w IS NOT NULL) AS DOUBLE)
+             / COUNT(*), 4) AS shared_ratio
+FROM wins LEFT JOIN shared s USING (w)
+GROUP BY doc_id
+HAVING COUNT(*) FILTER (WHERE s.w IS NOT NULL) > 0
+"""
+
+
+@query("text_crossdoc_substring", oracle=_XDOC_ORACLE, survey_id="north-star")
+def text_crossdoc_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection — the distributed
+    analog of exact-substring training-data dedup (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): every
+    8-token rolling window of every doc is keyed and windows occurring
+    in ≥2 DISTINCT docs are flagged; each doc reports how much of its
+    text is boilerplate shared with the rest of the corpus.
+
+    The 100 TB shape: one explode to (doc, window-position) rows, one
+    agg keyed by window string to find shared windows (in production the
+    key is xxhash64(window) — 8 bytes instead of ~50), one keyed join
+    back, one per-doc agg. Never doc×doc; never a suffix array held in
+    one memory space — the window key IS the shard key, which is why
+    this expresses the suffix-array algorithm's outcome as three keyed
+    shuffles. Short docs (<8 tokens) contribute their whole text as one
+    window, matching the oracle's slice semantics exactly."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - 8, F.lit(0))),
+                lambda i: F.array_join(F.slice(t, i + 1, 8), " "),
+            )
+        ).alias("w"),
+    )
+    shared = (
+        wins.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("w", F.lit(1).alias("is_shared"))
+    )
+    return (
+        wins.join(shared, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("n_shared"),
+        )
+        .where(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(F.col("n_shared").cast("double") / F.col("n_windows"), 4).alias(
+                "shared_ratio"
+            ),
+        )
+    )

@@ -136,6 +136,10 @@ _R7_STAGED: list[str] = [
     # built-in XML surface (spark-xml merged into Spark 4 core):
     "scan_xml_roundtrip",
     "fn_xml_parse",
+    # training-pipeline additions (round 6):
+    "text_crossdoc_substring",
+    "pipeline_domain_mixture",
+    "agg_psi_drift",
 ]
 
 
