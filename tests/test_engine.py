@@ -849,3 +849,48 @@ def test_seeded_corpus_guard_trips(spark):
         seeded_neardup_corpus(bad).collect()
     ok = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
     assert seeded_neardup_corpus(ok).count() == 2
+
+
+def test_domain_mixture_invariants(spark):
+    """pipeline_domain_mixture: probabilities form a distribution
+    (sum≈1 within rounding), the temperature exponent (α=0.7 < 1) must
+    UPWEIGHT small sources relative to proportional sampling, and the
+    planned 1M draw must hit the budget within per-source rounding."""
+    rows = all_queries()["pipeline_domain_mixture"](spark, SF).collect()
+    tot_tokens = sum(r["n_tokens"] for r in rows)
+    p_sum = sum(r["p_sample"] for r in rows)
+    assert abs(p_sum - 1.0) < 1e-3 * len(rows)
+    assert abs(sum(r["planned_tokens_1m"] for r in rows) - 1_000_000) <= len(rows)
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    assert smallest["p_sample"] > smallest["n_tokens"] / tot_tokens - 1e-9
+    assert largest["p_sample"] < largest["n_tokens"] / tot_tokens + 1e-9
+
+
+def test_crossdoc_substring_bounds(spark):
+    """text_crossdoc_substring: every reported doc has 0 < n_shared <=
+    n_windows, ratio consistent; and sharing is symmetric — a shared
+    window implicates at least two docs, so the doc count is >= 2
+    whenever any row exists."""
+    rows = all_queries()["text_crossdoc_substring"](spark, SF).collect()
+    for r in rows:
+        assert 0 < r["n_shared"] <= r["n_windows"]
+        assert abs(r["shared_ratio"] - round(r["n_shared"] / r["n_windows"], 4)) < 1e-9
+    if rows:
+        assert len(rows) >= 2, "shared windows must implicate >= 2 docs"
+
+
+def test_psi_drift_distribution(spark):
+    """agg_psi_drift: smoothed per-period probabilities each sum to ~1
+    over buckets (Laplace denominator accounts for the 10-bin domain),
+    and every PSI term is non-negative up to rounding — (p-q)·ln(p/q)
+    has the same sign in both factors."""
+    rows = all_queries()["agg_psi_drift"](spark, SF).collect()
+    assert rows, "bucketed events must produce rows"
+    assert all(r["psi_term"] >= -1e-6 for r in rows)
+    # missing buckets contribute 1/(T+10) each; allow their mass
+    missing = 10 - len(rows)
+    for col, miss_unit in (("p_ref", "ta"), ("p_cur", "tb")):
+        s = sum(r[col] for r in rows)
+        assert 0.9 <= s <= 1.0 + 1e-6, f"{col} sums to {s}"
+        assert missing >= 0
