@@ -719,3 +719,82 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("p_cur"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_ab_test_ztest — two-proportion experiment readout
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM users GROUP BY variant
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM v
+)
+SELECT n0, c0, n1, c1,
+       round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+FROM w
+"""
+
+
+@query("agg_ab_test_ztest", oracle=_AB_ORACLE, survey_id="B-25-ext")
+def agg_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the standard A/B experiment readout
+    (variant = user_id % 2, a deterministic hash split; conversion =
+    any purchase event). Per-variant user and converter counts, rates,
+    and the pooled-variance z-score, all in one result row.
+
+    Scale shape: one keyed agg to (user, variant, converted) — the
+    dedup-to-user step is the only shuffle that scales with data — then
+    a 2-row variant rollup and scalar math. At 100 TB the z-test costs
+    exactly the per-user dedup pass; everything after is constant. The
+    pivot to one row goes through conditional MAX on a 2-row frame, not
+    a collect."""
+    e = table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
+    )
+    v = users.select(
+        (F.col("user_id") % 2).cast("long").alias("variant"), "converted"
+    ).groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(z, 4).alias("z_score"),
+    )

@@ -140,6 +140,7 @@ _R7_STAGED: list[str] = [
     "text_crossdoc_substring",
     "pipeline_domain_mixture",
     "agg_psi_drift",
+    "agg_ab_test_ztest",
 ]
 
 
