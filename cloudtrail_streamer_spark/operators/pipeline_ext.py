@@ -629,26 +629,33 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix sources at training time.
 
     Scale shape: ONE keyed aggregate over the corpus (token counting is
-    map-side partial), then the two normalization scalars (ΣN, Σw)
-    attach via broadcast of 1-row aggregates — never a driver collect,
-    never a second corpus pass. At 100 TB the per-source table is
-    ~|sources| rows (dozens), so everything after the first agg costs
-    nothing."""
+    map-side partial); the normalization scalars (ΣN, Σw) are GLOBAL
+    WINDOWS over the ~|sources|-row aggregate result, not crossJoins of
+    derived 1-row aggregates — Catalyst re-expands a referenced subtree
+    per consumer, so the crossJoin formulation costs FOUR corpus scans
+    (measured, plan-audited r6) while the window formulation is one
+    scan by construction. The window's single-partition exchange holds
+    dozens of rows — free. Never a driver collect."""
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
         F.sum(F.size(F.split(F.lower(F.col("text")), " ")).cast("long"))
         .cast("long")
         .alias("n_tokens")
     )
-    tot = per_source.agg(F.sum("n_tokens").cast("double").alias("tot_tokens"))
-    raw = per_source.crossJoin(F.broadcast(tot)).select(
+    everything = Window.partitionBy()  # |sources| rows — a cheap global window
+    raw = per_source.select(
         "source",
         "n_tokens",
-        F.pow(F.col("n_tokens") / F.col("tot_tokens"), F.lit(0.7)).alias("w"),
+        F.pow(
+            F.col("n_tokens")
+            / F.sum("n_tokens").over(everything).cast("double"),
+            F.lit(0.7),
+        ).alias("w"),
     )
-    wsum = raw.agg(F.sum("w").alias("w_sum"))
-    p = F.col("w") / F.col("w_sum")
-    return raw.crossJoin(F.broadcast(wsum)).select(
+    p = F.col("w") / F.sum("w").over(everything)
+    return raw.select(
         "source",
         "n_tokens",
         F.round(p, 4).alias("p_sample"),
@@ -696,9 +703,13 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute a finite, exact term in both engines.
 
     Scale shape: one pass, one keyed agg on (bucket) with the period
-    split as conditional counts (map-side partial), totals attached as
-    a broadcast 1-row aggregate. PSI over 100 TB costs exactly one
-    scan."""
+    split as conditional counts (map-side partial); the period totals
+    are GLOBAL WINDOWS over the ≤10-row bucket frame (a crossJoin of a
+    derived 1-row aggregate re-expands the subtree into a second full
+    events scan — measured, plan-audited r6). PSI over 100 TB costs
+    exactly one scan."""
+    from pyspark.sql import Window
+
     e = table(spark, sf_dir, "events")
     bucket = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
     period_a = (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).cast("long")
@@ -708,10 +719,11 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").alias("na"),
         (F.count(F.lit(1)) - F.sum("is_a")).alias("nb"),
     )
-    tot = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
-    pa = (F.col("na") + 1.0) / (F.col("ta") + 10.0)
-    pb = (F.col("nb") + 1.0) / (F.col("tb") + 10.0)
-    return counts.crossJoin(F.broadcast(tot)).select(
+    everything = Window.partitionBy()  # ≤10 rows — a cheap global window
+    ta, tb = F.sum("na").over(everything), F.sum("nb").over(everything)
+    pa = (F.col("na") + 1.0) / (ta + 10.0)
+    pb = (F.col("nb") + 1.0) / (tb + 10.0)
+    return counts.select(
         "bucket",
         F.col("na").cast("long").alias("n_ref"),
         F.col("nb").cast("long").alias("n_cur"),

@@ -667,3 +667,24 @@ def test_sql_pipe_pushdown_reaches_scan(spark):
     assert "PushedFilters" in plan, plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("o_totalprice" in ln or "o_orderdate" in ln for ln in pushed), plan
+
+
+def test_single_scan_scalar_normalizers(spark):
+    """pipeline_domain_mixture / agg_psi_drift / agg_ab_test_ztest: the
+    normalization scalars must come from global windows (or a single agg
+    chain) over the tiny post-aggregate frame — a crossJoin of a derived
+    1-row aggregate re-expands the corpus subtree into extra full scans
+    (measured: the crossJoin formulation cost 4 documents scans)."""
+    import re
+    from collections import Counter
+
+    for name, tbl, want in (
+        ("pipeline_domain_mixture", "documents", 1),
+        ("agg_psi_drift", "events", 1),
+        ("agg_ab_test_ztest", "events", 1),
+        ("text_crossdoc_substring", "documents", 2),  # deliberate: see op
+    ):
+        plan = _plan(spark, name)
+        locs = re.findall(r"Location: InMemoryFileIndex[^\n]*/(\w+)\.parquet", plan)
+        got = Counter(locs)[tbl]
+        assert got == want, f"{name}: {tbl} scanned {got}x, want {want}"
