@@ -245,7 +245,9 @@ def test_pack_sequences_invariants(spark):
     docs = table(spark, SF, "documents")
     assert sum(r["n_docs"] for r in out) == docs.count()
     for r in out:
-        shard, local_bin = divmod(r["bin_id"], 100000)
+        # 1e12 stride per shard (widened r6 — collision headroom past
+        # the 100 TB design point; see text_pack_sequences)
+        shard, local_bin = divmod(r["bin_id"], 1_000_000_000_000)
         assert 0 <= shard < 8
         assert r["first_doc"] % 8 == shard and r["last_doc"] % 8 == shard
         assert r["n_docs"] >= 1 and r["total_tokens"] >= r["n_docs"]
