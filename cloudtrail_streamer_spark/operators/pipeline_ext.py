@@ -810,3 +810,65 @@ def agg_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate1"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ewma_hourly — exponentially weighted moving average smoothing
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, h, cents,
+         array_agg(cents) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS xs
+  FROM hourly
+)
+SELECT event_type, h, cents,
+       round(list_reduce(list_transform(xs, x -> CAST(x AS DOUBLE)),
+                         (acc, x) -> acc * 0.5 + x)
+             / (2.0 * (1.0 - pow(0.5, len(xs)))), 4) AS ewma
+FROM w
+"""
+
+
+@query("events_ewma_hourly", oracle=_EWMA_ORACLE, survey_id="B-31-ext")
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the hourly series —
+    the time-series smoother monitoring dashboards run (α=0.5 decay,
+    12-observation trailing frame, weights normalized by the closed-form
+    Σ0.5^k so the series start is unbiased). EWMA's recursion is
+    expressed as a HORNER FOLD over the frame's collected values
+    (acc·α + x), which makes the float op sequence identical in both
+    engines: Spark's ``aggregate`` with a 0.0 seed computes exactly
+    DuckDB's ``list_reduce`` (whose first element IS the seed, since
+    f(0, x₁) = x₁).
+
+    Scale shape: ONE keyed agg to hourly grain (map-side partial — the
+    only shuffle that scales with data), then a 12-row bounded window
+    per type over the ~|types|×|hours| frame. State per window position
+    is the 12-value array — O(frame), never O(history); the fold is
+    codegen'd JVM. Window collect_list is frame-ordered (WindowExec
+    processes rows in sort order), which the identical oracle pins."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(cents("value")).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-11, 0)
+    xs = F.collect_list("cents").over(w)
+    horner = F.aggregate(
+        F.transform(xs, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc * 0.5 + x,
+    )
+    denom = 2.0 * (1.0 - F.pow(F.lit(0.5), F.size(xs)))
+    return hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.round(horner / denom, 4).alias("ewma"),
+    )

@@ -141,6 +141,7 @@ _R7_STAGED: list[str] = [
     "pipeline_domain_mixture",
     "agg_psi_drift",
     "agg_ab_test_ztest",
+    "events_ewma_hourly",
 ]
 
 
