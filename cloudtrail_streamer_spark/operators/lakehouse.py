@@ -549,10 +549,11 @@ def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The v2 commit exercises all three change types in one transaction:
     'P'/1995 prices bumped (update), 'O'/1995 rows dropped (delete),
-    and 1996-'P' rows re-keyed +10M appended as a new file (insert —
-    an append never rewrites, so it enters the diff purely as an added
-    file). The 1↔2 row fan-out for updates is an array-of-structs +
-    explode, all JVM-side."""
+    and 1996-'P' rows re-keyed past the actual MAX(o_orderkey) appended
+    as a new file (insert — an append never rewrites, so it enters the
+    diff purely as an added file; the dynamic offset can never collide
+    with a live key at any scale). The 1↔2 row fan-out for updates is
+    an array-of-structs + explode, all JVM-side."""
     import shutil
 
     root = scratch_dir("sink_snapshot_changes", sf_dir)

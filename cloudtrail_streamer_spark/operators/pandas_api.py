@@ -168,11 +168,15 @@ def ps_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sdf = pt.to_spark()
     # TPC-H has exactly three statuses; a missing (priority, status)
-    # cell is a true zero count
+    # cell — or a whole status absent at a given scale, which would
+    # drop the pivoted column entirely — is a true zero count
     return sdf.select(
         "o_orderpriority",
         *[
-            F.coalesce(F.col(s).cast("long"), F.lit(0)).alias(f"n_{s}")
+            F.coalesce(
+                F.col(s).cast("long") if s in sdf.columns else F.lit(None).cast("long"),
+                F.lit(0),
+            ).alias(f"n_{s}")
             for s in ("F", "O", "P")
         ],
     )

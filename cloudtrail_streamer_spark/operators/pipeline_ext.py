@@ -609,7 +609,7 @@ raw AS (
 )
 SELECT source, n_tokens,
        round(w / (SELECT SUM(w) FROM raw), 4) AS p_sample,
-       CAST(round(1000000 * w / (SELECT SUM(w) FROM raw), 0) AS BIGINT)
+       CAST(round(1000000 * (w / (SELECT SUM(w) FROM raw)), 0) AS BIGINT)
          AS planned_tokens_1m,
        round(1000000 * (w / (SELECT SUM(w) FROM raw)) / n_tokens, 4)
          AS effective_epochs

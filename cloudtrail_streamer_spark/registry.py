@@ -54,95 +54,78 @@ def _load_all() -> None:
 # everything else follows in registration order. Rotate this list each round
 # so that, across rounds, every query lands inside the driver's window.
 #
-# Round 6 (VERDICT r05 "next #1"): window = the full _R6_STAGED backlog
-# (the 34 queries that lacked a driver row after r5 — the lakehouse
-# snapshot family, the Python DataSource quadrant, the SQL-UDF quartet,
-# agg_cbo_stats, and the 8-query r5 spillover tail) in slots 1-34, then
-# 16 back-fill slots re-verifying green queries whose PHYSICAL PLANS
-# changed most recently: the r5 AQE shuffled-hash beneficiaries
-# (tpch_q3, q1, dedup_exact), the cost-routed text_tfidf and
-# sim_search_topk, the streaming ops that gained bounded-state
-# certificates this round, and the bench-headline relational core.
-# After this rotation drains, the cross-round union is 277/277.
+# Round 7 (VERDICT r06 "next #1"): window = the 12-query r6 backlog
+# (the only registry entries without a driver CORRECTNESS row — the
+# pandas-API quartet, the XML pair, SQL pipe syntax, and the four
+# training-pipeline additions) in slots 1-12, then the three stateful
+# streaming ops upgraded R->H this round (their deterministic final
+# states now carry full DuckDB oracles — VERDICT r06 #5), then
+# back-fill slots re-verifying green queries that matter most: the
+# bench-headline relational core, the LLM heavies newly added to the
+# bench set (VERDICT r06 #3), and round-7 additions as they land.
+# After this rotation drains, the cross-round union is 289/289.
 _WINDOW_PRIORITY: list[str] = [
-    # --- the 34-query backlog (every query without a driver row) ---
-    "agg_sample_estimate_ci",
-    "win_cohort_ltv",
-    "win_markov_transitions",
-    "win_rolling_zscore",
-    "win_session_paths",
-    "agg_benford_audit",
-    "set_intersect_all",
-    "agg_cbo_stats",
-    "merge_upsert_partitioned",
-    "join_reorder_cbo",
-    "source_python_datasource",
-    "sink_snapshot_time_travel",
-    "stream_python_datasource",
-    "sink_python_datasource_writer",
-    "sink_python_stream_writer",
-    "udf_sql_declarative",
-    "udf_sql_table_valued",
-    "sql_scripting_param",
-    "udtf_arrow",
-    "stream_transform_with_state",
-    "source_state_store_reader",
-    "sink_snapshot_vacuum",
-    "join_runtime_bloom",
-    "join_shuffle_hash",
-    "sink_snapshot_changes",
-    "sink_snapshot_restore",
-    "sink_snapshot_concurrent_commit",
-    "sink_snapshot_mor_deletes",
-    "stream_snapshot_changes",
-    "sink_snapshot_partition_evolution",
-    "sink_snapshot_wap_branch",
-    "sink_snapshot_rename_widen",
-    "stream_snapshot_ingest",
-    "scan_metadata_only_agg",
-    # --- 16 back-fill: plans changed in r5/r6, re-earn fresh rows ---
-    "tpch_q3_shipping_priority",  # AQE SMJ->shuffled-hash (session.py)
-    "agg_group_q1",  # same
-    "dedup_exact",  # same
-    "text_tfidf",  # df-stage now cost-routed (text.py)
-    "sim_search_topk",  # kernel routing via footer row counts
-    "stream_custom_state",  # bounded-state certificate added r6
-    "stream_stream_join",  # bounded-state certificate added r6
-    "stream_watermark_late",  # state_rows_peak certificate (r5)
-    "stream_dedup_stateful",  # same
-    "stream_agg_update",  # same
-    "scan_pruned",  # bench headline set
-    "join_inner_hash",
-    "join_broadcast",
-    "join_asof",
-    "top_n_per_group",
-    "win_rank",
-]
-
-# Round-7 staging: queries registered AFTER the r6 window was fixed.
-# Every name appended here still lacks a driver row; at the next
-# rotation, move these into _WINDOW_PRIORITY's first slots.
-# tests/test_engine.py validates that window + staged covers every
-# query that lacks a driver row.
-_R7_STAGED: list[str] = [
-    # pandas-on-Spark API parity family (operators/pandas_api.py,
-    # VERDICT r05 #7) — registered after the r6 window was fixed:
+    # --- the 12-query backlog (every query without a driver row) ---
     "ps_groupby_agg",
     "ps_merge_join",
     "ps_pivot_table",
     "ps_sort_head",
-    # SQL pipe syntax (Spark 4 |> operators, operators/sql_lang.py):
     "sql_pipe_syntax",
-    # built-in XML surface (spark-xml merged into Spark 4 core):
     "scan_xml_roundtrip",
     "fn_xml_parse",
-    # training-pipeline additions (round 6):
     "text_crossdoc_substring",
     "pipeline_domain_mixture",
     "agg_psi_drift",
     "agg_ab_test_ztest",
     "events_ewma_hourly",
+    # --- R->H upgrades: re-earn rows at the new hash-match tier ---
+    "stream_agg_update",
+    "stream_custom_state",
+    "stream_dedup_stateful",
+    # --- back-fill: bench headline set + LLM heavies + changed plans ---
+    "tpch_q3_shipping_priority",
+    "agg_group_q1",
+    "dedup_exact",
+    "text_tfidf",
+    "sim_search_topk",
+    "scan_pruned",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "top_n_per_group",
+    "win_rank",
+    "tpch_q5_local_supplier",
+    "stream_tumbling",
+    "agg_rollup",
+    "pipeline_dedup_e2e",
+    "pipeline_pretrain_e2e",
+    "sim_search_arrow_kernel",
+    "stream_watermark_late",
+    "stream_stream_join",
+    "stream_upsert_keyed",
+    "stream_transform_with_state",
+    "join_skew_salted",
+    "join_dpp_partitioned",
+    "agg_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "win_frame_rows",
+    "win_frame_range",
+    "sort_multikey",
+    "limit_topk",
+    "set_union_all",
+    "fn_string",
+    "fn_date",
+    "fn_array",
+    "fn_explode",
 ]
+
+# Round-8 staging: queries registered AFTER the r7 window was fixed.
+# Every name appended here still lacks a driver row; at the next
+# rotation, move these into _WINDOW_PRIORITY's first slots.
+# tests/test_engine.py validates that window + staged covers every
+# query that lacks a driver row.
+_R8_STAGED: list[str] = []
 
 
 

@@ -221,10 +221,17 @@ def _summarize_progress(q) -> dict:
     state_bytes_peak = 0
     watermark_final = ""
     n_batches = 0
+    n_data_batches = 0
     for p in q.recentProgress:
         if not isinstance(p, dict):
             p = _json.loads(p.json)
         n_batches += 1
+        if p.get("numInputRows", 0) > 0:
+            # deterministic batch count: AvailableNow may emit a final
+            # zero-input bookkeeping batch depending on source timing;
+            # data-carrying batches == replay files (1 file/trigger),
+            # which a DuckDB oracle can recompute (H-tier certs use this)
+            n_data_batches += 1
         ops = p.get("stateOperators") or []
         state_rows_peak = max(
             state_rows_peak, sum(op.get("numRowsTotal", 0) for op in ops)
@@ -250,6 +257,7 @@ def _summarize_progress(q) -> dict:
         "state_bytes_peak": state_bytes_peak,
         "watermark_final": watermark_final,
         "n_batches": n_batches,
+        "n_data_batches": n_data_batches,
     }
 
 

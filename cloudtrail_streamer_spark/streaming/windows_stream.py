@@ -183,7 +183,23 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_dedup_stateful", survey_id="B-49")  # Tier R: replay harness
+_DEDUP_STATEFUL_ORACLE = """
+WITH src AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM src)
+SELECT s.event_type, s.day,
+       CAST(s.n AS BIGINT) AS n_delivered,
+       CAST(s.n * (CASE WHEN s.day + 1 IN (SELECT day FROM days)
+                        THEN 2 ELSE 1 END) AS BIGINT) AS n_input,
+       CAST(s.n AS BIGINT) AS n_source
+FROM src s
+"""
+
+
+@query("stream_dedup_stateful", oracle=_DEDUP_STATEFUL_ORACLE, survey_id="B-49")
 def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over a replay where every event is
     emitted twice in adjacent files. State is bounded by the 2-day
@@ -197,7 +213,12 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-emits day-d rows — original ts, next file — iff file d+1
     exists; grouped by ts-day that doubles day d) — all three columns
     independently recomputable in DuckDB from the events table and the
-    replay rule, asserted in tests/test_streaming.py."""
+    replay rule. H-tier since r7 (VERDICT r06 #5): the whole
+    certificate table is deterministic (duplicates arrive one file
+    after their original, inside the 2-day watermark, so the stateful
+    dedup drops exactly the injected copies), so the DuckDB oracle
+    reproduces every row from the source table + the replay rule and
+    hash-matches it."""
     replay = harness.write_replay_files(spark, sf_dir, duplicate=True)
     stream = harness.read_replay_stream(spark, replay)
     deduped = stream.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(
@@ -227,7 +248,16 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_agg_update", survey_id="B-50")  # Tier R: replay harness
+_AGG_UPDATE_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_updates
+FROM events GROUP BY user_id
+"""
+
+
+@query("stream_agg_update", oracle=_AGG_UPDATE_ORACLE, survey_id="B-50")
 def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update-mode running per-user aggregate (stateful hash agg).
 
@@ -236,10 +266,11 @@ def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_streaming.py). Returns the final state PLUS
     n_updates — how many micro-batch updates the sink observed for the
     user (VERDICT r03 #6). Because the replay is one day-file per
-    trigger, n_updates == the number of distinct event days per user,
-    which DuckDB recomputes directly from the events table
-    (tests/test_streaming.py asserts it): the state-update cadence
-    itself is certified, not just the final fixpoint.
+    trigger, n_updates == the number of distinct event days per user.
+    H-tier since r7 (VERDICT r06 #5): final state == batch GROUP BY and
+    the update cadence == per-user distinct-day count are BOTH exact
+    batch equalities, so the full output hash-matches a DuckDB oracle
+    computed straight from the events table.
     """
     replay = harness.write_replay_files(spark, sf_dir)
     stream = harness.read_replay_stream(spark, replay)
@@ -346,7 +377,19 @@ def _running_user_state(key, pdf_iter, state):
     )
 
 
-@query("stream_custom_state", survey_id="north-star")  # Tier R: custom stateful op
+_CUSTOM_STATE_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+           AS state_rows_peak,
+       (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events)
+           AS n_data_batches
+FROM events GROUP BY user_id
+"""
+
+
+@query("stream_custom_state", oracle=_CUSTOM_STATE_ORACLE, survey_id="north-star")
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState — the escape
     hatch for semantics Structured Streaming's built-ins can't express
@@ -354,13 +397,18 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Keyed per-user state (count + exact cents sum) updated per
     micro-batch; the memory sink receives one state row per (user,
-    batch); the final state equals the batch GROUP BY (asserted in
-    tests/test_streaming.py). State volume is O(|users|) — bounded, and
-    the rows-only driver record now PROVES it (VERDICT r04 #7): every
-    row carries the query-progress certificate — peak state rows (must
-    equal |users|, never rows-processed), peak state bytes, and the
-    batch count — so unbounded-state regressions surface in the record
-    itself."""
+    batch); the final state equals the batch GROUP BY. State volume is
+    O(|users|) — bounded, and the driver record PROVES it (VERDICT r04
+    #7): every row carries the query-progress certificate. H-tier since
+    r7 (VERDICT r06 #5): the certificate columns are the DETERMINISTIC
+    ones — peak state rows (== |users|: keyed state, NoTimeout, so the
+    peak is exactly the key count) and the data-carrying batch count
+    (== distinct event days: one day-file per trigger) — both
+    recomputable in DuckDB, so the whole output hash-matches. The
+    non-deterministic byte-level cert (RocksDB memory usage varies
+    run-to-run) is enforced as a runtime invariant instead: the query
+    RAISES if peak state bytes is not positive, so a broken state
+    backend fails the driver row rather than weakening the hash."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     replay = harness.write_replay_files(spark, sf_dir)
@@ -380,6 +428,11 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, prog = harness.run_stream_to_memory(
         updates, name, output_mode="update", return_progress=True
     )
+    if prog["state_bytes_peak"] <= 0:
+        raise AssertionError(
+            "bounded-state certificate: state backend reported no bytes "
+            f"(progress={prog})"
+        )
     w_latest = F.row_number().over(
         Window.partitionBy("user_id").orderBy(F.col("n").desc())
     )
@@ -390,9 +443,8 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n",
             "total_value",
-            F.lit(prog["state_rows_peak"]).alias("state_rows_peak"),
-            F.lit(prog["state_bytes_peak"]).alias("state_bytes_peak"),
-            F.lit(prog["n_batches"]).alias("n_batches"),
+            F.lit(prog["state_rows_peak"]).cast("long").alias("state_rows_peak"),
+            F.lit(prog["n_data_batches"]).cast("long").alias("n_data_batches"),
         )
     )
 

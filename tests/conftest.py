@@ -45,7 +45,11 @@ def pytest_collection_modifyitems(config, items):
     keep = []
     for item in items:
         params = getattr(getattr(item, "callspec", None), "params", None)
-        qname = params.get("name") if params else None
+        # only the per-query oracle sweep is hash-sharded; every other
+        # test (even a future one parametrized with a "name" param) runs
+        # in shard 1, per the option's contract (ADVICE r06)
+        is_sweep = getattr(item, "originalname", item.name) == "test_oracle_match"
+        qname = params.get("name") if (is_sweep and params) else None
         if qname is not None:
             # stable across processes and pytest orderings (hash() is
             # salted per-process; zlib.crc32 is not)

@@ -309,10 +309,11 @@ def test_custom_state_final_equals_batch(spark):
     assert got == {r["user_id"]: r["n"] for r in batch}
     # bounded-state certificate (VERDICT r04 #7): keyed state must peak
     # at exactly |users| rows — state growing with rows-processed, not
-    # keys, would exceed it
+    # keys, would exceed it. Bytes positivity is enforced INSIDE the
+    # query (raises) since r7's H-upgrade; the hashable cert columns are
+    # the deterministic pair (rows peak, data-batch count).
     assert out_rows[0]["state_rows_peak"] == len(batch)
-    assert out_rows[0]["state_bytes_peak"] > 0
-    assert out_rows[0]["n_batches"] > 1
+    assert out_rows[0]["n_data_batches"] > 1
 
 
 def test_checkpoint_recovery_exactly_once(spark):
