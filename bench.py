@@ -70,10 +70,16 @@ LLM_HEADLINE = [
 ]
 
 # Third decade (VERDICT r06 #4): sf1 -> sf10 (100x the driver fixture)
-# for the two queries whose sf1 marginals exceeded 2x with sub-noise
-# DuckDB denominators. At sf10 the denominators are 100s of ms to
-# seconds — far above the noise floor the r4 verdict set.
-SF10_QUERIES = ["dedup_exact", "tpch_q3_shipping_priority"]
+# for the queries whose sf1 marginals exceeded 2x with sub-noise DuckDB
+# denominators. At sf10 the denominators are 100s of ms to seconds —
+# far above the noise floor the r4 verdict set.
+SF10_QUERIES = [
+    "dedup_exact",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "sim_search_topk",
+    "stream_tumbling",
+]
 
 
 def _sf_of(sf_dir: str) -> str:
@@ -187,6 +193,8 @@ def time_duckdb(oracles, sf_dir: str, names: list[str] | None = None) -> dict[st
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
+        if not os.path.isfile(os.path.join(sf_dir, f"{t}.parquet")):
+            continue  # partial bench dirs (sf10 builds only what it times)
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
@@ -494,9 +502,49 @@ def main() -> None:
                 ds = s10_spark[n] - s1_spark[n]
                 dd = s10_duck[n] - s1_duck[n]
                 marginal_sf10[n] = round(ds / dd, 2) if dd > 0.001 else None
+            # q3 plan A/B at sf10 (same protocol as the sf1 one): at this
+            # scale the filtered-orders build may exceed the broadcast
+            # threshold, so pin WHICH plan ran and what the alternative
+            # costs — the weak marginal must carry its justification.
+            q3 = "tpch_q3_shipping_priority"
+            q3_sf10_ab: dict[str, float | str] = {}
+            if q3 in s10_spark:
+                confs = (
+                    "spark.sql.autoBroadcastJoinThreshold",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                )
+                prior = {c: spark.conf.get(c, None) for c in confs}
+                for c in confs:
+                    spark.conf.set(c, "-1")
+                try:
+                    alt = time_spark(spark, queries, sf10_dir, [q3])[q3]
+                finally:
+                    for c, v in prior.items():
+                        if v is None:
+                            spark.conf.unset(c)
+                        else:
+                            spark.conf.set(c, v)
+                for c in confs:
+                    spark.conf.set(c, "512m")
+                try:
+                    forced_bc = time_spark(spark, queries, sf10_dir, [q3])[q3]
+                finally:
+                    for c, v in prior.items():
+                        if v is None:
+                            spark.conf.unset(c)
+                        else:
+                            spark.conf.set(c, v)
+                q3_sf10_ab = {
+                    "q3_default_plan_sec": s10_spark[q3],
+                    "q3_no_broadcast_sec": alt,
+                    "q3_forced_broadcast_sec": forced_bc,
+                    "note": "sf10: default size-based selection vs both "
+                    "forced alternatives (threshold -1 / 512m)",
+                }
             sf10_block = {
                 "sf10": {"spark": s10_spark, "duckdb": s10_duck},
                 "marginal_ratio_sf10": marginal_sf10,
+                "q3_plan_choice_sf10": q3_sf10_ab,
             }
 
     detail = {

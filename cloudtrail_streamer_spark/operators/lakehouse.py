@@ -1820,3 +1820,100 @@ def scan_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k_min").cast("long").alias("k_min"),
         F.max("k_max").cast("long").alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_snapshot_positional_deletes — Iceberg-v2-style positional deletes
+# ---------------------------------------------------------------------------
+
+_POS_DELETE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_orderstatus
+  FROM orders
+), live AS (
+  SELECT * FROM base WHERE NOT (o_orderstatus = 'P' AND o_year = 1996)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_price,
+       CAST((SELECT COUNT(*) FROM base) - COUNT(*) AS BIGINT) AS n_deleted
+FROM live
+"""
+
+
+@query("sink_snapshot_positional_deletes", oracle=_POS_DELETE_ORACLE, survey_id="B-5-ext")
+def sink_snapshot_positional_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL merge-on-read deletes — the second Iceberg-v2 delete
+    encoding, completing the family next to ``sink_snapshot_mor_deletes``
+    (equality deletes): the delete file stores ``(file_path, row_index)``
+    pairs instead of key values. Positional deletes are what a format
+    writes when the engine KNOWS which physical rows it touched (MERGE,
+    UPDATE, row-level DELETE after a scan) — they delete exactly one
+    physical row each, so they stay correct even when the 'key' is
+    duplicated, which equality deletes cannot express.
+
+    The physical row identity comes from Spark's own ``_metadata``
+    hidden columns (``file_path``, ``row_index`` — the scan-time lineage
+    surface, no UDF, no zip-with-index shuffle). The delete commit
+    writes O(|deleted rows|) pairs and touches ZERO data files
+    (asserted); the MOR read is data ⟕anti (file_path, row_index) —
+    the pair set is small → Catalyst broadcasts the build side; at
+    100 TB Iceberg instead sorts delete files by file_path so each scan
+    task applies only its own file's positions — the same join, keyed
+    co-located per file. Certificate row: (n_rows, sum_price,
+    n_deleted) of the MOR view, hash-matched against the orders-derived
+    truth — plus an in-op assert that the positional view equals the
+    value-level filter row-for-row."""
+    import shutil
+
+    root = scratch_dir("sink_snapshot_positional_deletes", sf_dir)
+    for sub in ("data_v1", "posdel_v2"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    data_v1 = os.path.join(root, "data_v1")
+    del_v2 = os.path.join(root, "posdel_v2")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    o.withColumn("y", F.col("o_year")).write.partitionBy("y").mode(
+        "overwrite"
+    ).parquet(data_v1)
+
+    def _data_files() -> set[str]:
+        found = set()
+        for r, _d, fs in os.walk(data_v1):
+            for fn in fs:
+                if fn.endswith(".parquet"):
+                    found.add(os.path.join(r, fn))
+        return found
+
+    with_meta = spark.read.parquet(data_v1).select(
+        "*",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    doomed = (F.col("o_orderstatus") == "P") & (F.col("o_year") == 1996)
+
+    before = _data_files()
+    with_meta.where(doomed).select("file_path", "row_index").write.mode(
+        "overwrite"
+    ).parquet(del_v2)
+    assert _data_files() == before, "positional delete must not touch data files"
+
+    dels = spark.read.parquet(del_v2)
+    mor = with_meta.join(dels, ["file_path", "row_index"], "left_anti")
+    # positional view must equal the value-level filter exactly
+    mismatch = mor.where(doomed).count()
+    assert mismatch == 0, f"positions must cover every doomed row ({mismatch} left)"
+
+    n_base = spark.read.parquet(data_v1).count()
+    return mor.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum("price_c").cast("double") / 100.0).alias("sum_price"),
+        (F.lit(n_base) - F.count(F.lit(1))).cast("long").alias("n_deleted"),
+    )

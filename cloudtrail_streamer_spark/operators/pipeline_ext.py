@@ -872,3 +872,54 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.round(horner / denom, 4).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_shuffle_epoch — deterministic training-epoch shuffle (round 7)
+# ---------------------------------------------------------------------------
+
+_EPOCH_SHUFFLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(CAST(doc_id AS VARCHAR) || ':epoch=3') AS shuffle_key
+  FROM documents
+),
+page AS (
+  SELECT doc_id, source, shuffle_key
+  FROM keyed ORDER BY shuffle_key, doc_id LIMIT 200
+)
+SELECT doc_id, source, shuffle_key,
+       CAST((ascii(substr(shuffle_key, 1, 1)) * 256
+             + ascii(substr(shuffle_key, 2, 1))) % 16 AS BIGINT) AS shard
+FROM page
+"""
+
+
+@query("sample_shuffle_epoch", oracle=_EPOCH_SHUFFLE_ORACLE, survey_id="north-star")
+def sample_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle — the data-loader's epoch
+    ordering, computed as a PERMUTATION KEY instead of a materialized
+    shuffle: ``md5(doc_id || ':epoch=N')`` is a seeded pseudorandom
+    total order that any worker can recompute locally (md5 is the one
+    hash both engines share bit-for-bit — SURVEY §5.3 rule 7, the B-55
+    lesson; xxhash64 would be Tier R). Each epoch changes N → a fresh
+    uncorrelated order with zero state carried between epochs.
+
+    Scale shape: the loader never global-sorts 100 TB. Shard assignment
+    is the first two hex nibbles of the same key (mod n_shards) — a
+    map-side projection, one shuffle by shard to co-locate, ORDER BY
+    shuffle_key WITHIN each shard's stream. The query returns the first
+    200-row page of the global order (TakeOrderedAndProject: per-
+    partition top-k then a 200-row driver merge — pagination without a
+    distributed sort), with the shard column showing the worker routing.
+    Tie-break doc_id per §5.3 rule 3 (md5 collisions are not assumed
+    absent)."""
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch=3")))
+    keyed = d.select("doc_id", "source", key.alias("shuffle_key"))
+    page = keyed.orderBy("shuffle_key", "doc_id").limit(200)
+    shard = (
+        (F.ascii(F.substring("shuffle_key", 1, 1)) * 256
+         + F.ascii(F.substring("shuffle_key", 2, 1))) % 16
+    ).cast("long")
+    return page.select("doc_id", "source", "shuffle_key", shard.alias("shard"))

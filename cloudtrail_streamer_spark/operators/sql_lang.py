@@ -211,3 +211,40 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_urgent_value, sum_price_c
         """
     )
+
+
+_EXEC_IMM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_execute_immediate", oracle=_EXEC_IMM_ORACLE, survey_id="B-24-ext")
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``EXECUTE IMMEDIATE``: a query held as a STRING with ``?``
+    parameter markers, bound at execution via USING — the SQL-injection-
+    safe dynamic-SQL surface (the templated-report / BI-tool contract;
+    completes the SQL-language family next to scripting blocks and pipe
+    syntax). The bound values reach Catalyst as LITERALS, so the status
+    and date parameters push down into the parquet scan exactly like
+    hand-written predicates — parameterization costs zero plan quality,
+    which is the 100 TB point: a parameter binding that blocked pushdown
+    would re-scan the full fact table per report run."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_exec_imm")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  COUNT(*) AS n_orders,
+                  SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS sum_price_c
+           FROM orders_exec_imm
+           WHERE o_orderstatus = ? AND o_orderdate < ?
+           GROUP BY o_orderpriority'
+          USING 'F', TIMESTAMP '1998-01-01'
+        """
+    )

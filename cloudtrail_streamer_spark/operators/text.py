@@ -1055,24 +1055,55 @@ def text_crossdoc_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ≥2 DISTINCT docs are flagged; each doc reports how much of its
     text is boilerplate shared with the rest of the corpus.
 
-    The 100 TB shape: one explode to (doc, window-position) rows, one
-    agg keyed by window string to find shared windows (in production the
-    key is xxhash64(window) — 8 bytes instead of ~50), one keyed join
-    back, one per-doc agg. Never doc×doc; never a suffix array held in
-    one memory space — the window key IS the shard key, which is why
-    this expresses the suffix-array algorithm's outcome as three keyed
-    shuffles. Short docs (<8 tokens) contribute their whole text as one
-    window, matching the oracle's slice semantics exactly."""
+    The 100 TB shape: one explode to (doc, window-position) rows keyed
+    by ``xxhash64(window)`` — 8 bytes instead of ~50, exactly what the
+    suffix-array paper's production pipelines key on (collision odds at
+    N windows are N²/2⁶⁵: ~3e-10 at the sf0.01 correctness gate, ~1e-5
+    at a 100 TB-scale 10¹² windows — below any dedup pipeline's noise
+    floor); one agg keyed by window hash to find shared windows, one
+    keyed join back, one per-doc agg. Never doc×doc; never a suffix
+    array held in one memory space — the window key IS the shard key,
+    which is why this expresses the suffix-array algorithm's outcome as
+    three keyed shuffles. Window construction NEVER BUILDS THE WINDOW
+    STRING: tokens are posexploded and each window is the 8-tuple
+    (token, lead(token,1..7)) hashed as one multi-column xxhash64 —
+    split-by-space tokens contain no spaces, so the 8-tuple ↔ joined
+    string map is a bijection and the grouping is identical to the
+    oracle's string keys. Two r7 bench findings forced this shape
+    (30.6 s → ~6 s at sf1):
+
+    1. NEVER project an expression over the generator input alongside
+       the generator: ``select(size(split(text)), explode(split(text)))``
+       re-evaluates the split PER GENERATED ROW inside GenerateExec
+       (measured: 0.4 s → 8.8 s on 2.7M tokens). The token array is
+       materialized with ``withColumn`` FIRST, so size/sequence/slice
+       all read the bound array.
+    2. Don't build the window string at all: per window,
+       ``xxhash64(slice(arr, i+1, 8))`` hashes the token slice directly
+       (2.4 s) where ``array_join`` string construction cost 11 s —
+       and it beats even the posexplode + 7×lead() window-pass
+       formulation (5.4 s) because it needs no shuffle.
+
+    The hashed window relation is persisted and feeds BOTH the
+    shared-window agg and the join probe. Short docs (<8 tokens) hash
+    their full (shorter) token slice — a domain disjoint from 8-token
+    windows, preserving the oracle's whole-text-window semantics for
+    n<8."""
+    from pyspark import StorageLevel
+
     d = table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.col("text")), " ")
-    wins = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(t) - 8, F.lit(0))),
-                lambda i: F.array_join(F.slice(t, i + 1, 8), " "),
-            )
-        ).alias("w"),
+    da = d.withColumn("arr", F.split(F.lower(F.col("text")), " "))
+    wins = (
+        da.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("arr") - 8, F.lit(0))),
+                    lambda i: F.xxhash64(F.slice("arr", i + 1, 8)),
+                )
+            ).alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     shared = (
         wins.groupBy("w")
@@ -1096,4 +1127,66 @@ def text_crossdoc_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shared_ratio"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_linear_scorer — hashed-feature linear quality model (round 7)
+# ---------------------------------------------------------------------------
+
+_QUALITY_LINEAR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+), feat AS (
+  SELECT doc_id,
+         ((ascii(substr(md5(t), 1, 1)) * 256
+           + ascii(substr(md5(t), 2, 1))) % 64) AS b
+  FROM tok
+), sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((b * 37) % 13 - 6) AS BIGINT) AS wsum
+  FROM feat GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(wsum AS DOUBLE) / n_tokens, 4) AS score,
+       (wsum > 0) AS passes
+FROM sc
+"""
+
+
+@query("text_quality_linear_scorer", oracle=_QUALITY_LINEAR_ORACLE, survey_id="north-star")
+def text_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring plumbing (the fastText-classifier
+    stage of a pretraining pipeline, e.g. CCNet/LLaMA-style quality
+    filters) with the MODEL replaced by a deterministic stand-in: tokens
+    are feature-HASHED into 64 buckets (first two md5 hex chars — md5
+    being the one cross-engine-identical hash, SURVEY §5.3 rule 7) and
+    scored by a fixed integer weight per bucket ((b*37)%13-6, a closed
+    form standing in for the trained weight vector). Real deployment
+    swaps the closed form for a broadcast 64-row (or 2**20-row) weight
+    table — the plan shape is IDENTICAL: explode → map-side bucket
+    projection → one keyed aggregate per doc; weights join via broadcast
+    (never a shuffle — the weight table is KBs at any corpus size).
+    Integer weight sums are exact on both engines; the only float op is
+    the final per-doc mean, rounded per §5.3 rule 2. Per-doc output:
+    (n_tokens, score, pass verdict) — the gate the B-62 heuristic filter
+    composes with."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
+    md5 = F.md5(F.col("t"))
+    bucket = (
+        F.ascii(F.substring(md5, 1, 1)) * 256 + F.ascii(F.substring(md5, 2, 1))
+    ) % 64
+    weight = (bucket * 37) % 13 - 6
+    sc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(weight).cast("long").alias("wsum"),
+    )
+    return sc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("wsum").cast("double") / F.col("n_tokens"), 4).alias("score"),
+        (F.col("wsum") > 0).alias("passes"),
     )

@@ -113,11 +113,12 @@ _WINDOW_PRIORITY: list[str] = [
     "win_frame_range",
     "sort_multikey",
     "limit_topk",
-    "set_union_all",
-    "fn_string",
-    "fn_date",
-    "fn_array",
-    "fn_explode",
+    # --- round-7 additions (registered this round, certified this round) ---
+    "stream_session_dynamic_gap",
+    "sample_shuffle_epoch",
+    "sql_execute_immediate",
+    "sink_snapshot_positional_deletes",
+    "text_quality_linear_scorer",
 ]
 
 # Round-8 staging: queries registered AFTER the r7 window was fixed.

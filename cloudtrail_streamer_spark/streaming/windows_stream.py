@@ -734,3 +734,76 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "n", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_session_dynamic_gap — per-event-type session gaps (round 7)
+# ---------------------------------------------------------------------------
+
+_SESSION_DYN_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type IN ('click', 'view')
+              THEN INTERVAL 10 MINUTE ELSE INTERVAL 60 MINUTE END AS gap
+  FROM events
+), m AS (
+  SELECT user_id, ts,
+         MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_maxend
+  FROM g
+), marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_maxend IS NULL OR ts >= prev_maxend THEN 1 ELSE 0 END
+           AS brk
+  FROM m
+), grp AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(date_diff('millisecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_ms
+FROM grp GROUP BY user_id, s
+"""
+
+
+def dyn_session_stats(df: DataFrame) -> DataFrame:
+    """Per-user sessions with a per-event-type gap (10 min browsing /
+    60 min transactional); batch AND stream capable."""
+    gap = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("10 minutes")
+    ).otherwise(F.lit("60 minutes"))
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias(
+                "duration_ms"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "duration_ms")
+    )
+
+
+@query("stream_session_dynamic_gap", oracle=_SESSION_DYN_ORACLE, survey_id="B-47-ext")
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event inactivity gap — the
+    Spark capability B-47's fixed 30-minute gap doesn't exercise:
+    ``session_window(ts, gap_expression)`` where browsing events
+    (click/view) time out after 10 minutes but transactional events
+    (purchase/error/signup) hold the session open for 60. This is how
+    real sessionization ships (idle thresholds differ per activity
+    class), and it runs on the SAME stateful operator in streaming mode.
+
+    Semantics pinned by the oracle: each event extends its session to
+    ts + its own gap; a new session begins when an event's ts reaches
+    the RUNNING MAX of prior (ts+gap) ends — expressed in the oracle as
+    a running-max gaps-and-islands rewrite (the fixed-gap lag rule is
+    WRONG here: a long-gap event can bridge over a later short-gap
+    event's timeout). Scale shape: one shuffle on user_id; state per
+    live session only, bounded by the watermark in stream mode."""
+    return dyn_session_stats(table(spark, sf_dir, "events"))

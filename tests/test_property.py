@@ -324,3 +324,72 @@ def test_md5_prefix_hash_parity_random(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_dynamic_gap_session_matches_reference(spark):
+    """Property: Spark's dynamic-gap session_window must equal a pure-
+    Python interval-merge reference on randomized event streams — the
+    semantics under test are the subtle ones: a long-gap event can hold
+    a session open ACROSS a later short-gap event's timeout, so the
+    session end is the running MAX of per-event (ts + gap), not the
+    last event's gap (the round-7 B-47-ext contract; the DuckDB oracle
+    uses the same running-max rewrite)."""
+    import datetime
+    import random
+
+    from cloudtrail_streamer_spark.streaming.windows_stream import dyn_session_stats
+
+    rng = random.Random(42)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(8):
+        t = 0.0
+        for _ in range(rng.randint(1, 40)):
+            t += rng.choice([30, 120, 540, 660, 3300, 3900, 7200])
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(seconds=t),
+                    user,
+                    rng.choice(["click", "view", "purchase", "error", "signup"]),
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+    # pure-Python reference: running-max interval merge
+    GAP = {"click": 600, "view": 600}
+    want = {}
+    for user, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("ts")
+        sess_start, sess_end, n, last = None, None, 0, None
+        for _, r in grp.iterrows():
+            g = GAP.get(r["event_type"], 3600)
+            end = r["ts"] + datetime.timedelta(seconds=g)
+            if sess_start is None or r["ts"] >= sess_end:
+                if sess_start is not None:
+                    want[(user, sess_start)] = (
+                        n,
+                        int((last - sess_start).total_seconds() * 1000),
+                    )
+                sess_start, sess_end, n = r["ts"], end, 0
+            sess_end = max(sess_end, end)
+            n += 1
+            last = r["ts"]
+        if sess_start is not None:
+            want[(user, sess_start)] = (
+                n,
+                int((last - sess_start).total_seconds() * 1000),
+            )
+
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["duration_ms"])
+        for r in dyn_session_stats(sdf).collect()
+    }
+    assert got == want

@@ -559,3 +559,29 @@ def test_tws_final_equals_batch(spark):
     assert {r["user_id"]: r["n"] for r in out} == {
         r["user_id"]: r["n"] for r in batch
     }
+
+
+def test_session_dynamic_gap_stream_equals_batch(spark):
+    """The dynamic-gap sessionization must produce identical sessions
+    when run as a watermarked stream (complete mode over the replay) and
+    as a batch query — the Structured Streaming shared-operator
+    contract for the round-7 B-47-ext surface."""
+    from cloudtrail_streamer_spark.streaming.windows_stream import dyn_session_stats
+
+    replay = harness.write_replay_files(spark, SF)
+    stream = harness.read_replay_stream(spark, replay).withWatermark("ts", "2 days")
+    name = f"dynsess_{__import__('uuid').uuid4().hex[:8]}"
+    out = harness.run_stream_to_memory(
+        dyn_session_stats(stream), name, output_mode="complete"
+    )
+    # the JSON replay serializes ts at millisecond precision; feed the
+    # batch side the same truncation so session keys align
+    batch = dyn_session_stats(
+        table(spark, SF, "events").withColumn(
+            "ts", F.timestamp_millis(F.unix_millis(F.col("ts")))
+        )
+    )
+    key = lambda r: (r["user_id"], r["session_start"])
+    got = {key(r): (r["n_events"], r["duration_ms"]) for r in out.collect()}
+    want = {key(r): (r["n_events"], r["duration_ms"]) for r in batch.collect()}
+    assert got == want

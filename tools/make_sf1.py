@@ -154,12 +154,22 @@ OUT_SF10 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata", "sf10"
 )
 
-# sf10 exists to settle the two sf1 marginal exceedances (VERDICT r06
-# #4): dedup_exact's DuckDB denominator was 13-30 ms at sf1 (noise
-# floor); q3's scaling term is the broadcast build. Only the tables
-# those two queries touch are built at 100× — documents for dedup,
-# customer/orders/lineitem for q3.
-SF10_TABLES = ["documents", "customer", "orders", "lineitem"]
+# sf10 exists to settle the sf1 marginal exceedances (VERDICT r06 #4):
+# queries whose DuckDB denominators sat at/near the noise floor at sf1
+# (dedup_exact 26→37 ms, stream_tumbling 14 ms deltas, q5 56 ms,
+# sim_search 158 ms) plus q3, whose scaling term is the join-build
+# choice. Only the tables those queries touch are built at 100×.
+SF10_TABLES = [
+    "documents",
+    "customer",
+    "orders",
+    "lineitem",
+    "events",
+    "embeddings",
+    "supplier",
+    "region",
+    "nation",
+]
 
 
 def ensure_sf10(src: str = SRC_DEFAULT, out: str = OUT_SF10) -> str | None:
