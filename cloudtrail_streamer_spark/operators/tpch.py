@@ -103,7 +103,20 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy is left to size-based selection / AQE: at small sf they
     broadcast on their own; at 100 TB they shuffle-join, which is the
     only shape that doesn't OOM. Output is tiny (≤25 rows) — classic
-    reduce-heavy star-join."""
+    reduce-heavy star-join.
+
+    The TIME-FILTERED orders dim gets cost-based routing (the r7 sf10
+    A/B: broadcasting it cut 4.5 s → 2.6 s — Catalyst's static size
+    estimate for the filtered branch is too conservative to elect it,
+    because the date-range selectivity isn't in the file stats): when
+    footer row counts say the ~15% date slice fits a 16M-row build
+    (hundreds of MB — one ship per executor JVM, overlapped with the
+    lineitem scan), hint-broadcast it and the fact table never
+    shuffles on orderkey; above that the hint is withheld and the
+    plan degrades to the shuffle join, the only shape that survives
+    when even the filtered year is billions of rows."""
+    from cloudtrail_streamer_spark.stats import row_count
+
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
@@ -115,6 +128,10 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
+    n_orders = row_count(sf_dir, "orders")
+    est_filtered = n_orders * 0.16  # 1-year slice of the ~6.5-year domain
+    if 0 <= est_filtered <= 16_000_000:
+        o_filt = F.broadcast(o_filt)
     return (
         l.join(o_filt, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
