@@ -574,3 +574,54 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.price_c").alias("price_c_from_xml"),
         "price_c_xpath",
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_aes_roundtrip — column-level encryption round trip (round 7)
+# ---------------------------------------------------------------------------
+
+_AES_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_cipher_distinct
+FROM documents
+"""
+
+
+@query("fn_aes_roundtrip", oracle=_AES_ORACLE, survey_id="B-38-ext")
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption at rest: ``aes_encrypt``/``aes_decrypt``
+    (AES-128-ECB — the DETERMINISTIC mode, chosen here because the
+    certificate needs ciphertext determinism; production prefers GCM,
+    whose random IV makes ciphertexts non-reproducible by design, with
+    the same API). The driver row certifies the full loop JVM-side:
+    every document decrypts back byte-identical (n_roundtrip_ok ==
+    n_rows) and distinct plaintexts map to distinct ciphertexts
+    (n_cipher_distinct == COUNT(DISTINCT text) — ECB is injective per
+    block sequence). Both counts are recomputable from the documents
+    table, so the certificate hash-matches even though DuckDB cannot
+    run the cipher itself. Scale: pure codegen'd expressions, zero
+    Python, row-local — encrypt-on-write costs one map-side pass."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "aes_encrypt(text, '0123456789abcdef', 'ECB', 'PKCS')"
+        ).alias("cipher"),
+    )
+    dec = enc.select(
+        "doc_id",
+        "text",
+        "cipher",
+        F.expr(
+            "CAST(aes_decrypt(cipher, '0123456789abcdef', 'ECB', 'PKCS') AS STRING)"
+        ).alias("plain_rt"),
+    )
+    return dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("plain_rt") == F.col("text")).cast("long"))
+        .cast("long")
+        .alias("n_roundtrip_ok"),
+        F.count_distinct("cipher").cast("long").alias("n_cipher_distinct"),
+    )

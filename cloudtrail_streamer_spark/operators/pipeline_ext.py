@@ -923,3 +923,70 @@ def sample_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.ascii(F.substring("shuffle_key", 2, 1))) % 16
     ).cast("long")
     return page.select("doc_id", "source", "shuffle_key", shard.alias("shard"))
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curriculum_order — quality-banded curriculum schedule (round 7)
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+), feat AS (
+  SELECT doc_id,
+         ((ascii(substr(md5(t), 1, 1)) * 256
+           + ascii(substr(md5(t), 2, 1))) % 64) AS b
+  FROM tok
+), sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((b * 37) % 13 - 6) AS BIGINT) AS wsum
+  FROM feat GROUP BY doc_id
+), banded AS (
+  SELECT doc_id,
+         CAST(CASE WHEN wsum > 0 THEN 0
+                   WHEN wsum = 0 THEN 1 ELSE 2 END AS BIGINT) AS band,
+         md5(CAST(doc_id AS VARCHAR) || ':epoch=3') AS k
+  FROM sc
+)
+SELECT doc_id, band, k AS shuffle_key
+FROM banded ORDER BY band, k, doc_id LIMIT 200
+"""
+
+
+@query("pipeline_curriculum_order", oracle=_CURRICULUM_ORACLE, survey_id="north-star")
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling — the loader ordering that composes two r7
+    ops: documents are BANDED by the hashed-feature quality score
+    (band 0 = net-positive weight sum first: high-quality-first
+    curricula), and WITHIN each band the order is the deterministic
+    per-epoch shuffle key, so every epoch re-shuffles inside bands while
+    the band progression stays fixed. Scale shape: the band is one
+    explode + keyed agg (the scorer's plan), the order key is a
+    map-side md5 — the global schedule is never materialized; workers
+    take (band, key-range) slices, and the demo page is
+    TakeOrderedAndProject. Integer weight sums keep the banding exact
+    on both engines."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
+    md5t = F.md5(F.col("t"))
+    bucket = (
+        F.ascii(F.substring(md5t, 1, 1)) * 256 + F.ascii(F.substring(md5t, 2, 1))
+    ) % 64
+    weight = (bucket * 37) % 13 - 6
+    sc = tok.groupBy("doc_id").agg(F.sum(weight).cast("long").alias("wsum"))
+    banded = sc.select(
+        "doc_id",
+        F.when(F.col("wsum") > 0, 0)
+        .when(F.col("wsum") == 0, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("band"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch=3"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return banded.orderBy("band", "shuffle_key", "doc_id").limit(200).select(
+        "doc_id", "band", "shuffle_key"
+    )

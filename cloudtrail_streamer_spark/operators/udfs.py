@@ -346,3 +346,74 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     arn = F.expr(_ARN_SPARK).alias("arn")
     return o.select("o_orderkey", arn).withColumn("account_id", parse_arrow(F.col("arn")))
+
+
+# ---------------------------------------------------------------------------
+# udtf_analyze_dynamic — polymorphic UDTF with analyze-time schema (round 7)
+# ---------------------------------------------------------------------------
+
+_UDTF_DYNAMIC_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+"""
+
+
+class _ExtractFields:
+    """Polymorphic UDTF (Spark 4 ``analyze`` static method): the OUTPUT
+    SCHEMA is computed at PLAN time from the constant argument — one
+    output column per requested JSON field, typed long. The generator
+    body then reads the resolved schema's field list. This is the
+    catalog-driven extractor shape (columns chosen per call site), which
+    a fixed returnType UDTF cannot express."""
+
+    @staticmethod
+    def analyze(event_id, props, fields):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import LongType, StructType
+
+        if not fields.isConstantExpression:
+            raise Exception("fields must be a constant")
+        st = StructType().add("event_id", LongType())
+        for f in str(fields.value).split(","):
+            st = st.add(f.strip(), LongType())
+        return AnalyzeResult(schema=st)
+
+    def eval(self, event_id, props, fields):
+        import json
+
+        try:
+            obj = json.loads(props) if props is not None else {}
+        except (ValueError, TypeError):
+            obj = {}
+        names = [f.strip() for f in str(fields).split(",")]
+        vals = [obj.get(n) for n in names]
+        if all(v is None for v in vals):
+            return
+        yield (event_id, *[int(v) if v is not None else None for v in vals])
+
+
+@query("udtf_analyze_dynamic", oracle=_UDTF_DYNAMIC_ORACLE, survey_id="B-54-ext")
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last UDTF rung: a POLYMORPHIC table function whose output
+    schema is resolved by its ``analyze()`` static method at plan time
+    from a constant argument — here ``fields => 'k'`` produces columns
+    (event_id, k). Catalyst sees a fully-typed relation before
+    execution, so downstream pruning/pushdown work exactly as for a
+    static UDTF; only the schema derivation moved from author time to
+    plan time. At 100 TB this is the extract-columns-per-call-site
+    contract (one registered function serving many feed shapes) without
+    a per-shape code deploy."""
+    from pyspark.sql.functions import lit, udtf
+
+    dyn = udtf(_ExtractFields)
+    spark.udtf.register("extract_fields_dyn", dyn)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_dyn")
+    return spark.sql(
+        """
+        SELECT p.event_id, p.k
+        FROM events_udtf_dyn e,
+             LATERAL extract_fields_dyn(e.event_id, e.props, 'k') p
+        """
+    )

@@ -106,11 +106,11 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_transform_with_state",
     "join_skew_salted",
     "join_dpp_partitioned",
-    "agg_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
+    "udtf_analyze_dynamic",
+    "pipeline_curriculum_order",
+    "fn_aes_roundtrip",
     "win_frame_rows",
-    "win_frame_range",
+    "multimodal_webdataset_shards",
     "sort_multikey",
     "limit_topk",
     # --- round-7 additions (registered this round, certified this round) ---
