@@ -564,3 +564,44 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok("e_d", "n_diff_exact").alias("diff_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_listagg_ordered — native ordered string aggregation (round 7)
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT n_nationkey,
+       string_agg(c_name, '|' ORDER BY c_name) AS members,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+"""
+
+
+@query("agg_listagg_ordered", oracle=_LISTAGG_ORACLE, survey_id="B-26-ext")
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ordered string aggregation — Spark 4's ``listagg(expr,
+    sep) WITHIN GROUP (ORDER BY ...)`` (the ANSI form), vs this repo's
+    earlier ``concat_ws(sort_array(collect_list(...)))`` composition
+    (agg_string_concat): one declarative aggregate, the sort contract
+    in the SQL itself (§5.3 rule 4 — no collect_list without an
+    explicit order). Plan shape is the same partial+final agg; the
+    WITHIN GROUP order is enforced engine-side rather than by a bolted
+    array sort. At 100 TB the caveat is unchanged from collect_list:
+    the aggregate state is the concatenated group — fine for bounded
+    groups (names per nation), wrong for unbounded ones."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView(
+        "cust_nation_la"
+    )
+    return spark.sql(
+        """
+        SELECT n_nationkey,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS members,
+               COUNT(*) AS n
+        FROM cust_nation_la
+        GROUP BY n_nationkey
+        """
+    )

@@ -109,7 +109,7 @@ _WINDOW_PRIORITY: list[str] = [
     "udtf_analyze_dynamic",
     "pipeline_curriculum_order",
     "fn_aes_roundtrip",
-    "win_frame_rows",
+    "agg_listagg_ordered",
     "multimodal_webdataset_shards",
     "sort_multikey",
     "limit_topk",
