@@ -662,6 +662,13 @@ shapes = {{
                              lambda x, y: x.cast("double") * y.cast("double")),
                   F.lit(0.0), lambda acc, v: acc + v).alias("dot"))
       .agg(F.sum("dot").alias("s")),
+  "crossdoc_windows_2m": lambda: docs8.repartition({max(cores, 4)})
+      .withColumn("arr", F.split(F.lower("text"), " "))
+      .select("doc_id", F.explode(F.transform(
+          F.sequence(F.lit(0), F.greatest(F.size("arr") - 8, F.lit(0))),
+          lambda i: F.xxhash64(F.slice("arr", i + 1, 8)))).alias("w"))
+      .groupBy("w").agg(F.count_distinct("doc_id").alias("nd"))
+      .where(F.col("nd") >= 2).agg(F.count(F.lit(1)).alias("n")),
 }}
 out = {{}}
 for name, mk in shapes.items():
