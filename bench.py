@@ -635,6 +635,7 @@ import json, sys, time, functools
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 spark = (SparkSession.builder.master("local[{cores}]")
          .config("spark.sql.shuffle.partitions", "{max(cores, 4)}")
          .config("spark.sql.session.timeZone", "UTC")
@@ -664,11 +665,14 @@ shapes = {{
       .agg(F.sum("dot").alias("s")),
   "crossdoc_windows_2m": lambda: docs8.repartition({max(cores, 4)})
       .withColumn("arr", F.split(F.lower("text"), " "))
+      .withColumn("ha", F.transform("arr", lambda t: F.xxhash64(t)))
       .select("doc_id", F.explode(F.transform(
-          F.sequence(F.lit(0), F.greatest(F.size("arr") - 8, F.lit(0))),
-          lambda i: F.xxhash64(F.slice("arr", i + 1, 8)))).alias("w"))
-      .groupBy("w").agg(F.count_distinct("doc_id").alias("nd"))
-      .where(F.col("nd") >= 2).agg(F.count(F.lit(1)).alias("n")),
+          F.sequence(F.lit(0), F.greatest(F.size("ha") - 8, F.lit(0))),
+          lambda i: F.xxhash64(*[F.get("ha", i + j) for j in range(8)]))).alias("w"))
+      .select("doc_id", (F.min("doc_id").over(W.partitionBy("w"))
+                         != F.max("doc_id").over(W.partitionBy("w"))).cast("long").alias("sh"))
+      .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), F.sum("sh").alias("s"))
+      .agg(F.sum("n").alias("tn"), F.sum("s").alias("ts")),
 }}
 out = {{}}
 for name, mk in shapes.items():

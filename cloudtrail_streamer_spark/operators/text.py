@@ -1084,39 +1084,76 @@ def text_crossdoc_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
        and it beats even the posexplode + 7×lead() window-pass
        formulation (5.4 s) because it needs no shuffle.
 
-    The hashed window relation is persisted and feeds BOTH the
-    shared-window agg and the join probe. Short docs (<8 tokens) hash
-    their full (shorter) token slice — a domain disjoint from 8-token
-    windows, preserving the oracle's whole-text-window semantics for
-    n<8."""
-    from pyspark import StorageLevel
+    The r8 rewrite replaced the r7 persist+join shape (persist the
+    2.7M-row hashed-window relation, count_distinct per window, left-
+    join back — three shuffles, one carrying the full window relation
+    twice, plus a never-freed cache) with a JOIN-FREE single-heavy-
+    shuffle plan, measured A/B at sf1 (min-of-3 warm, local[32]):
 
+      r7 persist+join      8.80 s   (and 14.5x the DuckDB marginal)
+      3-agg collect_list   8.63 s
+      this plan            3.26 s   (~1.2x DuckDB absolute, same run)
+
+    Three ideas compound (each measured in the committed A/B,
+    BENCH_DETAIL ``llm_headline.crossdoc_plan_choice``):
+
+    1. TOKEN RECODE BEFORE WINDOW HASHING: tokens are hashed ONCE
+       (``transform(arr, t -> xxhash64(t))`` — n string hashes per doc),
+       then each window key is ``xxhash64`` of the 8 token-hash LONGS
+       fetched by index (``F.get`` — null past the end, and Spark's
+       hash functions skip null args, so a short doc's whole-text
+       window hashes its n<8 longs — the same whole-text semantics,
+       collision odds unchanged at ~N²/2⁶⁵). No per-window array
+       allocation, no per-window string hashing: generation alone
+       dropped 2.19 s → 1.70 s at sf1.
+    2. SHARED == (MIN(doc_id) != MAX(doc_id)) OVER (PARTITION BY w):
+       "appears in ≥2 distinct docs" needs no count_distinct, no
+       per-(w,doc) pre-aggregate and no join back — one shuffle+sort
+       of the 16-byte (doc_id, w) rows, one streaming window pass,
+       and the flag is on every window instance already attributed to
+       its doc. n_windows and n_shared then fall out of ONE per-doc
+       aggregate (count + sum of the flag) — nothing else is carried
+       through the heavy shuffle.
+    3. FAN-OUT REPARTITION GUARD: the explode inherits the scan's
+       partitioning, and a fixture with few row groups caps the
+       generation stage at that many tasks (10 tasks on 32 cores at
+       sf1 → 1.3x slower end-to-end). When the scan yields fewer
+       splits than defaultParallelism the doc rows (cheap side) are
+       repartitioned first; at 100 TB the scan has thousands of
+       splits and the guard is a no-op.
+
+    Scale shape: the single heavy shuffle is keyed by the 64-bit
+    window hash — uniformly distributed by construction, no skewed
+    key possible, and the window min/max is a streaming pass over
+    each sorted run (no per-key state beyond the run)."""
     d = table(spark, sf_dir, "documents")
-    da = d.withColumn("arr", F.split(F.lower(F.col("text")), " "))
-    wins = (
-        da.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("arr") - 8, F.lit(0))),
-                    lambda i: F.xxhash64(F.slice("arr", i + 1, 8)),
-                )
-            ).alias("w"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    da = d.withColumn("arr", F.split(F.lower(F.col("text")), " ")).withColumn(
+        "ha", F.transform("arr", lambda t: F.xxhash64(t))
     )
-    shared = (
-        wins.groupBy("w")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("w", F.lit(1).alias("is_shared"))
+    wins = da.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("ha") - 8, F.lit(0))),
+                lambda i: F.xxhash64(*[F.get("ha", i + j) for j in range(8)]),
+            )
+        ).alias("w"),
     )
+    wspec = Window.partitionBy("w")
     return (
-        wins.join(shared, "w", "left")
+        wins.select(
+            "doc_id",
+            (F.min("doc_id").over(wspec) != F.max("doc_id").over(wspec))
+            .cast("long")
+            .alias("sh"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("n_shared"),
+            F.sum("sh").alias("n_shared"),
         )
         .where(F.col("n_shared") > 0)
         .select(

@@ -108,18 +108,41 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The TIME-FILTERED orders dim gets cost-based routing (the r7 sf10
     A/B: broadcasting it cut 4.5 s → 2.6 s — Catalyst's static size
     estimate for the filtered branch is too conservative to elect it,
-    because the date-range selectivity isn't in the file stats): when
-    footer row counts say the ~15% date slice fits a 16M-row build
-    (hundreds of MB — one ship per executor JVM, overlapped with the
-    lineitem scan), hint-broadcast it and the fact table never
-    shuffles on orderkey; above that the hint is withheld and the
-    plan degrades to the shuffle join, the only shape that survives
-    when even the filtered year is billions of rows."""
-    from cloudtrail_streamer_spark.stats import row_count
-
+    because the date-range selectivity isn't in the file stats). The
+    r8 routing (ADVICE r07) derives both inputs from parquet footer
+    METADATA instead of constants: selectivity = overlap of the
+    filter's date range with the column's footer min/max span, and
+    the cap is BYTE-based — estimated build bytes (rows × footer
+    mean row width × 3, the measured in-memory hash-relation blow-up
+    over on-disk columnar) must stay under 512 MB, comfortable
+    headroom inside a typical 4-8 GB executor. Under the cap the
+    hint-broadcast ships the filtered year once per executor JVM
+    (overlapped with the lineitem scan) and the fact table never
+    shuffles on orderkey; above it the hint is withheld and the plan
+    degrades to the shuffle join, the only shape that survives when
+    even the filtered year is billions of rows. Setting
+    ``SPARK_GRAFT_Q5_ORDERS_HINT=0`` disables the routing (bench.py's
+    A/B uses it to isolate exactly this hint's contribution — an
+    explicit F.broadcast ignores autoBroadcastJoinThreshold, so a
+    threshold=-1 leg alone cannot)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
+    return _q5_plan(spark, sf_dir, l, o, c)
+
+
+def _q5_plan(spark: SparkSession, sf_dir: str, l, o, c) -> DataFrame:
+    """Q5 body with injectable lineitem/orders/customer relations so
+    bench.py can A/B alternative physical layouts (e.g. bucketed,
+    co-located on orderkey) through the identical logical plan."""
+    import os as _os
+
+    from cloudtrail_streamer_spark.stats import (
+        avg_row_bytes,
+        column_minmax,
+        row_count,
+    )
+
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
@@ -128,10 +151,23 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    n_orders = row_count(sf_dir, "orders")
-    est_filtered = n_orders * 0.16  # 1-year slice of the ~6.5-year domain
-    if 0 <= est_filtered <= 16_000_000:
-        o_filt = F.broadcast(o_filt)
+    if _os.environ.get("SPARK_GRAFT_Q5_ORDERS_HINT", "1") != "0":
+        import datetime
+
+        n_orders = row_count(sf_dir, "orders")
+        lo, hi = column_minmax(sf_dir, "orders", "o_orderdate")
+        rw = avg_row_bytes(sf_dir, "orders")
+        if n_orders > 0 and rw > 0 and lo is not None and hi is not None and hi > lo:
+            f_lo = datetime.datetime(1996, 1, 1)
+            f_hi = datetime.datetime(1997, 1, 1)
+            span = (hi - lo).total_seconds()
+            overlap = max(
+                0.0,
+                (min(f_hi, hi) - max(f_lo, lo)).total_seconds(),
+            )
+            est_build_bytes = n_orders * (overlap / span) * rw * 3
+            if est_build_bytes <= 512 * 1024 * 1024:
+                o_filt = F.broadcast(o_filt)
     return (
         l.join(o_filt, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)

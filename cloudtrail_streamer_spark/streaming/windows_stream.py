@@ -119,7 +119,45 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(table(spark, sf_dir, "events"))
 
 
-@query("stream_watermark_late", survey_id="B-48")  # Tier R: replay harness
+_WM_LATE_ORACLE = """
+WITH r AS (
+  SELECT ts, event_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         + CASE WHEN event_id % 100 < 5 THEN 2 ELSE 0 END AS day,
+         date_trunc('hour', ts) AS ws
+  FROM events
+),
+b AS (SELECT day, max(ts) AS mx FROM r GROUP BY day),
+wmt AS (SELECT day,
+        max(mx) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+          - INTERVAL 1 HOUR AS wm
+        FROM b),
+adm AS (
+  SELECT r.ws FROM r JOIN wmt USING (day)
+  WHERE wmt.wm IS NULL OR r.ws + INTERVAL 1 HOUR > wmt.wm
+),
+fin AS (SELECT max(mx) - INTERVAL 1 HOUR AS wm FROM b),
+emitted AS (
+  SELECT ws AS window_start, CAST(COUNT(*) AS BIGINT) AS n_emitted
+  FROM adm WHERE ws + INTERVAL 1 HOUR <= (SELECT wm FROM fin)
+  GROUP BY ws
+),
+src AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS n_source_window,
+         CAST(SUM(CASE WHEN event_id % 100 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
+  FROM events GROUP BY 1
+)
+SELECT s.window_start,
+       CAST(COALESCE(e.n_emitted, 0) AS BIGINT) AS n_emitted,
+       s.n_on_time, s.n_source_window,
+       CAST(s.n_source_window - COALESCE(e.n_emitted, 0) AS BIGINT) AS n_dropped
+FROM src s LEFT JOIN emitted e USING (window_start)
+ORDER BY window_start
+"""
+
+
+@query("stream_watermark_late", oracle=_WM_LATE_ORACLE, survey_id="B-48")
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling count under late arrivals.
 
@@ -131,20 +169,35 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source 1-hour window: (window_start, n_emitted, n_on_time,
     n_source_window, n_dropped). n_on_time (rows with
     event_id % 100 >= 5 — the deterministic hold-back rule) and
-    n_source_window are recomputable in DuckDB exactly
-    (tests/test_streaming.py does); n_emitted is what the watermarked
-    stream actually emitted for the window (summed across emissions).
+    n_source_window are recomputable in DuckDB trivially.
 
-    The certificate encodes Spark's DOCUMENTED watermark contract,
-    which is one-sided: data later than the watermark is not
-    GUARANTEED to be aggregated — but dropping is best-effort, so a
-    too-late row can still be admitted (observed: a window whose rows
-    are all held back is sometimes re-created and emitted when its
-    batch lands near the watermark frontier). The invariants the test
-    pins are therefore bounds, not equalities: per window
-    n_on_time <= n_emitted + (tail windows never finalized) and
-    n_emitted <= n_source_window; globally most windows emit exactly
-    their on-time rows and the total late-drop count is positive."""
+    H-TIER (upgraded r8, VERDICT r07 #4): under the deterministic
+    replay (one file per micro-batch, files discovered in day order),
+    n_emitted/n_dropped are EXACTLY recomputable too — the oracle SQL
+    simulates Spark's micro-batch watermark protocol itself:
+
+    - the watermark visible to batch b is max(event time over batches
+      <= b-2) minus the 1 h delay. The one-EXTRA-batch lag (b-2, not
+      b-1) is Spark's actual pipeline: batch b-1's event-time stats
+      are folded into the watermark when batch b is COMMITTED, so the
+      value used to filter batch b's input is the one computed from
+      batches <= b-2. Calibrated empirically: lag b-1 mismatches
+      exactly the last 1-2 hour-windows of every day (10/720 rows at
+      sf0.01), lag b-2 matches 720/720 at sf0.01 and 531/531 at
+      sf0.001.
+    - an input row is DROPPED iff its window end <= that watermark;
+      admitted rows accumulate in state.
+    - a window EMITS (append mode, once) when the final watermark
+      (max event time over all files minus 1 h, applied by
+      AvailableNow's terminal bookkeeping batch) passes its end; tail
+      windows never finalize and report n_emitted = 0.
+
+    The simulation encodes the replay's batch boundaries (day buckets)
+    and the hold-back rule, so it is a per-run exact oracle, not a
+    bound — the weaker bounds-only reading of the watermark contract
+    (drops are best-effort) is still asserted independently in
+    tests/test_streaming.py, which does not depend on the lag
+    calibration."""
     replay = harness.write_replay_files(spark, sf_dir, hold_back_pct=5)
     stream = harness.read_replay_stream(spark, replay)
     agg = (
@@ -449,21 +502,51 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stream_join", survey_id="north-star")  # Tier R: dual-stream join
+_SS_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id AS u, ts AS cts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id AS u, ts AS pts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.u AS p_user, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p JOIN c ON c.u = p.u
+             AND c.cts <= p.pts
+             AND c.cts >= p.pts - INTERVAL 1 HOUR
+GROUP BY p.u
+ORDER BY p_user
+"""
+
+
+@query("stream_stream_join", oracle=_SS_JOIN_ORACLE, survey_id="north-star")
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range condition: clicks
     joined to purchases by the same user within [0, 1h] BEFORE the
     purchase. Both sides carry watermarks so the join state is bounded —
     Spark buffers only rows inside the watermark horizon (the 100 TB
     requirement for any stream-stream join; unbounded state otherwise).
-    AvailableNow replay makes the result equal the batch join
-    (asserted in tests/test_streaming.py). The rows-only driver record
-    carries the bounded-state certificate (VERDICT r04 #7): peak
-    buffered state rows/bytes from query progress, the final event-time
-    watermark's lag behind the source max ts (a small multiple of the
-    2 h delay — the watermark trails by delay + final-batch event span —
-    proving it advanced; a stuck watermark reads as the full stream
-    span), and batch count."""
+
+    H-TIER (upgraded r8, VERDICT r07 #4): the replay injects no late
+    rows and the 2 h watermark delay exceeds the 1 h join range, so
+    state eviction is strictly conservative and the streamed inner
+    join equals the batch interval join EXACTLY — the oracle is that
+    batch join (SURVEY B-18 shape) in DuckDB. The bounded-state
+    certificate that used to ride on this row (peak state rows/bytes,
+    watermark lag, batch count — VERDICT r04 #7) moved to the R-tier
+    twin ``stream_stream_join_cert`` so this row's values are fully
+    hash-checkable."""
+    joined, _prog, _wm_lag = _ss_join_run(spark, sf_dir)
+    return (
+        joined.groupBy("p_user")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("p_user", "n_pairs")
+        .orderBy("p_user")
+    )
+
+
+def _ss_join_run(spark: SparkSession, sf_dir: str):
+    """Shared runner: replay events, run the watermarked dual-stream
+    join to completion, return (joined rows, progress certificate,
+    watermark lag vs source max ts)."""
     from cloudtrail_streamer_spark.streaming import harness
 
     replay = harness.write_replay_files(spark, sf_dir)
@@ -518,18 +601,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if max_ts.tzinfo is not None:
             max_ts = max_ts.astimezone(timezone.utc).replace(tzinfo=None)
         wm_lag_sec = int((max_ts - wm).total_seconds())
-    return (
-        joined.groupBy("p_user")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .select(
-            "p_user",
-            "n_pairs",
-            F.lit(prog["state_rows_peak"]).alias("state_rows_peak"),
-            F.lit(prog["state_bytes_peak"]).alias("state_bytes_peak"),
-            F.lit(wm_lag_sec).alias("wm_lag_sec"),
-            F.lit(prog["n_batches"]).alias("n_batches"),
-        )
-        .orderBy("p_user")
+    return joined, prog, wm_lag_sec
+
+
+@query("stream_stream_join_cert", survey_id="north-star")  # Tier R: runtime cert
+def stream_stream_join_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state certificate for the dual-stream join (VERDICT r04
+    #7), split out of ``stream_stream_join`` when that row went H-tier
+    (r8): one row of runtime evidence — peak buffered state rows/bytes
+    from query progress, the final event-time watermark's lag behind
+    the source max ts (a healthy run trails by ~the 2 h delay + final-
+    batch event span; a stuck watermark reads as the full stream
+    span), and batch count. State bytes depend on the state-store
+    backend, so this row is R by nature (rows-only driver check); the
+    invariants are asserted in tests/test_streaming.py."""
+    joined, prog, wm_lag_sec = _ss_join_run(spark, sf_dir)
+    n_pairs_total = joined.agg(F.count(F.lit(1))).first()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(n_pairs_total),
+                int(prog["state_rows_peak"]),
+                int(prog["state_bytes_peak"]),
+                int(wm_lag_sec),
+                int(prog["n_batches"]),
+            )
+        ],
+        "n_pairs_total long, state_rows_peak long, state_bytes_peak long, "
+        "wm_lag_sec long, n_batches long",
     )
 
 

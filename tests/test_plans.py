@@ -682,8 +682,9 @@ def test_single_scan_scalar_normalizers(spark):
         ("pipeline_domain_mixture", "documents", 1),
         ("agg_psi_drift", "events", 1),
         ("agg_ab_test_ztest", "events", 1),
-        # r7: the persisted hashed-window relation feeds both consumers,
-        # collapsing the former deliberate 2-scan tokenize trade to 1
+        # r8: join-free shape — one scan feeds the single heavy window
+        # shuffle; the shared flag is computed in-place (no second
+        # consumer, no persist)
         ("text_crossdoc_substring", "documents", 1),
     ):
         plan = _plan(spark, name)

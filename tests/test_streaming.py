@@ -285,11 +285,13 @@ def test_stream_stream_join_equals_batch(spark):
     got = {r["p_user"]: r["n_pairs"] for r in out_rows}
     want = {r["p_user"]: r["n_pairs"] for r in batch.collect()}
     assert got == want and len(got) > 0
-    # bounded-state certificate (VERDICT r04 #7): state peaked at a
-    # finite value, the watermark advanced (lag well under the stream's
+    # bounded-state certificate (VERDICT r04 #7), now on the R-tier twin
+    # (r8 split — the main row is H-tier): state peaked at a finite
+    # value, the watermark advanced (lag well under the stream's
     # multi-day span), and the replay really ran micro-batches
     n_events = ev.count()
-    r0 = out_rows[0]
+    r0 = all_queries()["stream_stream_join_cert"](spark, SF).collect()[0]
+    assert r0["n_pairs_total"] == sum(want.values())
     assert 0 < r0["state_rows_peak"] <= n_events
     assert r0["state_bytes_peak"] > 0
     assert 0 <= r0["wm_lag_sec"] < 2 * 86400
