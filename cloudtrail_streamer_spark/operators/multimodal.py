@@ -789,7 +789,7 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WDS_ORACLE = """
-SELECT CAST(8 AS BIGINT) AS n_shards,
+SELECT CAST(COUNT(DISTINCT doc_id % 8) AS BIGINT) AS n_shards,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_text_match
 FROM documents
@@ -848,7 +848,11 @@ def multimodal_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
        in exactly one Arrow group, and the kernel packs each into ONE
        deterministic tar archive (stdlib ``tarfile`` — GNU format,
        zeroed mtimes, members sorted by key) written as real ``.tar``
-       files executor-side.
+       files executor-side. The scratch shard dir is a plain local
+       path, shared between writer tasks and the binaryFile read only
+       because tests run local-mode; a cluster deployment points it at
+       shared storage (S3/HDFS), which is the one-line swap this
+       plumbing is shaped for.
     2. READ: ``spark.read.format("binaryFile")`` lists the shard files
        (one task per shard — exactly WebDataset's worker model) and a
        second kernel streams members back out of each archive.
@@ -898,11 +902,15 @@ def multimodal_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("content")
         .mapInPandas(_unpack_tar_batches, schema="doc_id long, text_rt string")
     )
-    n_shards = len([f for f in os.listdir(shards_dir) if f.endswith(".tar")])
+    # n_shards is certified from the ROUND-TRIPPED rows (distinct shard
+    # keys that actually came back through the tar read), not a listdir
+    # of the shard dir — the scratch path is only shared between driver
+    # and executors in local mode, and a residue class with no docs
+    # must shrink the count on both engines identically (ADVICE r07).
     src = table(spark, sf_dir, "documents").select("doc_id", "text")
     joined = back.join(src, "doc_id")
     return joined.agg(
-        F.lit(n_shards).cast("long").alias("n_shards"),
+        F.count_distinct(F.col("doc_id") % 8).cast("long").alias("n_shards"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum((F.col("text_rt") == F.col("text")).cast("long"))
         .cast("long")

@@ -868,81 +868,77 @@ def sim_search_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _topk_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Arrow-batched BLAS path for brute-force top-k: candidates are
-    hash-blocked into P partitions, the 10 probes replicate to every
-    block as ordinary rows (crossJoin with the block-id list — still no
-    driver collect), and ONE numpy matmul per (block × probe-set) scores
-    the whole block at once inside applyInPandas. Each block emits only
-    its local top-5 per probe, so the final exact merge (window over
-    P·5 rows per probe) is tiny — the classic block-local-top-k + tree-
-    merge shape that scales the kernel linearly with executors while the
-    Python boundary stays Arrow-columnar. Same result as sim_search_topk
-    (same oracle): scores are computed in float64 and rounded to 4 dp
-    before ranking, so the numpy summation order cannot reorder the
-    hash-checked top-5. This is the fast-path twin: sim_search_topk pins
-    the semantics in pure codegen SQL; this op is how the same math
-    should actually hit silicon at 100 TB. Measured crossover (local[32],
-    min-of-3 warm): at 5k vectors the Python/Arrow boundary constant
-    dominates (1.05 s vs 0.68 s SQL), at 64k the BLAS matmul wins 1.9x
-    (2.59 s vs 4.89 s) and the gap grows linearly with N — the per-
-    element cost is ~100x lower once blocks amortize the boundary."""
+    """The Arrow-batched BLAS path for brute-force top-k, r8 shape:
+    the 10 probe vectors are fetched once (O(k·dim) metadata — the
+    same tier as the IVF cell-list lookup above), L2-normalized, and
+    SHIPPED AS A BROADCAST VARIABLE; the candidate corpus then streams
+    through ONE ``mapInPandas`` pass — zero shuffle of candidates, one
+    numpy matmul per Arrow batch, a running top-5 per probe folded
+    ACROSS batches inside each partition's iterator, and one tiny exact
+    merge (window over partitions×5 rows per probe). This is the
+    canonical brute-force ANN scan (Faiss-style): query block resident,
+    corpus streamed, block-local top-k + tree merge — the shape that
+    scales linearly with executors at 100 TB because the corpus never
+    leaves its scan partitions.
+
+    It replaced the r7 kernel (hash-block candidates, replicate probes
+    per block via join, applyInPandas per block), whose blk-join fanned
+    every candidate embedding out ONCE PER PROBE through the shuffle
+    and the Arrow boundary — 10x the necessary traffic. Measured A/B
+    at sf1 (min-of-3 warm, local[32], BENCH_DETAIL
+    ``llm_headline.sim_kernel_plan_choice``): join-fanout 1.10 s,
+    cogroup (probes shipped separately, candidates still shuffled)
+    0.45 s, this kernel 0.25 s — and flat from sf0.1r (0.26 s), i.e.
+    the remaining cost is the Python boundary constant, not per-row.
+
+    Same result as sim_search_topk (same oracle): scores are computed
+    in float64 and rounded to 4 dp before ranking, so numpy summation
+    order cannot reorder the hash-checked top-5. The per-batch matmul
+    is bounded by spark.sql.execution.arrow.maxRecordsPerBatch (10k
+    rows × dim floats), so worker memory stays flat at any corpus
+    size."""
+    import numpy as np
     import pandas as pd
 
     em = table(spark, sf_dir, "embeddings")
-    # Block count scales with the candidate table (stats tier, O(1)
-    # metadata): ~64k vectors per block keeps each applyInPandas group's
-    # Arrow batch bounded (~tens of MB at typical dims) instead of
-    # loading a fixed 1/8th of an arbitrarily large corpus into one
-    # Python worker; floor of 8 keeps local[32] busy at small scale.
-    from cloudtrail_streamer_spark.stats import row_count
-
-    n = row_count(sf_dir, "embeddings")
-    n_blocks = max(8, -(-n // 65536)) if n > 0 else 8
-    cand = em.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cand_emb"),
-        F.pmod(F.xxhash64(F.col("vec_id").cast("long")), F.lit(n_blocks)).alias("blk"),
-    )
     probes = (
-        em.where(F.col("vec_id") <= 9)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("probe_emb"),
-        )
-        .crossJoin(
-            F.broadcast(
-                spark.range(n_blocks).select(F.col("id").cast("long").alias("blk"))
-            )
-        )
+        em.where(F.col("vec_id") <= 9).select("vec_id", "embedding").toPandas()
     )
-    # One row group per block: candidates + the replicated probe set.
-    blocks = cand.join(F.broadcast(probes), "blk")
+    pids = probes["vec_id"].to_numpy()
+    pm = np.stack(probes["embedding"].to_numpy()).astype(np.float64)
+    pmn = pm / np.linalg.norm(pm, axis=1)[:, None]
+    bc = spark.sparkContext.broadcast((pids, pmn))
 
-    def score_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
-
-        # De-duplicate the join fanout back into the two matrices.
-        c = pdf[["neighbor_id", "cand_emb"]].drop_duplicates("neighbor_id")
-        p = pdf[["probe_id", "probe_emb"]].drop_duplicates("probe_id")
-        cm = np.stack(c["cand_emb"].to_numpy()).astype(np.float64)
-        pm = np.stack(p["probe_emb"].to_numpy()).astype(np.float64)
-        sims = (cm @ pm.T) / (
-            np.linalg.norm(cm, axis=1)[:, None] * np.linalg.norm(pm, axis=1)[None, :]
+    def score_stream(it):
+        pids_, pmn_ = bc.value
+        buf: list = []
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cmn = cm / np.linalg.norm(cm, axis=1)[:, None]
+            sims = cmn @ pmn_.T
+            cand_ids = pdf["vec_id"].to_numpy()
+            for j, pid in enumerate(pids_):
+                col = np.round(sims[:, j], 4)
+                mask = cand_ids != pid
+                ids, sc = cand_ids[mask], col[mask]
+                # batch-local top-5 on (score desc, neighbor_id asc)
+                order = np.lexsort((ids, -sc))[:5]
+                for i in order:
+                    buf.append((int(pid), int(ids[i]), float(sc[i])))
+        if not buf:
+            return
+        # fold the per-batch winners into partition-local top-5 so the
+        # global merge sees partitions×5 rows per probe, not batches×5
+        all_ = pd.DataFrame(buf, columns=["probe_id", "neighbor_id", "score"])
+        all_ = all_.sort_values(
+            ["probe_id", "score", "neighbor_id"], ascending=[True, False, True]
         )
-        out = []
-        cand_ids = c["neighbor_id"].to_numpy()
-        for j, pid in enumerate(p["probe_id"].to_numpy()):
-            col = np.round(sims[:, j], 4)
-            mask = cand_ids != pid
-            ids, sc = cand_ids[mask], col[mask]
-            # local top-5 on (score desc, neighbor_id asc)
-            order = np.lexsort((ids, -sc))[:5]
-            for i in order:
-                out.append((int(pid), int(ids[i]), float(sc[i])))
-        return pd.DataFrame(out, columns=["probe_id", "neighbor_id", "score"])
+        yield all_.groupby("probe_id", sort=False).head(5)
 
-    local = blocks.groupBy("blk").applyInPandas(
-        score_block, "probe_id long, neighbor_id long, score double"
+    local = em.select("vec_id", "embedding").mapInPandas(
+        score_stream, "probe_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "neighbor_id")
     return (

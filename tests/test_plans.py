@@ -467,13 +467,21 @@ def test_gap_fill_cached_hourly_aggregate(spark):
 def test_sim_topk_cost_based_routing(spark):
     """sim_search_topk must pick the codegen SQL plan below the kernel
     crossover (the fixture is 500 vectors) — no Python in the plan —
-    while sim_search_arrow_kernel always plans the Arrow block kernel
-    (FlatMapGroupsInPandas)."""
+    while sim_search_arrow_kernel always plans the Arrow stream kernel:
+    a single MapInPandas over the candidate scan with NO exchange
+    before it (the r8 shape — probes ride a broadcast variable, the
+    corpus never shuffles; the r7 blk-join kernel fanned every
+    candidate out once per probe)."""
     routed = _nodes(spark, "sim_search_topk")
-    assert "FlatMapGroupsInPandas" not in routed
+    assert "FlatMapGroupsInPandas" not in routed and "MapInPandas" not in routed
     assert "BroadcastExchange" in routed  # probes broadcast in the SQL plan
     forced = _nodes(spark, "sim_search_arrow_kernel")
-    assert "FlatMapGroupsInPandas" in forced
+    assert "MapInPandas" in forced
+    # zero-shuffle pin: nothing may sit between the parquet scan and the
+    # Python kernel — the only exchange in the plan is the tiny
+    # partitions×5-rows-per-probe merge ABOVE it
+    pre_kernel = forced.split("MapInPandas")[-1]  # tree prints leaves last
+    assert "Exchange" not in pre_kernel, forced
 
 
 def test_cbo_stats_single_scan_per_table(spark):

@@ -82,12 +82,19 @@ def ensure_scaled(
     passing a subset (e.g. only what sf10 queries touch) keeps the 100×
     build to the tables that need it."""
     marker = os.path.join(out, "_DONE")
-    want = set(tables) if tables is not None else set(_COPY_ASIS) | set(_SHIFTS)
+    all_tables = set(_COPY_ASIS) | set(_SHIFTS)
+    want = set(tables) if tables is not None else set(all_tables)
     if os.path.isfile(marker):
         have = set(open(marker).read().split())
+        if "ok" in have:
+            # legacy all-built sentinel (pre table-list markers): treat as
+            # every table present, and drop the token so it isn't carried
+            # into rewritten markers forever (ADVICE r07)
+            have = (have - {"ok"}) | all_tables
+        have &= all_tables  # ignore any non-table tokens
         if want <= have:
             return out
-        want -= {t for t in have if t in _COPY_ASIS or t in _SHIFTS}
+        want -= have
     try:
         import shutil
 
@@ -138,6 +145,9 @@ def ensure_scaled(
         prior = set()
         if os.path.isfile(marker):
             prior = set(open(marker).read().split())
+        if "ok" in prior:  # legacy sentinel == all tables (see read path)
+            prior |= all_tables
+        prior &= all_tables  # never carry non-table tokens forward
         with open(marker, "w") as f:
             f.write("\n".join(sorted(prior | want)) + "\n")
         return out
@@ -217,3 +227,54 @@ if __name__ == "__main__":
     print(ensure_rechunked())
     if "--sf10" in sys.argv:
         print(ensure_sf10())
+
+
+def ensure_bucketed_sf10(spark, sf10_dir: str):
+    """Bucketed/sorted-on-orderkey copies of sf10 lineitem+orders for the
+    q5 layout A/B (VERDICT r07 #7): 32 buckets on the join key on both
+    sides deletes the fact-side exchange (and the SMJ sort) from the
+    l-o join — the lakehouse table-layout lever a 100 TB deployment
+    would actually pull. Data is written ONCE per checkout (saveAsTable
+    into .benchdata/sf10_bucketed); later sessions re-register the
+    external bucketed tables by DDL (the in-memory catalog forgets them,
+    the files don't move). Returns the (lineitem, orders) table names or
+    None when anything is missing."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(os.path.dirname(sf10_dir.rstrip("/")), "sf10_bucketed")
+    names = {"lineitem": "bench_q5_lineitem_b", "orders": "bench_q5_orders_b"}
+    keys = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+    try:
+        os.makedirs(out, exist_ok=True)
+        for t, tbl in names.items():
+            loc = os.path.join(out, t)
+            done = os.path.join(out, f"_DONE_{t}")
+            if spark.catalog.tableExists(tbl):
+                continue
+            if os.path.isfile(done):
+                # re-register: DDL from the parquet schema (simpleString
+                # types round-trip for the flat TPC-H columns)
+                src = spark.read.parquet(loc)
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in src.schema
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({keys[t]}) SORTED BY ({keys[t]}) "
+                    f"INTO 32 BUCKETS LOCATION '{loc}'"
+                )
+                continue
+            df = spark.read.parquet(os.path.join(sf10_dir, f"{t}.parquet"))
+            (
+                df.repartition(32, keys[t])
+                .write.bucketBy(32, keys[t])
+                .sortBy(keys[t])
+                .option("path", loc)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+            with open(done, "w") as f:
+                f.write("ok\n")
+        return names["lineitem"], names["orders"]
+    except Exception:
+        return None
