@@ -756,16 +756,24 @@ def main() -> None:
                 "marginal_ratio_sf10": marginal_sf10,
                 "plan_choice_sf10": sf10_ab,
             }
-            # crossdoc third decade (VERDICT r07 #1): runs=2 keeps the
-            # ~30 s/run pair affordable; the marginal uses the llm
-            # block's sf1 endpoints (same session, same layout rules)
-            xq = "text_crossdoc_substring"
-            if llm_block and xq in llm_block.get("sf1", {}).get("spark", {}):
+            # LLM third decade (VERDICT r07 #1 for crossdoc; r8 also for
+            # the pretrain funnel, whose sf1 "marginal" is a denominator
+            # artifact — DuckDB's sf0.1r→sf1 delta is 40-60 ms against a
+            # 3-stage Spark plan, so only the sf10 decade carries
+            # signal). runs=2 keeps the ~30 s/run crossdoc pair
+            # affordable; marginals use the llm block's sf1 endpoints
+            # (same session, same layout rules).
+            for xq, key in (
+                ("text_crossdoc_substring", "crossdoc_sf10"),
+                ("pipeline_pretrain_e2e", "pretrain_sf10"),
+            ):
+                if not (llm_block and xq in llm_block.get("sf1", {}).get("spark", {})):
+                    continue
                 x10_s = time_spark(spark, queries, sf10_dir, [xq], runs=2)[xq]
                 x10_d = time_duckdb(oracles, sf10_dir, [xq], runs=2).get(xq)
                 x1_s = llm_block["sf1"]["spark"][xq]
                 x1_d = llm_block["sf1"]["duckdb"].get(xq)
-                sf10_block["crossdoc_sf10"] = {
+                sf10_block[key] = {
                     "spark_sec": x10_s,
                     "duckdb_sec": x10_d,
                     "marginal_ratio_sf10": (

@@ -511,7 +511,18 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate materialization, which is precisely the 100 TB shape
     (three passes over a candidate corpus vs one). The doc_id_sum /
     min_doc_id columns make the kept-set membership itself hash-checked,
-    not just its size."""
+    not just its size.
+
+    Bench note (r8, BENCH_DETAIL ``sf10.pretrain_sf10``): the sf1
+    marginal prints high (~16) but is a DENOMINATOR artifact — DuckDB's
+    sf0.1r→sf1 delta is 40-60 ms against a 3-stage Spark plan whose
+    absolute sf1 time is <1 s. The sf10 decade, where both deltas are
+    real, measures marginal ≈1.15 (Spark Δ0.268 s vs DuckDB Δ0.234 s
+    on 10× data). An A/B that dropped the text column before the
+    dedup-window shuffle (slim ~100 B rows instead of ~3 KB) measured
+    the SAME sf10 time (1.16-1.44 s vs 1.21 s) because the quality
+    gate must tokenize every doc map-side either way — the scan stage,
+    not the shuffle, is the scaling term, so the fused plan stands."""
     from cloudtrail_streamer_spark.operators.text import _STOPWORDS
 
     d = table(spark, sf_dir, "documents")

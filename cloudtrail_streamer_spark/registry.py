@@ -54,35 +54,27 @@ def _load_all() -> None:
 # everything else follows in registration order. Rotate this list each round
 # so that, across rounds, every query lands inside the driver's window.
 #
-# Round 7 (VERDICT r06 "next #1"): window = the 12-query r6 backlog
-# (the only registry entries without a driver CORRECTNESS row — the
-# pandas-API quartet, the XML pair, SQL pipe syntax, and the four
-# training-pipeline additions) in slots 1-12, then the three stateful
-# streaming ops upgraded R->H this round (their deterministic final
-# states now carry full DuckDB oracles — VERDICT r06 #5), then
-# back-fill slots re-verifying green queries that matter most: the
-# bench-headline relational core, the LLM heavies newly added to the
-# bench set (VERDICT r06 #3), and round-7 additions as they land.
-# After this rotation drains, the cross-round union is 289/289.
+# Round 8 (VERDICT r07 #8 "keep the certification loop airtight"):
+# slot 1 is the single registry entry without a driver row (the new
+# bounded-state certificate split out of stream_stream_join); slots
+# 2-8 RE-certify every query whose implementation or tier changed this
+# round (crossdoc + sim-kernel re-plans, the two R->H streaming
+# upgrades, the q5 routing change, the webdataset n_shards fix, the
+# pretrain funnel newly promoted to the bench headline); the rest
+# back-fills with the bench-headline core and the r6/r7 waves so the
+# cross-round union stays 300/300 green.
 _WINDOW_PRIORITY: list[str] = [
-    # --- the 12-query backlog (every query without a driver row) ---
-    "ps_groupby_agg",
-    "ps_merge_join",
-    "ps_pivot_table",
-    "ps_sort_head",
-    "sql_pipe_syntax",
-    "scan_xml_roundtrip",
-    "fn_xml_parse",
+    # --- uncertified (registered r8) ---
+    "stream_stream_join_cert",
+    # --- changed implementation / tier this round: re-earn the row ---
     "text_crossdoc_substring",
-    "pipeline_domain_mixture",
-    "agg_psi_drift",
-    "agg_ab_test_ztest",
-    "events_ewma_hourly",
-    # --- R->H upgrades: re-earn rows at the new hash-match tier ---
-    "stream_agg_update",
-    "stream_custom_state",
-    "stream_dedup_stateful",
-    # --- back-fill: bench headline set + LLM heavies + changed plans ---
+    "sim_search_arrow_kernel",
+    "stream_watermark_late",
+    "stream_stream_join",
+    "tpch_q5_local_supplier",
+    "multimodal_webdataset_shards",
+    "pipeline_pretrain_e2e",
+    # --- back-fill: bench headline set + LLM heavies ---
     "tpch_q3_shipping_priority",
     "agg_group_q1",
     "dedup_exact",
@@ -94,35 +86,42 @@ _WINDOW_PRIORITY: list[str] = [
     "join_asof",
     "top_n_per_group",
     "win_rank",
-    "tpch_q5_local_supplier",
     "stream_tumbling",
     "agg_rollup",
     "pipeline_dedup_e2e",
-    "pipeline_pretrain_e2e",
-    "sim_search_arrow_kernel",
-    "stream_watermark_late",
-    "stream_stream_join",
+    "sort_multikey",
+    "limit_topk",
+    # --- streaming family + lakehouse/pipeline waves ---
+    "stream_agg_update",
+    "stream_custom_state",
+    "stream_dedup_stateful",
     "stream_upsert_keyed",
     "stream_transform_with_state",
+    "stream_session_dynamic_gap",
     "join_skew_salted",
     "join_dpp_partitioned",
     "udtf_analyze_dynamic",
     "pipeline_curriculum_order",
     "fn_aes_roundtrip",
     "agg_listagg_ordered",
-    "multimodal_webdataset_shards",
-    "sort_multikey",
-    "limit_topk",
-    # --- round-7 additions (registered this round, certified this round) ---
-    "stream_session_dynamic_gap",
     "sample_shuffle_epoch",
     "sql_execute_immediate",
     "sink_snapshot_positional_deletes",
     "text_quality_linear_scorer",
+    "ps_groupby_agg",
+    "ps_merge_join",
+    "ps_pivot_table",
+    "ps_sort_head",
+    "sql_pipe_syntax",
+    "scan_xml_roundtrip",
+    "fn_xml_parse",
+    "pipeline_domain_mixture",
+    "agg_psi_drift",
+    "agg_ab_test_ztest",
 ]
 
-# Round-8 staging: queries registered AFTER the r7 window was fixed.
-# Every name appended here still lacks a driver row; at the next
+# Next-round staging: queries registered AFTER this round's window was
+# fixed. Every name appended here still lacks a driver row; at the next
 # rotation, move these into _WINDOW_PRIORITY's first slots.
 # tests/test_engine.py validates that window + staged covers every
 # query that lacks a driver row.

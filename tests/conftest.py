@@ -151,6 +151,10 @@ def run_pair(spark, con, name: str, sf_dir: str = SF_DIR):
 
     q = all_queries()[name]
     sdf = q(spark, sf_dir).toPandas()
+    # op-local persisted subtrees are per-execution scratch; across a
+    # ~300-query session they otherwise accumulate GBs of storage
+    # (ADVICE r07 cache-hygiene theme — drive_entry.py does the same)
+    spark.catalog.clearCache()
     register_duckdb_views(con, sf_dir)
     odf = con.execute(all_oracles()[name]).fetchdf()
     assert_frames_match(sdf, odf, name)
