@@ -702,6 +702,19 @@ def main() -> None:
                         ("forced_broadcast_512m", "512m"),
                     )
                 }
+                # SHJ leg: skip the SMJ sort on the post-broadcast fact
+                # rows (measured ~8-10% at sf10). Recorded as an A/B, not
+                # flipped as the engine default: SHJ's per-partition
+                # build must fit executor memory, and SMJ is the shape
+                # that degrades gracefully when a 100 TB partition
+                # doesn't — the artifact shows what the lever buys.
+                spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+                try:
+                    alts["prefer_shj"] = time_spark(
+                        spark, queries, sf10_dir, [qn], runs=3
+                    )[qn]
+                finally:
+                    spark.conf.unset("spark.sql.join.preferSortMergeJoin")
                 sf10_ab[qn] = {
                     "default_plan_sec": s10_spark[qn],
                     **{f"{k}_sec": v for k, v in alts.items()},
