@@ -70,6 +70,9 @@ LLM_HEADLINE = [
     # r8 (VERDICT r07 #2): the full pretraining funnel — the single
     # query a 100 TB training-data user runs longest
     "pipeline_pretrain_e2e",
+    # r8 wave 3: the distributed Gram/covariance kernel (whitening/PCA
+    # precursor) — Arrow mapInArrow + adaptive exact dgemm
+    "embed_covariance_matrix",
 ]
 
 # Third decade (VERDICT r06 #4): sf1 -> sf10 (100x the driver fixture)
@@ -238,6 +241,67 @@ def time_duckdb(
         out[name] = round(best, 3)
     con.close()
     return out
+
+
+def _covariance_int64_matmul_plan(spark, sf_dir: str):
+    """embed_covariance_matrix with the naive kernel (pandas objects +
+    numpy int64 matmul, no BLAS path) — the measured A/B alternative
+    for the kept mapInArrow + adaptive-dgemm kernel
+    (operators/stats_tests.py docstring)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cloudtrail_streamer_spark.catalog import table
+
+    dim = 64
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+        ).alias("qe")
+    )
+    iu = np.triu_indices(dim)
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qe"]],
+                dtype=np.int64,
+            )
+            g = x.T @ x
+            s = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype(np.int64),
+                    "j": iu[1].astype(np.int64),
+                    "n": np.int64(len(pdf)),
+                    "s_i": s[iu[0]],
+                    "s_j": s[iu[1]],
+                    "s_ij": g[iu],
+                }
+            )
+
+    partials = emb.mapInPandas(
+        gram_partials, "i long, j long, n long, s_i long, s_j long, s_ij long"
+    )
+    dec = "decimal(38,0)"
+    m = partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("s_i").cast(dec)).cast("double").alias("s_i"),
+        F.sum(F.col("s_j").cast(dec)).cast("double").alias("s_j"),
+        F.sum(F.col("s_ij").cast(dec)).cast("double").alias("s_ij"),
+    )
+    n = F.col("n")
+    cov = (
+        (F.col("s_ij") - F.col("s_i") * F.col("s_j") / n) / (n - 1)
+        / 1000000000000.0
+    )
+    return m.select("i", "j", n.alias("n"), F.round(cov, 6).alias("cov")).orderBy(
+        "i", "j"
+    )
 
 
 def _crossdoc_legacy_plan(spark, sf_dir: str):
@@ -627,6 +691,20 @@ def main() -> None:
             "+ one per-doc agg (no join, no persist); full decomposition "
             "incl. gen-only and collect_list alternatives in the op "
             "docstring (operators/text.py)",
+        }
+        llm_block["covariance_plan_choice"] = {
+            "kept_mapinarrow_adaptive_dgemm_sec": llm_sf1_spark.get(
+                "embed_covariance_matrix"
+            ),
+            "int64_matmul_mapinpandas_sec": time_one_df(
+                spark, _covariance_int64_matmul_plan(spark, sf1_dir), runs=3
+            ),
+            "note": "sf1; kept kernel = mapInArrow (flat int64 buffers, "
+            "no pandas objects) + one exact float64 dgemm when "
+            "rows*qmax^2 < 2^53 (split-GEMM fallback above); alternative "
+            "= pandas-object transport + numpy int64 matmul (no BLAS "
+            "path). Residual vs DuckDB is the Python/Arrow boundary "
+            "constant, not per-row work (operators/stats_tests.py)",
         }
         llm_block["sim_kernel_plan_choice"] = {
             "kept_mapinpandas_bcast_sec": llm_sf1_spark.get("sim_search_arrow_kernel"),

@@ -1,0 +1,970 @@
+"""Hypothesis-testing + data-selection operators (SURVEY.md §2.B
+B-25-ext / B-31-ext / north-star, round 8).
+
+The drift suite the engine already ships (PSI, two-proportion z-test,
+EWMA — pipeline_ext.py) covers *monitoring*; this module adds the
+*decision* statistics a data pipeline runs before promoting a new
+corpus or feature slice:
+
+- ``agg_ks_test`` — two-sample Kolmogorov–Smirnov (distribution shift).
+- ``agg_mann_whitney`` — rank-sum test (median shift, tie-corrected).
+- ``agg_chisq_independence`` — χ² independence over a contingency table.
+- ``win_rolling_corr`` — 24 h rolling Pearson correlation of two series.
+- ``events_autocorr_lag`` — lag-1..24 autocorrelation of the hourly rate.
+- ``text_dsir_importance`` — DSIR-style importance weights for data
+  selection (Xie et al. 2023: hashed n-gram features, target/raw
+  log-likelihood ratio) — the scoring pass a pretraining pipeline runs
+  to up-sample target-domain-like documents.
+- ``text_readability_score`` — per-language readability from a
+  vowel-group syllable heuristic (Flesch reading-ease form).
+
+Determinism (SURVEY §5.3): every statistic is assembled from EXACT
+integer sums (counts, 2×average-ranks, Σt³−t tie terms, Σxy cross
+moments) and converted to DOUBLE only in the final closed-form
+expression, written with the identical operation sequence in the Spark
+plan and the DuckDB oracle — so the floats match bit-for-bit before the
+final ROUND. Per-doc float folds (DSIR) use the repo's ordered-fold
+rule: Spark ``aggregate(sort_array(...), 0D, +)`` ≡ DuckDB
+``list_reduce(array_agg(... ORDER BY ...), +)`` (seeded-vs-unseeded
+left folds agree because f(0.0, x₁) = x₁ in IEEE).
+
+Scale notes are per-op; the one structural caveat: KS and Mann–Whitney
+are *global-order* statistics, so their exact forms end in a
+single-partition prefix-sum/rank over the DISTINCT-value relation
+(bounded by value cardinality, not row count — the heavy reduction to
+per-value counts is a parallel keyed agg). At 100 TB with an unbounded
+metric domain you bin first (KS over 10⁴ fixed bins differs from exact
+by ≤ max bin mass) — exactly the PSI bucketing already in
+pipeline_ext.py — or range-repartition + two-pass prefix sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.catalog import table
+from cloudtrail_streamer_spark.registry import query
+
+
+def exact_int_gram(x):
+    """Exact XᵀX for an int64 matrix, BLAS-fast.
+
+    numpy int64 matmul has no BLAS path (~360× slower than dgemm at
+    batch shapes). When rows·qmax² < 2⁵³ every Gram entry is exactly
+    representable in float64 and ONE dgemm suffices; otherwise the
+    split-GEMM identity X = 2¹²A + B (A = X>>12 arithmetic, B = X&4095)
+    gives XᵀX = 2²⁴AᵀA + 2¹²(AᵀB + (AᵀB)ᵀ) + BᵀB — three dgemms whose
+    entries each stay below 2⁵³ for |x| < 2²⁴ (asserted), recombined in
+    int64. Used by embed_covariance_matrix's Arrow kernel; unit-tested
+    against the direct int64 matmul in tests/test_engine.py."""
+    import numpy as np
+
+    qmax = int(np.abs(x).max()) if x.size else 0
+    assert qmax < (1 << 24), "split-GEMM exactness bound (|q| < 2^24)"
+    if len(x) * qmax * qmax < (1 << 53):
+        xf = x.astype(np.float64)
+        return (xf.T @ xf).astype(np.int64)
+    a = (x >> 12).astype(np.float64)
+    b = (x & 4095).astype(np.float64)
+    g_hi = a.T @ a
+    g_x = a.T @ b
+    g_lo = b.T @ b
+    return (
+        (g_hi.astype(np.int64) << 24)
+        + ((g_x + g_x.T).astype(np.int64) << 12)
+        + g_lo.astype(np.int64)
+    )
+
+# ---------------------------------------------------------------------------
+# agg_ks_test — two-sample Kolmogorov–Smirnov distance
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH s AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+byv AS (
+  SELECT value,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS na,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS nb
+  FROM s GROUP BY value
+),
+c AS (
+  SELECT SUM(na) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(nb) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(na) OVER () AS ta,
+         SUM(nb) OVER () AS tb
+  FROM byv
+)
+SELECT CAST(MAX(ta) AS BIGINT) AS n_click,
+       CAST(MAX(tb) AS BIGINT) AS n_purchase,
+       round(MAX(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
+         AS ks_stat,
+       round(MAX(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb))
+             * sqrt(CAST(MAX(ta) AS DOUBLE) * MAX(tb)
+                    / (MAX(ta) + MAX(tb))), 4) AS ks_scaled
+FROM c
+"""
+
+
+@query("agg_ks_test", oracle=_KS_ORACLE, survey_id="B-25-ext")
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the `click` and
+    `purchase` value distributions: D = max_x |F̂_a(x) − F̂_b(x)|, plus
+    the scaled statistic D·√(n_a·n_b/(n_a+n_b)) that the KS tables
+    take. The ECDFs are exact: per-distinct-value conditional counts,
+    then a running prefix sum ordered by value — every deviation
+    candidate sits at an observed value, so the max over the grouped
+    relation IS the exact D.
+
+    Scale shape: the row-count-heavy work (filter + count per distinct
+    value) is one parallel keyed agg; the prefix sum runs over the
+    DISTINCT-value relation only. Exact KS is inherently a global
+    order statistic — at 100 TB bin first (module docstring) or
+    range-repartition the prefix sum. Both engines compute identical
+    integer cumulative counts, so the double ratios and their max
+    match bit-for-bit pre-round."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    byv = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("na"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("nb"),
+    )
+    run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    glob = Window.partitionBy()
+    c = byv.select(
+        F.sum("na").over(run).alias("ca"),
+        F.sum("nb").over(run).alias("cb"),
+        F.sum("na").over(glob).alias("ta"),
+        F.sum("nb").over(glob).alias("tb"),
+    )
+    d = F.abs(
+        F.col("ca").cast("double") / F.col("ta")
+        - F.col("cb").cast("double") / F.col("tb")
+    )
+    return c.agg(
+        F.max("ta").cast("long").alias("n_click"),
+        F.max("tb").cast("long").alias("n_purchase"),
+        F.round(F.max(d), 6).alias("ks_stat"),
+        F.round(
+            F.max(d)
+            * F.sqrt(
+                F.max("ta").cast("double")
+                * F.max("tb")
+                / (F.max("ta") + F.max("tb"))
+            ),
+            4,
+        ).alias("ks_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mann_whitney — rank-sum test with tie correction
+# ---------------------------------------------------------------------------
+
+_MW_ORACLE = """
+WITH s AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+r AS (
+  SELECT is_a,
+         rank() OVER (ORDER BY value) AS rmin,
+         COUNT(*) OVER (PARTITION BY value) AS cnt
+  FROM s
+),
+t AS (
+  SELECT SUM(CASE WHEN is_a = 1 THEN 2 * rmin + cnt - 1 ELSE 0 END) AS r2a,
+         SUM(is_a) AS na,
+         SUM(1 - is_a) AS nb
+  FROM r
+),
+ties AS (
+  SELECT SUM(cnt * cnt * cnt - cnt) AS tie_sum
+  FROM (SELECT COUNT(*) AS cnt FROM s GROUP BY value) g
+)
+SELECT CAST(na AS BIGINT) AS n_click,
+       CAST(nb AS BIGINT) AS n_purchase,
+       round(CAST(r2a AS DOUBLE) / 2
+             - CAST(na AS DOUBLE) * (na + 1) / 2, 4) AS u_stat,
+       round((CAST(r2a AS DOUBLE) / 2
+              - CAST(na AS DOUBLE) * (na + 1) / 2
+              - CAST(na AS DOUBLE) * nb / 2)
+             / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                    * ((na + nb + 1)
+                       - CAST(tie_sum AS DOUBLE)
+                         / ((na + nb) * (na + nb - 1.0)))), 4) AS z_score
+FROM t CROSS JOIN ties
+"""
+
+
+@query("agg_mann_whitney", oracle=_MW_ORACLE, survey_id="B-25-ext")
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the `click` and
+    `purchase` value samples, with the standard tie-corrected normal
+    approximation. Average ranks for ties are kept EXACT by summing
+    2·rank_avg = 2·rank_min + cnt − 1 as a BIGINT (never a float sum
+    of x.5 ranks); the tie term Σ(t³−t) is likewise integral. U and z
+    are then single closed-form double expressions — identical op
+    sequence in the oracle, so pre-round floats match bit-for-bit.
+
+    Scale shape: same as KS — the per-row work collapses into ranks
+    over values; exact global ranks are a single-partition sort of the
+    sample (bin or range-partition at 100 TB, module docstring)."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        "value", (F.col("event_type") == "click").cast("long").alias("is_a")
+    )
+    r = s.select(
+        "is_a",
+        F.rank().over(Window.orderBy("value")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("cnt"),
+    )
+    t = r.agg(
+        F.sum(
+            F.when(
+                F.col("is_a") == 1, 2 * F.col("rmin") + F.col("cnt") - 1
+            ).otherwise(F.lit(0))
+        ).alias("r2a"),
+        F.sum("is_a").alias("na"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+    )
+    ties = (
+        s.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ).alias("tie_sum")
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ra = F.col("r2a").cast("double") / 2
+    u = ra - na.cast("double") * (na + 1) / 2
+    n = na + nb
+    sigma = F.sqrt(
+        na.cast("double") * nb / 12.0
+        * ((n + 1) - F.col("tie_sum").cast("double") / (n * (n - 1.0)))
+    )
+    return t.crossJoin(ties).select(
+        na.cast("long").alias("n_click"),
+        nb.cast("long").alias("n_purchase"),
+        F.round(u, 4).alias("u_stat"),
+        F.round((u - na.cast("double") * nb / 2) / sigma, 4).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_chisq_independence — χ² contingency table (lang × source)
+# ---------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_obs FROM documents GROUP BY lang, source
+),
+e AS (
+  SELECT lang, source, n_obs,
+         SUM(n_obs) OVER (PARTITION BY lang) AS row_tot,
+         SUM(n_obs) OVER (PARTITION BY source) AS col_tot,
+         SUM(n_obs) OVER () AS n_tot
+  FROM cells
+)
+SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs,
+       round(CAST(row_tot AS DOUBLE) * col_tot / n_tot, 6) AS expected,
+       round((n_obs - CAST(row_tot AS DOUBLE) * col_tot / n_tot)
+             * (n_obs - CAST(row_tot AS DOUBLE) * col_tot / n_tot)
+             / (CAST(row_tot AS DOUBLE) * col_tot / n_tot), 6) AS chi2_term
+FROM e
+"""
+
+
+@query("agg_chisq_independence", oracle=_CHISQ_ORACLE, survey_id="B-25-ext")
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence between document language and source —
+    the per-CELL decision table (observed, expected under independence,
+    χ² contribution), not just the summed statistic, so a reviewer can
+    see *which* (lang, source) cell drives the dependence. Σchi2_term
+    over the result is the test statistic with (|lang|−1)(|source|−1)
+    degrees of freedom.
+
+    Scale shape: one keyed agg collapses N rows to ≤ |lang|·|source|
+    cells; the marginals are windows over that tiny cell relation (the
+    repo's single-scan normalization discipline — never a crossJoin of
+    derived aggregates, SCALE.md r6). At 100 TB the χ² costs exactly
+    one scan."""
+    cells = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    row_tot = F.sum("n_obs").over(Window.partitionBy("lang"))
+    col_tot = F.sum("n_obs").over(Window.partitionBy("source"))
+    n_tot = F.sum("n_obs").over(Window.partitionBy())
+    expected = row_tot.cast("double") * col_tot / n_tot
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected,
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_corr — 24 h rolling Pearson correlation of two series
+# ---------------------------------------------------------------------------
+
+_ROLLCORR_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS x,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS y
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT h, x, y,
+         COUNT(*)   OVER fr AS n,
+         SUM(x)     OVER fr AS sx,
+         SUM(y)     OVER fr AS sy,
+         SUM(x * y) OVER fr AS sxy,
+         SUM(x * x) OVER fr AS sx2,
+         SUM(y * y) OVER fr AS sy2
+  FROM hourly
+  WINDOW fr AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT h, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       round((n * sxy - sx * sy)
+             / NULLIF(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0), 6)
+         AS corr24
+FROM w
+"""
+
+
+@query("win_rolling_corr", oracle=_ROLLCORR_ORACLE, survey_id="B-31-ext")
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour Pearson correlation between the hourly `click`
+    and `view` rates — the co-movement monitor behind "did these two
+    signals decouple?" alerts. Pearson is NOT computed with the
+    engines' streaming `corr` aggregate (whose update order differs
+    across engines); it is assembled from the six EXACT integer frame
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) and one closed-form double
+    expression, NULL when either side has zero variance in the frame
+    (NULLIF guard in both engines).
+
+    Scale shape: the events scan collapses to one row per hour
+    (parallel keyed agg with map-side partials); the rolling frame
+    runs over the hourly relation — 8,760 rows/year regardless of raw
+    volume. Partition by series/tenant at scale for a parallel
+    window."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("y"),
+    )
+    fr = Window.orderBy("h").rowsBetween(-23, 0)
+    n = F.count(F.lit(1)).over(fr)
+    sx = F.sum("x").over(fr)
+    sy = F.sum("y").over(fr)
+    sxy = F.sum(F.col("x") * F.col("y")).over(fr)
+    sx2 = F.sum(F.col("x") * F.col("x")).over(fr)
+    sy2 = F.sum(F.col("y") * F.col("y")).over(fr)
+    denom = F.sqrt((n * sx2 - sx * sx).cast("double")) * F.sqrt(
+        (n * sy2 - sy * sy).cast("double")
+    )
+    return hourly.select(
+        "h",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6).alias(
+            "corr24"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_autocorr_lag — lag-1..24 autocorrelation of the hourly rate
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS hour_id,
+         COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(1, 25)) AS lag_h),
+pairs AS (
+  SELECT l.lag_h, a.c AS x, b.c AS y
+  FROM hourly a
+  CROSS JOIN lags l
+  JOIN hourly b ON b.hour_id = a.hour_id - l.lag_h
+),
+m AS (
+  SELECT lag_h, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM pairs GROUP BY lag_h
+)
+SELECT CAST(lag_h AS BIGINT) AS lag_h, CAST(n AS BIGINT) AS n_pairs,
+       round((n * sxy - sx * sy)
+             / NULLIF(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0), 6)
+         AS autocorr
+FROM m
+ORDER BY lag_h
+"""
+
+
+@query("events_autocorr_lag", oracle=_AUTOCORR_ORACLE, survey_id="B-31-ext")
+def events_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event rate at lags 1..24 — the
+    seasonality probe (a daily cycle shows as a lag-24 peak). The
+    hourly series is keyed by integer hour_id = epoch/3600 so the lag
+    pairing is an exact equi-join (never a timestamp-interval join);
+    Pearson per lag is assembled from exact integer sums like
+    win_rolling_corr.
+
+    Scale shape: raw events collapse to one row per hour first (the
+    only data-sized shuffle); the ×24 lag explode and self-join run on
+    the hourly relation (8,760 rows/year), keyed by hour_id — bounded
+    work regardless of raw volume."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            (
+                F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600
+            )
+            .cast("long")
+            .alias("hour_id")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = hourly.select(
+        "hour_id",
+        F.col("c").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(24))).alias("lag_h"),
+    )
+    pairs = probes.join(
+        hourly.select(
+            F.col("hour_id").alias("rhs_id"), F.col("c").alias("y")
+        ),
+        F.col("rhs_id") == F.col("hour_id") - F.col("lag_h"),
+    )
+    m = pairs.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    denom = F.sqrt((n * F.col("sx2") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("sy2") - sy * sy).cast("double")
+    )
+    return (
+        m.select(
+            F.col("lag_h").cast("long").alias("lag_h"),
+            n.cast("long").alias("n_pairs"),
+            F.round(
+                (n * F.col("sxy") - sx * sy) / F.nullif(denom, F.lit(0.0)), 6
+            ).alias("autocorr"),
+        )
+        .orderBy("lag_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_dsir_importance — DSIR-style data-selection importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tb AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) % 256 AS b
+  FROM tok
+),
+bucket_stats AS (
+  SELECT b,
+         COUNT(*) FILTER (WHERE lang = 'en') AS nt,
+         COUNT(*) AS nr
+  FROM tb GROUP BY b
+),
+tot AS (SELECT SUM(nt) AS tt, SUM(nr) AS tr FROM bucket_stats),
+ratios AS (
+  SELECT b,
+         ln((nt + 1.0) / (tt + 256.0)) - ln((nr + 1.0) / (tr + 256.0)) AS lr
+  FROM bucket_stats CROSS JOIN tot
+),
+dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM tb GROUP BY doc_id, b),
+terms AS (
+  SELECT d.doc_id,
+         array_agg(d.cnt * r.lr ORDER BY d.b) AS terms,
+         SUM(d.cnt) AS n_tokens
+  FROM dc d JOIN ratios r ON d.b = r.b
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(list_reduce(terms, (acc, x) -> acc + x), 6) AS dsir_score
+FROM terms
+ORDER BY dsir_score DESC, doc_id
+LIMIT 100
+"""
+
+
+@query("text_dsir_importance", oracle=_DSIR_ORACLE, survey_id="north-star")
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores for training-data selection (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): hashed unigram buckets (md5-prefix % 256 — the
+    cross-engine hash, SURVEY §5.3 rule 7), a Laplace-smoothed
+    target-vs-raw log-likelihood ratio per bucket (target = `en`
+    documents standing in for the high-quality domain), and per-doc
+    score Σ_b count_b · log(p_target(b)/p_raw(b)). Top-100 docs by
+    score (doc_id tiebreak) — the ranking a pipeline feeds into
+    importance resampling.
+
+    Float determinism: the per-doc sum is an ORDERED fold — Spark
+    ``aggregate(sort_array(struct(b, term)), 0D, +)`` ≡ DuckDB
+    ``list_reduce(array_agg(term ORDER BY b), +)`` (f(0,x₁)=x₁) — so
+    both engines add the same doubles in the same order.
+
+    Scale shape: two keyed aggs over the token explode (bucket stats:
+    256 rows; per-doc bucket counts: ≤256/doc) and a BROADCAST join of
+    the 256-row ratio table — no shuffle grows beyond the doc-bucket
+    relation. The top-100 is TakeOrdered, never a global sort."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tb = tok.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long")
+            % 256
+        ).alias("b"),
+    )
+    bucket_stats = tb.groupBy("b").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    glob = Window.partitionBy()
+    tt = F.sum("nt").over(glob)
+    tr = F.sum("nr").over(glob)
+    ratios = bucket_stats.select(
+        "b",
+        (
+            F.log((F.col("nt") + 1.0) / (tt + 256.0))
+            - F.log((F.col("nr") + 1.0) / (tr + 256.0))
+        ).alias("lr"),
+    )
+    dc = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    terms = (
+        dc.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("b"), (F.col("cnt") * F.col("lr")).alias("term")))
+            ).alias("terms"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+    return (
+        terms.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.transform(F.col("terms"), lambda s: s["term"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_readability_score — vowel-group syllable heuristic, per language
+# ---------------------------------------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+syl AS (
+  SELECT doc_id, lang,
+         greatest(len(regexp_extract_all(w, '[aeiou]+')), 1) AS s
+  FROM tok
+),
+per_lang AS (
+  SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_words,
+         SUM(s) AS n_syllables
+  FROM syl GROUP BY lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS syllables_per_word,
+       round(206.835 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+         AS reading_ease
+FROM per_lang
+"""
+
+
+@query("text_readability_score", oracle=_READABILITY_ORACLE, survey_id="north-star")
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability from the Flesch reading-ease form,
+    206.835 − 84.6·(syllables/word), with syllables estimated as
+    vowel-group runs (`[aeiou]+` matches; vowel-less words — e.g. the
+    zh corpus — floor at 1). The corpus text is unpunctuated
+    (FIXTURES.md), so the words-per-sentence term is structurally 0 and
+    is dropped — documented, not hidden. Complements
+    text_filter_quality (per-doc gates) with a corpus-level readability
+    profile.
+
+    Scale shape: explode → one keyed agg with integer partials
+    (COUNT DISTINCT doc_id is the only expensive modifier; at 100 TB
+    swap for approx_count_distinct or pre-agg per (lang, doc)). Float
+    math happens once per language row."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    syl = tok.select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.size(F.regexp_extract_all("w", F.lit("[aeiou]+"), 0)), F.lit(1)
+        ).alias("s"),
+    )
+    per_lang = syl.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("s").alias("n_syllables"),
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return per_lang.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(206.835 - 84.6 * spw, 4).alias("reading_ease"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_effect_size_cohens_d — standardized mean difference (magnitude
+# companion to the z-test / Mann-Whitney significance readouts)
+# ---------------------------------------------------------------------------
+
+_COHENS_D_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT is_a, COUNT(*) AS n, SUM(cents) AS sc, SUM(cents * cents) AS sc2
+  FROM s GROUP BY is_a
+),
+w AS (
+  SELECT MAX(CASE WHEN is_a = 1 THEN n END) AS na,
+         MAX(CASE WHEN is_a = 1 THEN sc END) AS sa,
+         MAX(CASE WHEN is_a = 1 THEN sc2 END) AS sa2,
+         MAX(CASE WHEN is_a = 0 THEN n END) AS nb,
+         MAX(CASE WHEN is_a = 0 THEN sc END) AS sb,
+         MAX(CASE WHEN is_a = 0 THEN sc2 END) AS sb2
+  FROM g
+)
+SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_purchase,
+       round(CAST(sa AS DOUBLE) / na / 100, 4) AS mean_click,
+       round(CAST(sb AS DOUBLE) / nb / 100, 4) AS mean_purchase,
+       round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+             / sqrt(((CAST(sa2 AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * sa / na)
+                     + (CAST(sb2 AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * sb / nb))
+                    / (na + nb - 2)), 4) AS cohens_d
+FROM w
+"""
+
+
+@query("agg_effect_size_cohens_d", oracle=_COHENS_D_ORACLE, survey_id="B-25-ext")
+def agg_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between the `click` and `purchase` value samples — the
+    effect-SIZE companion to the suite's significance tests (a z-score
+    says "real", d says "big enough to care"). Values are scaled to
+    integer cents first (the repo's EWMA precedent) so n, Σx, Σx² are
+    EXACT BIGINTs; the pooled-SD formula is one closed-form double
+    expression mirrored textually in the oracle. d is scale-invariant,
+    so the cents scaling cancels; means are reported back in dollars.
+
+    Scale shape: one keyed agg with integer map-side partials, then a
+    2-row conditional-MAX pivot — identical cost profile to
+    agg_ab_test_ztest (one scan at any volume)."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        (F.col("event_type") == "click").cast("long").alias("is_a"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    g = s.groupBy("is_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sc2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("is_a") == 1, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("is_a") == 1, F.col("sc"))).alias("sa"),
+        F.max(F.when(F.col("is_a") == 1, F.col("sc2"))).alias("sa2"),
+        F.max(F.when(F.col("is_a") == 0, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("is_a") == 0, F.col("sc"))).alias("sb"),
+        F.max(F.when(F.col("is_a") == 0, F.col("sc2"))).alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa"), F.col("sb")
+    ssa = F.col("sa2").cast("double") - sa.cast("double") * sa / na
+    ssb = F.col("sb2").cast("double") - sb.cast("double") * sb / nb
+    pooled = F.sqrt((ssa + ssb) / (na + nb - 2))
+    return w.select(
+        na.cast("long").alias("n_click"),
+        nb.cast("long").alias("n_purchase"),
+        F.round(sa.cast("double") / na / 100, 4).alias("mean_click"),
+        F.round(sb.cast("double") / nb / 100, 4).alias("mean_purchase"),
+        F.round(
+            (sa.cast("double") / na - sb.cast("double") / nb) / pooled, 4
+        ).alias("cohens_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_covariance_matrix — distributed Gram/covariance over embeddings
+# ---------------------------------------------------------------------------
+
+_COV_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS qe
+  FROM embeddings
+),
+idx AS (SELECT unnest(range(0, 64)) AS i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, q.qe[a.i + 1] AS qi, q.qe[b.i + 1] AS qj
+  FROM q, idx a, idx b WHERE a.i <= b.i
+),
+m AS (
+  SELECT i, j, COUNT(*) AS n, SUM(qi) AS s_i, SUM(qj) AS s_j,
+         SUM(qi * qj) AS s_ij
+  FROM pairs GROUP BY i, j
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(n AS BIGINT) AS n,
+       round((CAST(s_ij AS DOUBLE) - CAST(s_i AS DOUBLE) * s_j / n)
+             / (n - 1) / 1000000000000.0, 6) AS cov
+FROM m
+ORDER BY i, j
+"""
+
+
+@query("embed_covariance_matrix", oracle=_COV_ORACLE, survey_id="north-star")
+def embed_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the 64-dim embedding column —
+    the precursor to whitening / PCA / ZCA that embedding pipelines run
+    before indexing (the 64×64 eigendecomposition itself is driver-side
+    numpy on the RESULT; computing the Gram matrix over all vectors is
+    the distributed part). Vectors are scaled to exact integer
+    micro-units in the JVM (round(x·1e6) — float32 widened to double
+    first, so both engines round the same double), then an Arrow
+    ``mapInPandas`` kernel computes per-batch int64 Gram partials
+    (numpy ``X.T @ X`` — exact integer matmul) and one keyed agg sums
+    them: the classic map-side-combine outer-product aggregation, the
+    ONLY shape that survives 100 TB (shuffle size is 2,080 rows per
+    task, independent of data volume).
+
+    Tier H: integer partial sums are order-insensitive, so the Arrow
+    kernel's totals equal DuckDB's unnest-join twin exactly; the final
+    covariance is one mirrored double expression.
+
+    Kernel: numpy has no BLAS path for int64 matmul (measured 360×
+    slower than dgemm at this shape), so each batch's exact Gram is
+    computed by the split-GEMM identity — q = (q>>12)·2¹² + (q&4095),
+    X = 2¹²A + B, XᵀX = 2²⁴AᵀA + 2¹²(AᵀB + (AᵀB)ᵀ) + BᵀB — three
+    float64 dgemms whose entries stay exact integers (each bounded by
+    batch_rows·2²⁴ < 2⁵³ for |q| < 2²⁴, i.e. |x| < 16.7; asserted),
+    recombined in int64. Cross-batch accumulation is DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB SUM(BIGINT)) so the totals never
+    overflow at any corpus size; they convert to double once, in the
+    identical final expression.
+
+    Cites: operators/similarity.py sim_search_arrow_kernel (the repo's
+    Arrow-batch precedent); SURVEY §4.2 UDF rules."""
+    import numpy as np
+    import pyarrow as pa
+
+    dim = 64
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+        ).alias("qe")
+    )
+
+    iu = np.triu_indices(dim)
+    out_schema = pa.schema(
+        [(c, pa.int64()) for c in ("i", "j", "n", "s_i", "s_j", "s_ij")]
+    )
+
+    def gram_partials(batches):
+        # mapInArrow: the list<int64> column arrives as one flat int64
+        # values buffer — reshape is zero-copy, no per-row Python objects
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            col = rb.column(0)
+            x = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                rb.num_rows, dim
+            )
+            g = exact_int_gram(x)
+            s = x.sum(axis=0)  # exact int64 column sums
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(iu[0].astype(np.int64)),
+                    pa.array(iu[1].astype(np.int64)),
+                    pa.array(np.full(len(iu[0]), len(x), dtype=np.int64)),
+                    pa.array(s[iu[0]]),
+                    pa.array(s[iu[1]]),
+                    pa.array(g[iu]),
+                ],
+                schema=out_schema,
+            )
+
+    partials = emb.mapInArrow(
+        gram_partials, "i long, j long, n long, s_i long, s_j long, s_ij long"
+    )
+    dec = "decimal(38,0)"
+    m = partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("s_i").cast(dec)).cast("double").alias("s_i"),
+        F.sum(F.col("s_j").cast(dec)).cast("double").alias("s_j"),
+        F.sum(F.col("s_ij").cast(dec)).cast("double").alias("s_ij"),
+    )
+    n = F.col("n")
+    cov = (
+        (F.col("s_ij").cast("double") - F.col("s_i").cast("double") * F.col("s_j") / n)
+        / (n - 1)
+        / 1000000000000.0
+    )
+    return m.select(
+        "i", "j", n.alias("n"), F.round(cov, 6).alias("cov")
+    ).orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — per-ingestion-batch novel 8-gram rate
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT doc_id // 500 AS batch_id, h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(string_split(text, ' ')) - 7),
+             k -> md5(array_to_string(
+                    string_split(text, ' ')[k + 1:k + 8], ' ')))) AS h
+    FROM documents
+  ) x
+),
+firsts AS (SELECT h, MIN(batch_id) AS fb FROM w GROUP BY h),
+per_batch AS (
+  SELECT batch_id, COUNT(*) AS n_windows FROM w GROUP BY batch_id
+),
+novel AS (SELECT fb AS batch_id, COUNT(*) AS n_novel FROM firsts GROUP BY fb)
+SELECT CAST(p.batch_id AS BIGINT) AS batch_id,
+       CAST(p.n_windows AS BIGINT) AS n_windows,
+       CAST(n.n_novel AS BIGINT) AS n_novel,
+       round(CAST(n.n_novel AS DOUBLE) / p.n_windows, 6) AS novelty_rate
+FROM per_batch p JOIN novel n ON n.batch_id = p.batch_id
+ORDER BY batch_id
+"""
+
+
+@query("text_ngram_novelty", oracle=_NOVELTY_ORACLE, survey_id="north-star")
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel-8-gram rate per ingestion batch (batch = doc_id div 500) —
+    the corpus-growth freshness curve a data-curation team watches: as
+    a crawl matures, the fraction of never-before-seen 8-grams per
+    batch decays, and a batch whose novelty snaps back up signals a
+    new domain (or an upstream dedup failure). Windows are md5-hashed
+    8-token slices (cross-engine hash), novelty = windows whose global
+    MIN(batch) is this batch over the batch's DISTINCT windows.
+
+    Scale shape: ONE documents scan — explode → DISTINCT (batch, hash)
+    → first-seen via `min(batch) OVER (PARTITION BY hash)` → one keyed
+    agg by batch (the crossdoc window-over-hash-partition skeleton,
+    operators/text.py). The naive two-consumer form (separate
+    firsts/per-batch aggs over the shared distinct relation) re-inlines
+    the explode subtree and scans documents twice — plan-asserted down
+    to one scan in tests/test_plans.py. Hash keys are uniform (md5);
+    never batch×batch."""
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            (F.col("doc_id") / 500).cast("long").alias("batch_id"),
+            F.explode(
+                F.expr(
+                    """
+                    CASE WHEN size(split(text, ' ')) >= 8
+                         THEN transform(
+                                sequence(0, size(split(text, ' ')) - 8),
+                                k -> md5(concat_ws(' ',
+                                       slice(split(text, ' '), k + 1, 8))))
+                         ELSE array()
+                    END
+                    """
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    fb = F.min("batch_id").over(Window.partitionBy("h"))
+    return (
+        w.withColumn("fb", fb)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                (F.col("fb") == F.col("batch_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .where(F.col("n_novel") > 0)
+        .select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_windows"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("batch_id")
+    )

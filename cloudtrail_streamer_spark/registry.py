@@ -56,16 +56,33 @@ def _load_all() -> None:
 #
 # Round 8 (VERDICT r07 #8 "keep the certification loop airtight"):
 # slot 1 is the single registry entry without a driver row (the new
-# bounded-state certificate split out of stream_stream_join); slots
-# 2-8 RE-certify every query whose implementation or tier changed this
-# round (crossdoc + sim-kernel re-plans, the two R->H streaming
-# upgrades, the q5 routing change, the webdataset n_shards fix, the
-# pretrain funnel newly promoted to the bench headline); the rest
-# back-fills with the bench-headline core and the r6/r7 waves so the
-# cross-round union stays 300/300 green.
+# bounded-state certificate split out of stream_stream_join); next,
+# the 10 wave-2/3 r8 registrations (hypothesis-testing + data-
+# selection suite, operators/stats_tests.py) — all new names MUST sit
+# inside the 50-slot window so CORRECTNESS_r08 certifies them same-
+# round; then RE-certification of every query whose implementation or
+# tier changed this round (crossdoc + sim-kernel re-plans, the two
+# R->H streaming upgrades, the q5 routing change, the webdataset
+# n_shards fix, the pretrain funnel newly promoted to the bench
+# headline); the rest back-fills with the bench-headline core and the
+# r6/r7 waves (displaced back-fill names — ps_*, sql_pipe_syntax,
+# scan_xml_roundtrip, fn_xml_parse, pipeline_domain_mixture,
+# agg_psi_drift, agg_ab_test_ztest — all hold green r7 rows, so the
+# cross-round union stays complete).
 _WINDOW_PRIORITY: list[str] = [
     # --- uncertified (registered r8) ---
     "stream_stream_join_cert",
+    # --- new r8 wave 2: hypothesis-testing + data-selection suite ---
+    "agg_ks_test",
+    "agg_mann_whitney",
+    "agg_chisq_independence",
+    "win_rolling_corr",
+    "events_autocorr_lag",
+    "text_dsir_importance",
+    "text_readability_score",
+    "agg_effect_size_cohens_d",
+    "embed_covariance_matrix",
+    "text_ngram_novelty",
     # --- changed implementation / tier this round: re-earn the row ---
     "text_crossdoc_substring",
     "sim_search_arrow_kernel",
@@ -108,16 +125,6 @@ _WINDOW_PRIORITY: list[str] = [
     "sql_execute_immediate",
     "sink_snapshot_positional_deletes",
     "text_quality_linear_scorer",
-    "ps_groupby_agg",
-    "ps_merge_join",
-    "ps_pivot_table",
-    "ps_sort_head",
-    "sql_pipe_syntax",
-    "scan_xml_roundtrip",
-    "fn_xml_parse",
-    "pipeline_domain_mixture",
-    "agg_psi_drift",
-    "agg_ab_test_ztest",
 ]
 
 # Next-round staging: queries registered AFTER this round's window was

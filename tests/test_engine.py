@@ -896,3 +896,26 @@ def test_psi_drift_distribution(spark):
         s = sum(r[col] for r in rows)
         assert 0.9 <= s <= 1.0 + 1e-6, f"{col} sums to {s}"
         assert missing >= 0
+
+
+def test_exact_int_gram_both_regimes():
+    """embed_covariance_matrix's Gram kernel must equal the direct int64
+    matmul in BOTH the single-dgemm regime (small magnitudes) and the
+    split-GEMM regime (magnitudes that overflow float64 exactness)."""
+    import numpy as np
+
+    from cloudtrail_streamer_spark.operators.stats_tests import exact_int_gram
+
+    rng = np.random.default_rng(7)
+    small = rng.integers(-600_000, 600_000, size=(1000, 64), dtype=np.int64)
+    assert np.array_equal(exact_int_gram(small), small.T @ small)
+    # force the split path: rows * qmax^2 >= 2^53
+    big = rng.integers(-(1 << 23), 1 << 23, size=(1000, 16), dtype=np.int64)
+    big[0, 0] = (1 << 24) - 1  # pin qmax near the bound
+    assert 1000 * ((1 << 24) - 1) ** 2 >= (1 << 53)
+    assert np.array_equal(exact_int_gram(big), big.T @ big)
+    # bound violation must fail loudly, never silently lose exactness
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        exact_int_gram(np.array([[1 << 24]], dtype=np.int64))

@@ -761,3 +761,36 @@ def test_aqe_skew_join_splits(spark):
             else:
                 spark.conf.set(c, v)
     assert "skew=true" in plan, f"AQE must mark the hot-key join skewed:\n{plan[:2000]}"
+
+
+def test_dsir_broadcasts_ratio_table_and_takeordered(spark):
+    """text_dsir_importance (r8): the 256-row bucket-ratio table must
+    BROADCAST into the doc-bucket join (never shuffle the doc side by
+    bucket id), and the top-100 must be TakeOrderedAndProject — never a
+    global Sort of every document."""
+    plan = _plan(spark, "text_dsir_importance")
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "TakeOrderedAndProject" in tree
+    assert "Sort [dsir_score" not in tree  # no global sort of all docs
+
+
+def test_covariance_partials_aggregate_map_side(spark):
+    """embed_covariance_matrix (r8): the Arrow Gram kernel feeds a
+    keyed agg that must have a partial (map-side) HashAggregate below
+    the exchange — the shuffle carries 2,080-row partials per task,
+    never raw vectors — and exactly one exchange total."""
+    tree = _nodes(spark, "embed_covariance_matrix")
+    assert tree.count("HashAggregate") >= 2  # partial + final
+    # one shuffle for the (i,j) agg; the orderBy adds a rangepartition
+    assert tree.count("Exchange") <= 2
+    assert "ArrowEvalPython" in tree or "MapInArrow" in tree or "PythonMapInArrow" in tree
+
+
+def test_novelty_single_window_scan(spark):
+    """text_ngram_novelty (r8): the window-hash relation must be built
+    from ONE scan of documents (the crossdoc single-scan discipline) —
+    first-seen is a window over the hash partition feeding one keyed
+    agg, never a second consumer that re-inlines the explode subtree."""
+    tree = _nodes(spark, "text_ngram_novelty")
+    assert tree.count("Scan parquet") == 1
