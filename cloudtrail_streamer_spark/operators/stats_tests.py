@@ -17,6 +17,19 @@ corpus or feature slice:
   to up-sample target-domain-like documents.
 - ``text_readability_score`` — per-language readability from a
   vowel-group syllable heuristic (Flesch reading-ease form).
+- ``agg_effect_size_cohens_d`` — standardized mean difference (wave 3).
+- ``embed_covariance_matrix`` — distributed Gram/covariance via an
+  Arrow kernel with exact integer partials (wave 3).
+- ``text_ngram_novelty`` — per-batch novel-8-gram rate (wave 3).
+- ``agg_permutation_test`` — md5-seeded label-permutation inference
+  (wave 4).
+- ``text_vocab_growth`` — Heaps'-law vocabulary growth curve (wave 4).
+- ``events_seasonal_profile`` — dow×hour seasonal surface (wave 4).
+- ``agg_winsorized_mean`` — robust mean via exact order statistics
+  (wave 4).
+- ``embed_power_iteration`` — dominant covariance eigenpair by three
+  unrolled power steps, every fold ordered, certified against a
+  declarative recursive-CTE-free SQL twin (wave 4).
 
 Determinism (SURVEY §5.3): every statistic is assembled from EXACT
 integer sums (counts, 2×average-ranks, Σt³−t tie terms, Σxy cross
@@ -967,4 +980,533 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
         .orderBy("batch_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_permutation_test — exact nonparametric inference via seeded label
+# permutations (wave 4)
+# ---------------------------------------------------------------------------
+
+_PERM_K = 100
+
+_PERM_ORACLE = f"""
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+obs AS (
+  SELECT SUM(CASE WHEN is_a = 1 THEN cents ELSE 0 END) AS sa,
+         SUM(is_a) AS na,
+         SUM(CASE WHEN is_a = 0 THEN cents ELSE 0 END) AS sb,
+         SUM(1 - is_a) AS nb
+  FROM s
+),
+perms AS (
+  SELECT p.p,
+         CAST('0x' || substr(md5(s.event_id || '#' || p.p), 1, 4) AS BIGINT)
+           % 2 AS flip,
+         s.cents
+  FROM s CROSS JOIN (SELECT unnest(range(0, {_PERM_K})) AS p) p
+),
+pstat AS (
+  SELECT p,
+         CAST(SUM(CASE WHEN flip = 1 THEN cents ELSE 0 END) AS DOUBLE)
+           / NULLIF(SUM(flip), 0)
+         - CAST(SUM(CASE WHEN flip = 0 THEN cents ELSE 0 END) AS DOUBLE)
+           / NULLIF(SUM(1 - flip), 0) AS stat
+  FROM perms GROUP BY p
+),
+agg AS (
+  SELECT COUNT(*) AS n_perms,
+         SUM(CASE WHEN abs(pstat.stat) >=
+               abs(CAST(o.sa AS DOUBLE) / o.na - CAST(o.sb AS DOUBLE) / o.nb)
+             THEN 1 ELSE 0 END) AS n_extreme
+  FROM pstat CROSS JOIN obs o
+)
+SELECT CAST(o.na AS BIGINT) AS n_click, CAST(o.nb AS BIGINT) AS n_purchase,
+       round((CAST(o.sa AS DOUBLE) / o.na - CAST(o.sb AS DOUBLE) / o.nb)
+             / 100, 4) AS obs_diff,
+       CAST(a.n_perms AS BIGINT) AS n_perms,
+       CAST(a.n_extreme AS BIGINT) AS n_extreme,
+       round((1.0 + a.n_extreme) / (a.n_perms + 1.0), 4) AS p_value
+FROM obs o CROSS JOIN agg a
+"""
+
+
+@query("agg_permutation_test", oracle=_PERM_ORACLE, survey_id="B-25-ext")
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the click-vs-purchase mean difference — the
+    assumption-free companion to the parametric z/U tests: re-label
+    every row under K=100 DETERMINISTIC pseudo-random permutations
+    (flip = md5(event_id # p) parity — the cross-engine hash, so both
+    engines draw the SAME permutations), recompute the mean difference
+    per permutation, and report the add-one-smoothed two-sided p-value.
+    Statistics are built from exact integer cents sums; the extreme
+    comparison |stat_p| ≥ |obs| compares doubles both engines derived
+    from identical integers through identical expressions.
+
+    Scale shape: the ×K explode is K scans' worth of COMPUTE in ONE
+    scan and one keyed agg to 2K groups (map-side partials do the
+    heavy lifting); nothing downstream scales with rows. At 100 TB,
+    permutation inference costs K× the map CPU of a mean — shuffle
+    stays 2K rows — which is exactly how you'd run it on a cluster."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        "event_id",
+        (F.col("event_type") == "click").cast("long").alias("is_a"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    obs = s.agg(
+        F.sum(F.when(F.col("is_a") == 1, F.col("cents")).otherwise(0)).alias("sa"),
+        F.sum("is_a").alias("na"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("cents")).otherwise(0)).alias("sb"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+    )
+    perms = s.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_K - 1))).alias("p"),
+    ).select(
+        "p",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#"), F.col("p").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("flip"),
+        "cents",
+    )
+    pstat = perms.groupBy("p").agg(
+        (
+            F.sum(F.when(F.col("flip") == 1, F.col("cents")).otherwise(0)).cast("double")
+            / F.nullif(F.sum("flip"), F.lit(0))
+            - F.sum(F.when(F.col("flip") == 0, F.col("cents")).otherwise(0)).cast("double")
+            / F.nullif(F.sum(1 - F.col("flip")), F.lit(0))
+        ).alias("stat")
+    )
+    obs_diff = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    agg = pstat.crossJoin(obs).agg(
+        F.count(F.lit(1)).alias("n_perms"),
+        F.sum(
+            F.when(F.abs(F.col("stat")) >= F.abs(obs_diff), 1).otherwise(0)
+        ).alias("n_extreme"),
+    )
+    return obs.crossJoin(agg).select(
+        F.col("na").cast("long").alias("n_click"),
+        F.col("nb").cast("long").alias("n_purchase"),
+        F.round(obs_diff / 100, 4).alias("obs_diff"),
+        F.col("n_perms").cast("long").alias("n_perms"),
+        F.col("n_extreme").cast("long").alias("n_extreme"),
+        F.round(
+            (1.0 + F.col("n_extreme")) / (F.col("n_perms") + 1.0), 4
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_growth — Heaps'-law vocabulary growth curve (wave 4)
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id // 500 AS batch_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+per_batch AS (
+  SELECT batch_id, COUNT(*) AS batch_tokens FROM tok GROUP BY batch_id
+),
+firsts AS (
+  SELECT w, MIN(batch_id) AS fb FROM tok GROUP BY w
+),
+new_types AS (SELECT fb AS batch_id, COUNT(*) AS new_types FROM firsts GROUP BY fb),
+curve AS (
+  SELECT p.batch_id, p.batch_tokens, COALESCE(n.new_types, 0) AS new_types,
+         SUM(p.batch_tokens) OVER (ORDER BY p.batch_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY p.batch_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+  FROM per_batch p LEFT JOIN new_types n ON n.batch_id = p.batch_id
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(batch_tokens AS BIGINT) AS batch_tokens,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_vocab AS BIGINT) AS cum_vocab,
+       round(CAST(cum_vocab AS DOUBLE) / cum_tokens, 6) AS type_token_ratio
+FROM curve
+ORDER BY batch_id
+"""
+
+
+@query("text_vocab_growth", oracle=_VOCAB_ORACLE, survey_id="north-star")
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve per ingestion batch (batch =
+    doc_id div 500): tokens added, never-seen-before types added,
+    cumulative totals, and the type-token ratio — the standard "is the
+    corpus still adding vocabulary or just repeating itself" curve
+    next to text_ngram_novelty's 8-gram view. All counts are exact
+    integers; the only float is the final ratio.
+
+    Scale shape: one token explode → two keyed aggs (per-batch counts;
+    MIN(batch) per distinct type — vocabulary-bounded, not
+    token-bounded) → prefix sums over the |batches|-row curve. The
+    word-keyed agg is the crossdoc-style uniform heavy shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") / 500).cast("long").alias("batch_id"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    per_batch = tok.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("batch_tokens")
+    )
+    new_types = (
+        tok.groupBy("w")
+        .agg(F.min("batch_id").alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    run = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_batch.join(new_types, "batch_id", "left")
+        .select(
+            "batch_id",
+            "batch_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "batch_id",
+            "batch_tokens",
+            "new_types",
+            F.sum("batch_tokens").over(run).alias("cum_tokens"),
+            F.sum("new_types").over(run).alias("cum_vocab"),
+        )
+    )
+    return curve.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("batch_tokens").cast("long").alias("batch_tokens"),
+        F.col("new_types").cast("long").alias("new_types"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        F.round(
+            F.col("cum_vocab").cast("double") / F.col("cum_tokens"), 6
+        ).alias("type_token_ratio"),
+    ).orderBy("batch_id")
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_profile — day-of-week × hour-of-day seasonal surface
+# (wave 4)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH cells AS (
+  SELECT CAST((CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 + 4)
+              % 7 AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT dow, hod, n, cents,
+         SUM(n) OVER () AS tot_n, SUM(cents) OVER () AS tot_cents
+  FROM cells
+)
+SELECT dow, hod, CAST(n AS BIGINT) AS n,
+       round(CAST(cents AS DOUBLE) / n / 100, 4) AS mean_value,
+       round(CAST(cents AS DOUBLE) / n / 100
+             - CAST(tot_cents AS DOUBLE) / tot_n / 100, 4) AS dev_from_global
+FROM g
+ORDER BY dow, hod
+"""
+
+
+@query("events_seasonal_profile", oracle=_SEASONAL_ORACLE, survey_id="B-31-ext")
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonal surface of the event value —
+    the 168-cell profile behind seasonal-naive baselines and
+    "is this Tuesday 3pm normal for a Tuesday 3pm" anomaly checks.
+    Day-of-week is computed as (epoch_days + 4) % 7 (0 = Sunday) — an
+    integer formula identical in both engines, deliberately sidestepping
+    the engines' conflicting dayofweek/dow numbering conventions
+    (SURVEY §5.3 rule 6). Cents-scaled integer sums; two floats at the
+    end, mirrored.
+
+    Scale shape: one scan → one keyed agg to ≤168 cells with integer
+    map-side partials; global totals are windows over the cell frame."""
+    e = table(spark, sf_dir, "events")
+    dow = (
+        (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400).cast("long") + 4
+    ) % 7
+    cells = e.groupBy(
+        dow.alias("dow"), F.hour("ts").cast("long").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    glob = Window.partitionBy()
+    tot_n = F.sum("n").over(glob)
+    tot_cents = F.sum("cents").over(glob)
+    mean_cell = F.col("cents").cast("double") / F.col("n") / 100
+    mean_glob = tot_cents.cast("double") / tot_n / 100
+    return cells.select(
+        "dow",
+        "hod",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean_cell, 4).alias("mean_value"),
+        F.round(mean_cell - mean_glob, 4).alias("dev_from_global"),
+    ).orderBy("dow", "hod")
+
+
+# ---------------------------------------------------------------------------
+# agg_winsorized_mean — robust mean via exact order-statistic clipping
+# (wave 4)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH s AS (
+  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM s
+),
+bounds AS (
+  SELECT MAX(CASE WHEN rn = (n - 1) / 20 + 1 THEN cents END) AS lo,
+         MAX(CASE WHEN rn = (n - 1) * 19 / 20 + 1 THEN cents END) AS hi,
+         MAX(n) AS n
+  FROM r
+)
+SELECT CAST(b.n AS BIGINT) AS n,
+       CAST(b.lo AS BIGINT) AS lo_cents, CAST(b.hi AS BIGINT) AS hi_cents,
+       round(CAST(SUM(least(greatest(r.cents, b.lo), b.hi)) AS DOUBLE)
+             / b.n / 100, 4) AS winsorized_mean,
+       round(CAST(SUM(r.cents) AS DOUBLE) / b.n / 100, 4) AS raw_mean
+FROM r CROSS JOIN bounds b
+GROUP BY b.n, b.lo, b.hi
+"""
+
+
+@query("agg_winsorized_mean", oracle=_WINSOR_ORACLE, survey_id="B-25-ext")
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean of the purchase value — the robust-statistics
+    staple (clip to the exact p05/p95 ORDER STATISTICS, then average).
+    The bounds are discrete order statistics picked by integer rank
+    (rank = (n−1)·k/20 + 1, row_number tie-broken by event_id), NOT
+    interpolated quantiles — interpolation arithmetic differs across
+    engines in op order, order statistics cannot (SURVEY §5.3). All
+    sums are exact integer cents.
+
+    Scale shape: rank + clip over the sample (global-order caveat as
+    KS — bin or range-partition the rank at 100 TB); one pass each for
+    ranks, bounds (2 conditional MAXes on the ranked frame), and the
+    clipped sum."""
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    s = e.select(
+        "event_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    r = s.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    n = F.col("n")
+    bounds = r.agg(
+        F.max(F.when(F.col("rn") == (n - 1) / 20 + 1, F.col("cents"))).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == (n - 1) * 19 / 20 + 1, F.col("cents"))
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    j = r.crossJoin(bounds.select(F.col("lo"), F.col("hi"), F.col("n").alias("n_tot")))
+    return j.groupBy("n_tot", "lo", "hi").agg(
+        F.round(
+            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")))
+            .cast("double")
+            / F.col("n_tot")
+            / 100,
+            4,
+        ).alias("winsorized_mean"),
+        F.round(
+            F.sum("cents").cast("double") / F.col("n_tot") / 100, 4
+        ).alias("raw_mean"),
+    ).select(
+        F.col("n_tot").cast("long").alias("n"),
+        F.col("lo").cast("long").alias("lo_cents"),
+        F.col("hi").cast("long").alias("hi_cents"),
+        "winsorized_mean",
+        "raw_mean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_power_iteration — dominant eigenpair of the embedding covariance
+# (wave 4): iterative linear algebra certified against a declarative twin
+# ---------------------------------------------------------------------------
+
+_POWER_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS qe
+  FROM embeddings
+),
+idx AS (SELECT unnest(range(0, 64)) AS i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, q.qe[a.i + 1] AS qi, q.qe[b.i + 1] AS qj
+  FROM q, idx a, idx b WHERE a.i <= b.i
+),
+m AS (
+  SELECT i, j, COUNT(*) AS n, SUM(qi) AS s_i, SUM(qj) AS s_j,
+         SUM(qi * qj) AS s_ij
+  FROM pairs GROUP BY i, j
+),
+cov_tri AS (
+  SELECT i, j,
+         round((CAST(s_ij AS DOUBLE) - CAST(s_i AS DOUBLE) * s_j / n)
+               / (n - 1) / 1000000000000.0, 6) AS c
+  FROM m
+),
+cfull AS (
+  SELECT i, j, c FROM cov_tri
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cov_tri WHERE i <> j
+),
+v0 AS (SELECT unnest(range(0, 64)) AS i, 0.125 AS v),
+w1 AS (
+  SELECT cf.i, list_reduce(array_agg(cf.c * v0.v ORDER BY cf.j),
+                           (a, x) -> a + x) AS w
+  FROM cfull cf JOIN v0 ON v0.i = cf.j GROUP BY cf.i
+),
+n1 AS (SELECT sqrt(list_reduce(array_agg(w * w ORDER BY i),
+                               (a, x) -> a + x)) AS nrm FROM w1),
+v1 AS (SELECT i, w / (SELECT nrm FROM n1) AS v FROM w1),
+w2 AS (
+  SELECT cf.i, list_reduce(array_agg(cf.c * v1.v ORDER BY cf.j),
+                           (a, x) -> a + x) AS w
+  FROM cfull cf JOIN v1 ON v1.i = cf.j GROUP BY cf.i
+),
+n2 AS (SELECT sqrt(list_reduce(array_agg(w * w ORDER BY i),
+                               (a, x) -> a + x)) AS nrm FROM w2),
+v2 AS (SELECT i, w / (SELECT nrm FROM n2) AS v FROM w2),
+w3 AS (
+  SELECT cf.i, list_reduce(array_agg(cf.c * v2.v ORDER BY cf.j),
+                           (a, x) -> a + x) AS w
+  FROM cfull cf JOIN v2 ON v2.i = cf.j GROUP BY cf.i
+),
+n3 AS (SELECT sqrt(list_reduce(array_agg(w * w ORDER BY i),
+                               (a, x) -> a + x)) AS nrm FROM w3)
+SELECT CAST(w3.i AS BIGINT) AS i,
+       round(w3.w / n3.nrm, 6) AS eigvec,
+       round(n3.nrm, 6) AS eigenvalue
+FROM w3 CROSS JOIN n3
+ORDER BY i
+"""
+
+
+@query("embed_power_iteration", oracle=_POWER_ORACLE, survey_id="north-star")
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenpair of the embedding covariance by THREE unrolled
+    power-iteration steps (v₀ = 1/8 exactly; λ ≈ ‖Cv₂‖ since v₂ is
+    unit) — the top principal component a whitening/PCA pipeline needs,
+    and the repo's demonstration that an ITERATIVE linear-algebra
+    kernel can be hash-certified against a purely declarative SQL twin.
+    The distributed part is the covariance (embed_covariance_matrix's
+    certified Arrow Gram kernel, composed here); every iteration is
+    metadata-scale math over the 64×64 matrix relation.
+
+    Float determinism: each matvec component and each norm is an
+    ORDERED fold (sort by the summation index, Horner-style left fold)
+    so both engines add the same doubles in the same order at every
+    step; the covariance entering iteration 1 is the op's ROUNDED
+    6-dp output, identical by construction. 3 iterations is enough to
+    pin the plan shape; production would loop to tolerance with the
+    same per-step certification.
+
+    Scale shape: one distributed Gram pass, then 3 broadcast-joined
+    64-row matvecs — iteration cost is independent of corpus size."""
+    cov = embed_covariance_matrix(spark, sf_dir).select("i", "j", "cov")
+    cfull = cov.unionByName(
+        cov.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
+        )
+    ).select("i", "j", F.col("cov").alias("c"))
+
+    spark_range = spark.range(0, 64).select(
+        F.col("id").alias("i"), F.lit(0.125).alias("v")
+    )
+    v = spark_range
+
+    def matvec(vdf: DataFrame) -> DataFrame:
+        joined = cfull.join(
+            F.broadcast(vdf.select(F.col("i").alias("j"), "v")), "j"
+        )
+        return joined.groupBy("i").agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("j"), (F.col("c") * F.col("v")).alias("t")
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("w")
+        )
+
+    def norm_of(wdf: DataFrame) -> DataFrame:
+        return wdf.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("i"),
+                                    (F.col("w") * F.col("w")).alias("t"),
+                                )
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("nrm")
+        )
+
+    for _ in range(2):
+        w = matvec(v)
+        v = w.crossJoin(norm_of(w)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("v")
+        )
+    w3 = matvec(v)
+    return (
+        w3.crossJoin(norm_of(w3))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.round(F.col("w") / F.col("nrm"), 6).alias("eigvec"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue"),
+        )
+        .orderBy("i")
     )

@@ -83,6 +83,11 @@ _WINDOW_PRIORITY: list[str] = [
     "agg_effect_size_cohens_d",
     "embed_covariance_matrix",
     "text_ngram_novelty",
+    "agg_permutation_test",
+    "text_vocab_growth",
+    "events_seasonal_profile",
+    "agg_winsorized_mean",
+    "embed_power_iteration",
     # --- changed implementation / tier this round: re-earn the row ---
     "text_crossdoc_substring",
     "sim_search_arrow_kernel",
@@ -119,11 +124,6 @@ _WINDOW_PRIORITY: list[str] = [
     "join_dpp_partitioned",
     "udtf_analyze_dynamic",
     "pipeline_curriculum_order",
-    "fn_aes_roundtrip",
-    "agg_listagg_ordered",
-    "sample_shuffle_epoch",
-    "sql_execute_immediate",
-    "sink_snapshot_positional_deletes",
     "text_quality_linear_scorer",
 ]
 
