@@ -978,6 +978,25 @@ docs = spark.read.parquet(sf + "/documents.parquet")
 docs8 = functools.reduce(lambda a, b: a.unionAll(b), [docs] * 8)
 em = spark.read.parquet(sf + "/embeddings.parquet")
 cents = lambda c: (F.col(c) * 100 + 0.5).cast("long")
+import numpy as _np, pyarrow as _pa
+from cloudtrail_streamer_spark.operators.stats_tests import exact_int_gram as _eig
+_iu = _np.triu_indices(64)
+_schema = _pa.schema([(c, _pa.int64()) for c in ("i", "j", "n", "s_i", "s_j", "s_ij")])
+def _gram_map(batches):
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        x = rb.column(0).flatten().to_numpy(zero_copy_only=False).reshape(rb.num_rows, 64)
+        g = _eig(x)
+        s = x.sum(axis=0)
+        yield _pa.RecordBatch.from_arrays(
+            [_pa.array(_iu[0].astype(_np.int64)), _pa.array(_iu[1].astype(_np.int64)),
+             _pa.array(_np.full(len(_iu[0]), rb.num_rows, dtype=_np.int64)),
+             _pa.array(s[_iu[0]]), _pa.array(s[_iu[1]]), _pa.array(g[_iu])],
+            schema=_schema)
+em8q = functools.reduce(lambda a, b: a.unionAll(b), [em] * 8).select(
+    F.transform("embedding",
+        lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long")).alias("qe"))
 shapes = {{
   "q1_hash_agg_10m": lambda: li16.groupBy("l_returnflag", "l_linestatus").agg(
       F.sum(cents("l_extendedprice")).alias("s"),
@@ -1002,6 +1021,9 @@ shapes = {{
                          != F.max("doc_id").over(W.partitionBy("w"))).cast("long").alias("sh"))
       .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), F.sum("sh").alias("s"))
       .agg(F.sum("n").alias("tn"), F.sum("s").alias("ts")),
+  "covariance_gram_400k": lambda: em8q.repartition({max(cores, 4)}).mapInArrow(
+      _gram_map, "i long, j long, n long, s_i long, s_j long, s_ij long")
+      .groupBy("i", "j").agg(F.sum("s_ij").alias("g")),
 }}
 out = {{}}
 for name, mk in shapes.items():
