@@ -994,7 +994,10 @@ def _gram_map(batches):
              _pa.array(_np.full(len(_iu[0]), rb.num_rows, dtype=_np.int64)),
              _pa.array(s[_iu[0]]), _pa.array(s[_iu[1]]), _pa.array(g[_iu])],
             schema=_schema)
-em8q = functools.reduce(lambda a, b: a.unionAll(b), [em] * 8).select(
+# 32 replicas -> 32 scan splits: parallelism follows the input (the real
+# op's shape — no forced repartition; a 256 MB exchange of the scaled
+# arrays measured ~2x slower than scan-aligned kernels at 32 cores)
+em32q = functools.reduce(lambda a, b: a.unionAll(b), [em] * 32).select(
     F.transform("embedding",
         lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long")).alias("qe"))
 shapes = {{
@@ -1021,7 +1024,7 @@ shapes = {{
                          != F.max("doc_id").over(W.partitionBy("w"))).cast("long").alias("sh"))
       .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), F.sum("sh").alias("s"))
       .agg(F.sum("n").alias("tn"), F.sum("s").alias("ts")),
-  "covariance_gram_400k": lambda: em8q.repartition({max(cores, 4)}).mapInArrow(
+  "covariance_gram_1m6": lambda: em32q.mapInArrow(
       _gram_map, "i long, j long, n long, s_i long, s_j long, s_ij long")
       .groupBy("i", "j").agg(F.sum("s_ij").alias("g")),
 }}

@@ -1510,3 +1510,156 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_cross_lingual_overlap — pairwise vocabulary Jaccard across languages
+# (wave 5)
+# ---------------------------------------------------------------------------
+
+_XLING_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+sizes AS (SELECT lang, COUNT(*) AS nv FROM vocab GROUP BY lang),
+shared AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+  FROM vocab a JOIN vocab b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT s.lang_a, s.lang_b,
+       CAST(sa.nv AS BIGINT) AS vocab_a, CAST(sb.nv AS BIGINT) AS vocab_b,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       round(CAST(s.n_shared AS DOUBLE)
+             / (sa.nv + sb.nv - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.lang = s.lang_a
+JOIN sizes sb ON sb.lang = s.lang_b
+ORDER BY s.lang_a, s.lang_b
+"""
+
+
+@query("text_cross_lingual_overlap", oracle=_XLING_ORACLE, survey_id="north-star")
+def text_cross_lingual_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between every language pair — the
+    corpus-composition probe behind "is the zh slice actually zh, or
+    mislabeled en" checks (a suspiciously high cross-lingual overlap
+    flags label noise or boilerplate bleed). Vocabulary = distinct
+    (lang, word); overlap is a word-keyed self-join whose fan-out per
+    word is bounded by |langs|² — never doc×doc or word×word.
+
+    Scale shape: explode → DISTINCT (the heavy, uniform shuffle) →
+    word-keyed equi-join bounded at |langs| rows per key → one keyed
+    agg to |langs|² pairs; the sizes join is metadata-scale. Integer
+    counts until the final ratio."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("nv"))
+    shared = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("lang").alias("lang_a"), F.col("nv").alias("vocab_a"))),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("lang").alias("lang_b"), F.col("nv").alias("vocab_b"))),
+            "lang_b",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile_bands_exact — decile bands per group via integer-rank
+# order statistics (wave 5)
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH s AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+),
+k AS (SELECT unnest(range(0, 11)) AS decile)
+SELECT r.event_type, CAST(k.decile AS BIGINT) AS decile,
+       CAST(r.n AS BIGINT) AS n,
+       round(CAST(r.cents AS DOUBLE) / 100, 2) AS value
+FROM r CROSS JOIN k
+WHERE r.rn = (r.n - 1) * k.decile // 10 + 1
+ORDER BY r.event_type, decile
+"""
+
+
+@query("agg_quantile_bands_exact", oracle=_DECILE_ORACLE, survey_id="B-25-ext")
+def agg_quantile_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile bands (d0=min..d10=max) of the event value per
+    event type — the per-group distribution summary a monitoring
+    dashboard draws, computed as INTEGER-RANK order statistics
+    (rank = (n−1)·k/10 + 1, row_number tie-broken by event_id) rather
+    than interpolated quantiles, for the same cross-engine float
+    reason as agg_winsorized_mean. Complements agg_median_quantile
+    (interpolating, single quantile) with the exact banded form.
+
+    Scale shape: one rank window per group key (parallel across
+    event types) + a ×11 filter against the decile rank set — the
+    shuffle carries (type, cents) pairs once; nothing downstream
+    scales with rows."""
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = s.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    k = spark.range(0, 11).select(F.col("id").alias("decile"))
+    return (
+        r.crossJoin(F.broadcast(k))
+        .where(
+            F.col("rn")
+            == F.floor((F.col("n") - 1) * F.col("decile") / 10) + 1
+        )
+        .select(
+            "event_type",
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("cents").cast("double") / 100, 2).alias("value"),
+        )
+        .orderBy("event_type", "decile")
+    )

@@ -88,6 +88,8 @@ _WINDOW_PRIORITY: list[str] = [
     "events_seasonal_profile",
     "agg_winsorized_mean",
     "embed_power_iteration",
+    "text_cross_lingual_overlap",
+    "agg_quantile_bands_exact",
     # --- changed implementation / tier this round: re-earn the row ---
     "text_crossdoc_substring",
     "sim_search_arrow_kernel",
@@ -111,8 +113,6 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_tumbling",
     "agg_rollup",
     "pipeline_dedup_e2e",
-    "sort_multikey",
-    "limit_topk",
     # --- streaming family + lakehouse/pipeline waves ---
     "stream_agg_update",
     "stream_custom_state",

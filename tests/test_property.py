@@ -393,3 +393,103 @@ def test_dynamic_gap_session_matches_reference(spark):
         for r in dyn_session_stats(sdf).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_mann_whitney_matches_bruteforce(spark, seed):
+    """The engine's rank-sum formulation (2*rmin+cnt-1 integer average
+    ranks, tie-corrected sigma) must equal a from-first-principles
+    computation on a random small sample (stats_tests.py r8)."""
+    rng = np.random.default_rng(seed)
+    va = rng.integers(0, 20, 60).astype(float)  # heavy ties on purpose
+    vb = rng.integers(3, 23, 40).astype(float)
+    rows = [(float(v), 1) for v in va] + [(float(v), 0) for v in vb]
+    df = spark.createDataFrame(rows, "value double, is_a int")
+    r = df.select(
+        "is_a",
+        F.rank().over(Window.orderBy("value")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("cnt"),
+    )
+    t = r.agg(
+        F.sum(
+            F.when(F.col("is_a") == 1, 2 * F.col("rmin") + F.col("cnt") - 1).otherwise(0)
+        ).alias("r2a")
+    ).collect()[0]
+    u_engine = t["r2a"] / 2.0 - len(va) * (len(va) + 1) / 2.0
+    # brute force: average ranks via numpy
+    allv = np.concatenate([va, vb])
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    sorted_v = allv[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    u_brute = ranks[: len(va)].sum() - len(va) * (len(va) + 1) / 2.0
+    assert u_engine == pytest.approx(u_brute, abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_ks_matches_bruteforce(spark, seed):
+    """The prefix-sum KS distance must equal the direct two-sample ECDF
+    sup-distance on a random sample (stats_tests.py r8)."""
+    rng = np.random.default_rng(seed)
+    va = np.round(rng.normal(0, 1, 80), 2)
+    vb = np.round(rng.normal(0.4, 1.2, 50), 2)
+    rows = [(float(v), "click") for v in va] + [(float(v), "purchase") for v in vb]
+    df = spark.createDataFrame(rows, "value double, event_type string")
+    byv = df.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("na"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("nb"),
+    )
+    run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    glob = Window.partitionBy()
+    d = byv.select(
+        F.abs(
+            F.sum("na").over(run).cast("double") / F.sum("na").over(glob)
+            - F.sum("nb").over(run).cast("double") / F.sum("nb").over(glob)
+        ).alias("d")
+    ).agg(F.max("d").alias("ks")).collect()[0]["ks"]
+    grid = np.unique(np.concatenate([va, vb]))
+    fa = np.searchsorted(np.sort(va), grid, side="right") / len(va)
+    fb = np.searchsorted(np.sort(vb), grid, side="right") / len(vb)
+    assert d == pytest.approx(np.abs(fa - fb).max(), abs=1e-12)
+
+
+def test_power_iteration_converges_toward_numpy_eig(spark):
+    """Three power steps on the sf0.001 covariance, checked against
+    numpy's eigendecomposition via the properties power iteration
+    GUARANTEES regardless of spectrum shape (the random-embedding
+    covariance is nearly isotropic — top-5 eigenvalues within ~15% — so
+    3 steps cannot pin the exact eigenvector; what they must do is
+    bound the norm estimate by λ_max, amplify the top component over
+    the flat start, and return a unit iterate). Measured on this
+    fixture: λ_est/λ_max ≈ 0.77, cos 0.176 vs flat-start 0.054
+    (stats_tests.py r8)."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    cov_rows = all_queries()["embed_covariance_matrix"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    c = np.zeros((64, 64))
+    for row in cov_rows:
+        c[row["i"], row["j"]] = row["cov"]
+        c[row["j"], row["i"]] = row["cov"]
+    res = all_queries()["embed_power_iteration"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    v = np.array([r["eigvec"] for r in sorted(res, key=lambda r: r["i"])])
+    lam = res[0]["eigenvalue"]
+    w, vecs = np.linalg.eigh(c)
+    top = np.abs(w).argmax()
+    lam_max = abs(w[top])
+    assert lam <= lam_max * (1 + 1e-9)  # ||Cv|| <= lam_max for unit v
+    assert lam >= lam_max * 0.5  # meaningful progress from a flat start
+    assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-4)
+    v0 = np.full(64, 1 / 8)
+    cos = abs(float(v @ vecs[:, top]))
+    cos0 = abs(float(v0 @ vecs[:, top]))
+    assert cos > cos0  # monotone amplification of the top component
