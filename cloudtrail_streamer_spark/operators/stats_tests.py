@@ -30,6 +30,16 @@ corpus or feature slice:
 - ``embed_power_iteration`` — dominant covariance eigenpair by three
   unrolled power steps, every fold ordered, certified against a
   declarative recursive-CTE-free SQL twin (wave 4).
+- ``text_cross_lingual_overlap`` — pairwise vocabulary Jaccard across
+  languages, the label-noise probe (wave 5).
+- ``agg_quantile_bands_exact`` — per-group decile bands as integer-rank
+  order statistics (wave 5).
+- ``agg_t_test_welch`` — unequal-variance t + Welch–Satterthwaite df
+  (wave 6).
+- ``win_lag_features_matrix`` — lag/rolling feature materialization for
+  forecasting (wave 6).
+- ``embed_pairwise_distance_hist`` — embedding-collapse diagnostic on a
+  hash sample, exact integer distances (wave 6).
 
 Determinism (SURVEY §5.3): every statistic is assembled from EXACT
 integer sums (counts, 2×average-ranks, Σt³−t tie terms, Σxy cross
@@ -1662,4 +1672,273 @@ def agg_quantile_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cents").cast("double") / 100, 2).alias("value"),
         )
         .orderBy("event_type", "decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_t_test_welch — unequal-variance t-test (wave 6)
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT is_a, COUNT(*) AS n, SUM(cents) AS sc, SUM(cents * cents) AS sc2
+  FROM s GROUP BY is_a
+),
+w AS (
+  SELECT MAX(CASE WHEN is_a = 1 THEN n END) AS na,
+         MAX(CASE WHEN is_a = 1 THEN sc END) AS sa,
+         MAX(CASE WHEN is_a = 1 THEN sc2 END) AS sa2,
+         MAX(CASE WHEN is_a = 0 THEN n END) AS nb,
+         MAX(CASE WHEN is_a = 0 THEN sc END) AS sb,
+         MAX(CASE WHEN is_a = 0 THEN sc2 END) AS sb2
+  FROM g
+),
+m AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+         (CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1)
+           / na AS vna,
+         (CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)
+           / nb AS vnb
+  FROM w
+)
+SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_purchase,
+       round(ma / 100, 4) AS mean_click,
+       round(mb / 100, 4) AS mean_purchase,
+       round((ma - mb) / sqrt(vna + vnb), 4) AS t_stat,
+       round((vna + vnb) * (vna + vnb)
+             / (vna * vna / (na - 1) + vnb * vnb / (nb - 1)), 2) AS df_welch
+FROM m
+"""
+
+
+@query("agg_t_test_welch", oracle=_WELCH_ORACLE, survey_id="B-25-ext")
+def agg_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the click and purchase
+    value samples, with the Welch–Satterthwaite effective degrees of
+    freedom — completing the suite's test battery (z for proportions,
+    U for ranks, permutation for no-assumptions, d for magnitude, t
+    for means under unequal variance). Exact integer cents moments;
+    vna/vnb (variance-over-n) are computed ONCE as named intermediates
+    so the t and df expressions share the identical doubles in both
+    engines.
+
+    Scale shape: identical to agg_effect_size_cohens_d — one keyed agg
+    with integer partials, then constant-size math."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        (F.col("event_type") == "click").cast("long").alias("is_a"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    g = s.groupBy("is_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sc2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("is_a") == 1, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("is_a") == 1, F.col("sc"))).alias("sa"),
+        F.max(F.when(F.col("is_a") == 1, F.col("sc2"))).alias("sa2"),
+        F.max(F.when(F.col("is_a") == 0, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("is_a") == 0, F.col("sc"))).alias("sb"),
+        F.max(F.when(F.col("is_a") == 0, F.col("sc2"))).alias("sb2"),
+    )
+    na, nb, sa, sb = F.col("na"), F.col("nb"), F.col("sa"), F.col("sb")
+    m = w.select(
+        na,
+        nb,
+        (sa.cast("double") / na).alias("ma"),
+        (sb.cast("double") / nb).alias("mb"),
+        (
+            (F.col("sa2").cast("double") - sa.cast("double") * sa / na)
+            / (na - 1)
+            / na
+        ).alias("vna"),
+        (
+            (F.col("sb2").cast("double") - sb.cast("double") * sb / nb)
+            / (nb - 1)
+            / nb
+        ).alias("vnb"),
+    )
+    vna, vnb = F.col("vna"), F.col("vnb")
+    return m.select(
+        na.cast("long").alias("n_click"),
+        nb.cast("long").alias("n_purchase"),
+        F.round(F.col("ma") / 100, 4).alias("mean_click"),
+        F.round(F.col("mb") / 100, 4).alias("mean_purchase"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(vna + vnb), 4).alias(
+            "t_stat"
+        ),
+        F.round(
+            (vna + vnb) * (vna + vnb)
+            / (vna * vna / (na - 1) + vnb * vnb / (nb - 1)),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_lag_features_matrix — supervised-learning feature materialization
+# (wave 6)
+# ---------------------------------------------------------------------------
+
+_LAGFEAT_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+feat AS (
+  SELECT event_type, h, cents,
+         lag(cents, 1)  OVER w AS lag1,
+         lag(cents, 2)  OVER w AS lag2,
+         lag(cents, 3)  OVER w AS lag3,
+         lag(cents, 24) OVER w AS lag24,
+         SUM(cents)  OVER (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS s24,
+         COUNT(*)    OVER (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS n24
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type, h, cents AS y_cents,
+       lag1, lag2, lag3, lag24,
+       round(CAST(s24 AS DOUBLE) / n24, 4) AS ma24_cents
+FROM feat
+ORDER BY event_type, h
+"""
+
+
+@query("win_lag_features_matrix", oracle=_LAGFEAT_ORACLE, survey_id="B-31-ext")
+def win_lag_features_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature materialization for the hourly
+    revenue series: lag-1/2/3/24 and trailing-24 mean per event type —
+    the feature-matrix build a forecasting pipeline runs before
+    training (the engine-side half of a feature store write; pairs
+    with feature_pit_join's point-in-time read). Lags are over
+    OBSERVED hours (the standard dense-series assumption; run
+    events_gap_fill first for calendar-dense lags). Integer cents
+    throughout; one float at the end — and that mean is reported in
+    CENTS (denominator ≤ 24 ⇒ the exact expansion has ≤ 4 decimals,
+    so ROUND(x,4) can never land on a tie where Spark's
+    BigDecimal-HALF_UP and DuckDB's std::round disagree; dividing to
+    dollars first reintroduces 5-decimal ties — hit and fixed here).
+
+    Scale shape: one keyed agg to the hourly grain, then one window
+    spec per event_type partition — all five features share the same
+    shuffle; nothing scales with raw rows after the first agg."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    fr = w.rowsBetween(-23, 0)
+    return (
+        hourly.select(
+            "event_type",
+            "h",
+            F.col("cents").alias("y_cents"),
+            F.lag("cents", 1).over(w).alias("lag1"),
+            F.lag("cents", 2).over(w).alias("lag2"),
+            F.lag("cents", 3).over(w).alias("lag3"),
+            F.lag("cents", 24).over(w).alias("lag24"),
+            F.round(
+                F.sum("cents").over(fr).cast("double")
+                / F.count(F.lit(1)).over(fr),
+                4,
+            ).alias("ma24_cents"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_pairwise_distance_hist — embedding-collapse diagnostic on a hash
+# sample (wave 6)
+# ---------------------------------------------------------------------------
+
+_PDIST_ORACLE = """
+WITH sampled AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT)
+        % 20 = 0
+),
+pairs AS (
+  SELECT list_sum(list_transform(range(1, 65),
+           i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS d2
+  FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
+)
+SELECT CAST(least(d2 // 5000000000000, 19) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@query("embed_pairwise_distance_hist", oracle=_PDIST_ORACLE, survey_id="north-star")
+def embed_pairwise_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of pairwise squared L2 distances over a ~5% md5-hash
+    sample of the embedding table — the embedding-collapse diagnostic
+    (a healthy space shows a broad unimodal histogram; collapse piles
+    mass in the lowest buckets). Distances are EXACT integers in
+    micro-unit² (zip-fold of (qa−qb)², commutative int sums — no float
+    anywhere), bucketed at a fixed 5e12 step into 20 bins.
+
+    Scale shape: the pairwise product runs ONLY on the hash sample —
+    |sample|² pairs, deterministic and engine-identical (md5 % 20),
+    never the full N². At 100 TB you tune the sample modulus so
+    |sample| stays ~10⁴ (10⁸ pairs) regardless of corpus size; the
+    full-table path is the IVF/LSH family, not this diagnostic."""
+    emb = table(spark, sf_dir, "embeddings")
+    sampled = emb.where(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 20
+        == 0
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+        ).alias("q"),
+    )
+    pairs = (
+        sampled.alias("a")
+        .join(sampled.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("a.q"),
+                    F.col("b.q"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2")
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.least(F.floor(F.col("d2") / 5000000000000), F.lit(19))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bucket")
     )

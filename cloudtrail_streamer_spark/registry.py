@@ -90,6 +90,9 @@ _WINDOW_PRIORITY: list[str] = [
     "embed_power_iteration",
     "text_cross_lingual_overlap",
     "agg_quantile_bands_exact",
+    "agg_t_test_welch",
+    "win_lag_features_matrix",
+    "embed_pairwise_distance_hist",
     # --- changed implementation / tier this round: re-earn the row ---
     "text_crossdoc_substring",
     "sim_search_arrow_kernel",
@@ -122,9 +125,6 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_session_dynamic_gap",
     "join_skew_salted",
     "join_dpp_partitioned",
-    "udtf_analyze_dynamic",
-    "pipeline_curriculum_order",
-    "text_quality_linear_scorer",
 ]
 
 # Next-round staging: queries registered AFTER this round's window was

@@ -919,3 +919,25 @@ def test_exact_int_gram_both_regimes():
 
     with _pytest.raises(AssertionError):
         exact_int_gram(np.array([[1 << 24]], dtype=np.int64))
+
+
+def test_ordered_folds_partition_invariant(spark):
+    """The r8 ordered-fold ops (DSIR per-doc sums, power-iteration
+    matvecs/norms) claim bit-identical results regardless of physical
+    partitioning — collect_list order varies with partition count, and
+    sort_array is what normalizes it. Re-run both under a different
+    shuffle-partition count and require EXACT equality."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    base_dsir = all_queries()["text_dsir_importance"](spark, sf).collect()
+    base_pow = all_queries()["embed_power_iteration"](spark, sf).collect()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt_dsir = all_queries()["text_dsir_importance"](spark, sf).collect()
+        alt_pow = all_queries()["embed_power_iteration"](spark, sf).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    assert [tuple(r) for r in base_dsir] == [tuple(r) for r in alt_dsir]
+    assert [tuple(r) for r in base_pow] == [tuple(r) for r in alt_pow]
