@@ -857,6 +857,7 @@ def main() -> None:
             for xq, key in (
                 ("text_crossdoc_substring", "crossdoc_sf10"),
                 ("pipeline_pretrain_e2e", "pretrain_sf10"),
+                ("embed_covariance_matrix", "covariance_sf10"),
             ):
                 if not (llm_block and xq in llm_block.get("sf1", {}).get("spark", {})):
                     continue

@@ -57,7 +57,7 @@ def _load_all() -> None:
 # Round 8 (VERDICT r07 #8 "keep the certification loop airtight"):
 # slot 1 is the single registry entry without a driver row (the new
 # bounded-state certificate split out of stream_stream_join); next,
-# the 10 wave-2/3 r8 registrations (hypothesis-testing + data-
+# the 20 wave-2..6 r8 registrations (hypothesis-testing + data-
 # selection suite, operators/stats_tests.py) — all new names MUST sit
 # inside the 50-slot window so CORRECTNESS_r08 certifies them same-
 # round; then RE-certification of every query whose implementation or
