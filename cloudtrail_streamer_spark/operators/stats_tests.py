@@ -88,6 +88,14 @@ def exact_int_gram(x):
     if len(x) * qmax * qmax < (1 << 53):
         xf = x.astype(np.float64)
         return (xf.T @ xf).astype(np.int64)
+    # Recombined split entries reach rows·qmax² (≤ rows·2^48): bound the
+    # batch so the int64 shift-add cannot silently wrap if the Arrow
+    # batch size is raised above the default (ADVICE r08 #2) — the
+    # exactness contract must fail loudly, not corrupt Gram partials.
+    assert len(x) * qmax * qmax < (1 << 63), (
+        "split-GEMM int64 recombination bound (rows * qmax^2 < 2^63); "
+        "lower spark.sql.execution.arrow.maxRecordsPerBatch"
+    )
     a = (x >> 12).astype(np.float64)
     b = (x & 4095).astype(np.float64)
     g_hi = a.T @ a
@@ -215,14 +223,15 @@ ties AS (
 SELECT CAST(na AS BIGINT) AS n_click,
        CAST(nb AS BIGINT) AS n_purchase,
        round(CAST(r2a AS DOUBLE) / 2
-             - CAST(na AS DOUBLE) * (na + 1) / 2, 4) AS u_stat,
+             - CAST(na AS DOUBLE) * (na + 1) / 2, 4) + 0.0 AS u_stat,
        round((CAST(r2a AS DOUBLE) / 2
               - CAST(na AS DOUBLE) * (na + 1) / 2
               - CAST(na AS DOUBLE) * nb / 2)
              / sqrt(CAST(na AS DOUBLE) * nb / 12.0
                     * ((na + nb + 1)
                        - CAST(tie_sum AS DOUBLE)
-                         / ((na + nb) * (na + nb - 1.0)))), 4) AS z_score
+                         / ((na + nb) * (na + nb - 1.0)))), 4) + 0.0
+         AS z_score
 FROM t CROSS JOIN ties
 """
 
@@ -280,8 +289,11 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.crossJoin(ties).select(
         na.cast("long").alias("n_click"),
         nb.cast("long").alias("n_purchase"),
-        F.round(u, 4).alias("u_stat"),
-        F.round((u - na.cast("double") * nb / 2) / sigma, 4).alias("z_score"),
+        # + 0.0 → signed-zero normalization (SURVEY §5.3 rule 8)
+        (F.round(u, 4) + F.lit(0.0)).alias("u_stat"),
+        (
+            F.round((u - na.cast("double") * nb / 2) / sigma, 4) + F.lit(0.0)
+        ).alias("z_score"),
     )
 
 
@@ -370,7 +382,7 @@ SELECT h, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
        round((n * sxy - sx * sy)
              / NULLIF(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
                       * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0), 6)
-         AS corr24
+         + 0.0 AS corr24
 FROM w
 """
 
@@ -410,9 +422,11 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         F.col("x").cast("long").alias("x"),
         F.col("y").cast("long").alias("y"),
-        F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6).alias(
-            "corr24"
-        ),
+        # + 0.0 → signed-zero normalization (SURVEY §5.3 rule 8)
+        (
+            F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6)
+            + F.lit(0.0)
+        ).alias("corr24"),
     )
 
 
@@ -443,7 +457,7 @@ SELECT CAST(lag_h AS BIGINT) AS lag_h, CAST(n AS BIGINT) AS n_pairs,
        round((n * sxy - sx * sy)
              / NULLIF(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
                       * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0), 6)
-         AS autocorr
+         + 0.0 AS autocorr
 FROM m
 ORDER BY lag_h
 """
@@ -500,8 +514,14 @@ def events_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(
             F.col("lag_h").cast("long").alias("lag_h"),
             n.cast("long").alias("n_pairs"),
-            F.round(
-                (n * F.col("sxy") - sx * sy) / F.nullif(denom, F.lit(0.0)), 6
+            # + 0.0 → signed-zero normalization (SURVEY §5.3 rule 8)
+            (
+                F.round(
+                    (n * F.col("sxy") - sx * sy)
+                    / F.nullif(denom, F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("autocorr"),
         )
         .orderBy("lag_h")
@@ -727,7 +747,7 @@ SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_purchase,
                       - CAST(sa AS DOUBLE) * sa / na)
                      + (CAST(sb2 AS DOUBLE)
                         - CAST(sb AS DOUBLE) * sb / nb))
-                    / (na + nb - 2)), 4) AS cohens_d
+                    / (na + nb - 2)), 4) + 0.0 AS cohens_d
 FROM w
 """
 
@@ -775,8 +795,12 @@ def agg_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.cast("long").alias("n_purchase"),
         F.round(sa.cast("double") / na / 100, 4).alias("mean_click"),
         F.round(sb.cast("double") / nb / 100, 4).alias("mean_purchase"),
-        F.round(
-            (sa.cast("double") / na - sb.cast("double") / nb) / pooled, 4
+        # + 0.0 → signed-zero normalization (SURVEY §5.3 rule 8)
+        (
+            F.round(
+                (sa.cast("double") / na - sb.cast("double") / nb) / pooled, 4
+            )
+            + F.lit(0.0)
         ).alias("cohens_d"),
     )
 
@@ -804,7 +828,7 @@ m AS (
 SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
        CAST(n AS BIGINT) AS n,
        round((CAST(s_ij AS DOUBLE) - CAST(s_i AS DOUBLE) * s_j / n)
-             / (n - 1) / 1000000000000.0, 6) AS cov
+             / (n - 1) / 1000000000000.0, 6) + 0.0 AS cov
 FROM m
 ORDER BY i, j
 """
@@ -898,8 +922,12 @@ def embed_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (n - 1)
         / 1000000000000.0
     )
+    # `+ 0.0` normalizes IEEE signed zero: DuckDB's round() preserves -0.0
+    # (e.g. cell i=5,j=9 at sf0.01) while Spark's never emits it — value-
+    # equal, hash-different under the driver's value-hash (SURVEY §5.3
+    # rule 8). -0.0 + 0.0 = +0.0 in both engines.
     return m.select(
-        "i", "j", n.alias("n"), F.round(cov, 6).alias("cov")
+        "i", "j", n.alias("n"), (F.round(cov, 6) + F.lit(0.0)).alias("cov")
     ).orderBy("i", "j")
 
 
@@ -1038,7 +1066,7 @@ agg AS (
 )
 SELECT CAST(o.na AS BIGINT) AS n_click, CAST(o.nb AS BIGINT) AS n_purchase,
        round((CAST(o.sa AS DOUBLE) / o.na - CAST(o.sb AS DOUBLE) / o.nb)
-             / 100, 4) AS obs_diff,
+             / 100, 4) + 0.0 AS obs_diff,
        CAST(a.n_perms AS BIGINT) AS n_perms,
        CAST(a.n_extreme AS BIGINT) AS n_extreme,
        round((1.0 + a.n_extreme) / (a.n_perms + 1.0), 4) AS p_value
@@ -1118,7 +1146,8 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obs.crossJoin(agg).select(
         F.col("na").cast("long").alias("n_click"),
         F.col("nb").cast("long").alias("n_purchase"),
-        F.round(obs_diff / 100, 4).alias("obs_diff"),
+        # + 0.0 → signed-zero normalization (SURVEY §5.3 rule 8)
+        (F.round(obs_diff / 100, 4) + F.lit(0.0)).alias("obs_diff"),
         F.col("n_perms").cast("long").alias("n_perms"),
         F.col("n_extreme").cast("long").alias("n_extreme"),
         F.round(
@@ -1239,7 +1268,8 @@ g AS (
 SELECT dow, hod, CAST(n AS BIGINT) AS n,
        round(CAST(cents AS DOUBLE) / n / 100, 4) AS mean_value,
        round(CAST(cents AS DOUBLE) / n / 100
-             - CAST(tot_cents AS DOUBLE) / tot_n / 100, 4) AS dev_from_global
+             - CAST(tot_cents AS DOUBLE) / tot_n / 100, 4) + 0.0
+         AS dev_from_global
 FROM g
 ORDER BY dow, hod
 """
@@ -1278,7 +1308,10 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hod",
         F.col("n").cast("long").alias("n"),
         F.round(mean_cell, 4).alias("mean_value"),
-        F.round(mean_cell - mean_glob, 4).alias("dev_from_global"),
+        # + 0.0 → signed-zero normalization (SURVEY §5.3 rule 8)
+        (F.round(mean_cell - mean_glob, 4) + F.lit(0.0)).alias(
+            "dev_from_global"
+        ),
     ).orderBy("dow", "hod")
 
 
@@ -1299,8 +1332,8 @@ r AS (
   FROM s
 ),
 bounds AS (
-  SELECT MAX(CASE WHEN rn = (n - 1) / 20 + 1 THEN cents END) AS lo,
-         MAX(CASE WHEN rn = (n - 1) * 19 / 20 + 1 THEN cents END) AS hi,
+  SELECT MAX(CASE WHEN rn = (n - 1) // 20 + 1 THEN cents END) AS lo,
+         MAX(CASE WHEN rn = (n - 1) * 19 // 20 + 1 THEN cents END) AS hi,
          MAX(n) AS n
   FROM r
 )
@@ -1319,7 +1352,9 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5%-winsorized mean of the purchase value — the robust-statistics
     staple (clip to the exact p05/p95 ORDER STATISTICS, then average).
     The bounds are discrete order statistics picked by integer rank
-    (rank = (n−1)·k/20 + 1, row_number tie-broken by event_id), NOT
+    (rank = ⌊(n−1)·k/20⌋ + 1 — FLOOR division in both engines, so the
+    predicate hits a real row for every n, not just (n−1) % 20 == 0;
+    row_number tie-broken by event_id), NOT
     interpolated quantiles — interpolation arithmetic differs across
     engines in op order, order statistics cannot (SURVEY §5.3). All
     sums are exact integer cents.
@@ -1338,10 +1373,18 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
     n = F.col("n")
+    # INTEGER rank arithmetic (floor // in the oracle): float `/` makes
+    # the rank predicate non-integral whenever (n-1) % 20 != 0, so lo/hi
+    # silently resolve to NULL and winsorized == raw in both engines —
+    # a mirrored flaw the cross-engine hash can't see (ADVICE r08 #1).
     bounds = r.agg(
-        F.max(F.when(F.col("rn") == (n - 1) / 20 + 1, F.col("cents"))).alias("lo"),
         F.max(
-            F.when(F.col("rn") == (n - 1) * 19 / 20 + 1, F.col("cents"))
+            F.when(F.col("rn") == F.floor((n - 1) / 20) + 1, F.col("cents"))
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((n - 1) * 19 / 20) + 1, F.col("cents")
+            )
         ).alias("hi"),
         F.max("n").alias("n"),
     )
@@ -1390,7 +1433,7 @@ m AS (
 cov_tri AS (
   SELECT i, j,
          round((CAST(s_ij AS DOUBLE) - CAST(s_i AS DOUBLE) * s_j / n)
-               / (n - 1) / 1000000000000.0, 6) AS c
+               / (n - 1) / 1000000000000.0, 6) + 0.0 AS c
   FROM m
 ),
 cfull AS (
@@ -1423,8 +1466,8 @@ w3 AS (
 n3 AS (SELECT sqrt(list_reduce(array_agg(w * w ORDER BY i),
                                (a, x) -> a + x)) AS nrm FROM w3)
 SELECT CAST(w3.i AS BIGINT) AS i,
-       round(w3.w / n3.nrm, 6) AS eigvec,
-       round(n3.nrm, 6) AS eigenvalue
+       round(w3.w / n3.nrm, 6) + 0.0 AS eigvec,
+       round(n3.nrm, 6) + 0.0 AS eigenvalue
 FROM w3 CROSS JOIN n3
 ORDER BY i
 """
@@ -1515,8 +1558,10 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         w3.crossJoin(norm_of(w3))
         .select(
             F.col("i").cast("long").alias("i"),
-            F.round(F.col("w") / F.col("nrm"), 6).alias("eigvec"),
-            F.round(F.col("nrm"), 6).alias("eigenvalue"),
+            # + 0.0 mirrors the oracle's signed-zero normalization
+            # (SURVEY §5.3 rule 8)
+            (F.round(F.col("w") / F.col("nrm"), 6) + F.lit(0.0)).alias("eigvec"),
+            (F.round(F.col("nrm"), 6) + F.lit(0.0)).alias("eigenvalue"),
         )
         .orderBy("i")
     )
@@ -1710,7 +1755,7 @@ m AS (
 SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_purchase,
        round(ma / 100, 4) AS mean_click,
        round(mb / 100, 4) AS mean_purchase,
-       round((ma - mb) / sqrt(vna + vnb), 4) AS t_stat,
+       round((ma - mb) / sqrt(vna + vnb), 4) + 0.0 AS t_stat,
        round((vna + vnb) * (vna + vnb)
              / (vna * vna / (na - 1) + vnb * vnb / (nb - 1)), 2) AS df_welch
 FROM m
@@ -1773,9 +1818,11 @@ def agg_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.cast("long").alias("n_purchase"),
         F.round(F.col("ma") / 100, 4).alias("mean_click"),
         F.round(F.col("mb") / 100, 4).alias("mean_purchase"),
-        F.round((F.col("ma") - F.col("mb")) / F.sqrt(vna + vnb), 4).alias(
-            "t_stat"
-        ),
+        # + 0.0 → signed-zero normalization (SURVEY §5.3 rule 8)
+        (
+            F.round((F.col("ma") - F.col("mb")) / F.sqrt(vna + vnb), 4)
+            + F.lit(0.0)
+        ).alias("t_stat"),
         F.round(
             (vna + vnb) * (vna + vnb)
             / (vna * vna / (na - 1) + vnb * vnb / (nb - 1)),
@@ -1826,10 +1873,14 @@ def win_lag_features_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     OBSERVED hours (the standard dense-series assumption; run
     events_gap_fill first for calendar-dense lags). Integer cents
     throughout; one float at the end — and that mean is reported in
-    CENTS (denominator ≤ 24 ⇒ the exact expansion has ≤ 4 decimals,
-    so ROUND(x,4) can never land on a tie where Spark's
-    BigDecimal-HALF_UP and DuckDB's std::round disagree; dividing to
-    dollars first reintroduces 5-decimal ties — hit and fixed here).
+    CENTS: a ROUND(x,4) half-way tie for s24/n24 requires the reduced
+    denominator of s24·10⁴/n24 to be exactly 2, i.e. 2⁵ | n24 — and
+    every frame length here is ≤ 24 < 32, so no tie exists and Spark's
+    BigDecimal-HALF_UP vs DuckDB's std::round can't disagree. (NB: the
+    invariant is divisibility by 2⁵, NOT "≤ 4 decimals" — 1/3 of a
+    cent is non-terminating; a frame length ≥ 32 would need
+    re-analysis. Dividing to dollars first reintroduces genuine
+    5-decimal ties — hit and fixed here.)
 
     Scale shape: one keyed agg to the hourly grain, then one window
     spec per event_type partition — all five features share the same

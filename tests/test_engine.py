@@ -919,6 +919,31 @@ def test_exact_int_gram_both_regimes():
 
     with _pytest.raises(AssertionError):
         exact_int_gram(np.array([[1 << 24]], dtype=np.int64))
+    # split-path recombination bound (ADVICE r08 #2): rows*qmax^2 >= 2^63
+    # would wrap the int64 shift-add — must raise, not corrupt partials
+    wide = np.full((32769, 2), (1 << 24) - 1, dtype=np.int64)
+    assert 32769 * ((1 << 24) - 1) ** 2 >= (1 << 63)
+    with _pytest.raises(AssertionError):
+        exact_int_gram(wide)
+
+
+def test_winsorized_mean_bounds_resolve(spark):
+    """ADVICE r08 #1 regression: with float `/` rank arithmetic the lo/hi
+    order statistics resolved only when (n-1) % 20 == 0 — otherwise both
+    engines silently returned NULL bounds and winsorized == raw, and the
+    mirrored flaw made the cross-engine hash pass anyway. sf0.001 has
+    n=202 purchases ((n-1) % 20 = 1), so this fixture exercises exactly
+    the broken case: bounds must be real rows and the clipped mean must
+    differ from the raw mean."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    row = all_queries()["agg_winsorized_mean"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert (row["n"] - 1) % 20 != 0, "fixture must hit a non-multiple rank"
+    assert row["lo_cents"] is not None and row["hi_cents"] is not None
+    assert row["lo_cents"] <= row["hi_cents"]
+    assert row["winsorized_mean"] != row["raw_mean"]
 
 
 def test_ordered_folds_partition_invariant(spark):
