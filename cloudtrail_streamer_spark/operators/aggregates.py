@@ -234,20 +234,51 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx", survey_id="B-27")  # Tier R: sketch outputs are engine-specific
+_APPROX_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       1.0 AS hll_ratio_1dp,
+       1.0 AS gk_ratio_1dp
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("agg_approx", oracle=_APPROX_ORACLE, survey_id="B-27")
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) + percentile_approx (GK sketch).
 
     At 100 TB these replace exact distinct/percentile: fixed-size sketch
     state, single shuffle of sketches, mergeable across partitions.
-    Rows-only driver check; engine test asserts <5% relative error vs
-    exact (tests/test_engine.py).
-    """
+
+    Tier H via a realized-error certificate (upgraded r9 from the
+    r1-era rows-only check, VERDICT r08 #3): raw sketch outputs are
+    engine-specific (Spark HLL++ vs DuckDB approx_distinct draw
+    different estimates), so the hashed columns are the estimate/exact
+    RATIOS rounded to 1 dp — exactly 1.0 iff the realized relative
+    error is inside ±5% — which the oracle pins to 1.0. A sketch
+    drifting past its bound (or a regression that swaps the sketch for
+    a wrong column) hash-mismatches in the driver gate instead of
+    hiding behind a rows-only row. rsd=0.01 makes the 5% window a 5σ
+    bound (agg_approx_bounds precedent); sketches are deterministic
+    for fixed input, so the ratios are stable across runs."""
     o = table(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5).alias("median_price"),
+    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+    )
+    return agg.select(
+        "status",
+        "n",
+        F.round(
+            F.col("approx_customers").cast("double") / F.col("exact_customers"), 1
+        ).alias("hll_ratio_1dp"),
+        F.round(
+            F.col("approx_median").cast("double") / F.col("exact_median"), 1
+        ).alias("gk_ratio_1dp"),
     )
 
 

@@ -8,6 +8,7 @@ of this registry.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -36,7 +37,24 @@ def query(
         t = tier or ("H" if oracle is not None else "R")
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tier=t, survey_id=survey_id)
+
+        # Cache hygiene (VERDICT r08 #4): several ops persist() bounded
+        # intermediates that feed multiple subtrees; the DataFrames they
+        # return are lazy, so the op itself can never unpersist (the
+        # cache materializes during the DRIVER's collect). Clearing at
+        # the NEXT query's entry bounds accumulation to one query's
+        # caches across a 320-query driver session. Only the registry
+        # boundary is wrapped — intra-op composition (e.g.
+        # embed_power_iteration calling embed_covariance_matrix
+        # directly) bypasses the wrapper and keeps its shared caches.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=wrapped, oracle=oracle, tier=t, survey_id=survey_id
+        )
         return fn
 
     return deco
@@ -54,77 +72,72 @@ def _load_all() -> None:
 # everything else follows in registration order. Rotate this list each round
 # so that, across rounds, every query lands inside the driver's window.
 #
-# Round 8 (VERDICT r07 #8 "keep the certification loop airtight"):
-# slot 1 is the single registry entry without a driver row (the new
-# bounded-state certificate split out of stream_stream_join); next,
-# the 20 wave-2..6 r8 registrations (hypothesis-testing + data-
-# selection suite, operators/stats_tests.py) — all new names MUST sit
-# inside the 50-slot window so CORRECTNESS_r08 certifies them same-
-# round; then RE-certification of every query whose implementation or
-# tier changed this round (crossdoc + sim-kernel re-plans, the two
-# R->H streaming upgrades, the q5 routing change, the webdataset
-# n_shards fix, the pretrain funnel newly promoted to the bench
-# headline); the rest back-fills with the bench-headline core and the
-# r6/r7 waves (displaced back-fill names — ps_*, sql_pipe_syntax,
-# scan_xml_roundtrip, fn_xml_parse, pipeline_domain_mixture,
-# agg_psi_drift, agg_ab_test_ztest — all hold green r7 rows, so the
-# cross-round union stays complete).
+# Round 9 (VERDICT r08 #1/#3/#6/#7): slots 1-12 are every query whose
+# implementation changed this round and must re-earn its row — the
+# signed-zero normalization sweep (SURVEY §5.3 rule 8: cov +
+# power_iteration, plus the eight other subtraction-shaped rounds),
+# the winsorized-mean integer-rank fix (ADVICE r08 #1), the agg_approx
+# R→H certificate upgrade, and the webdataset manifest commit. Next,
+# the 10 remaining r8-wave stats registrations get their SECOND
+# certification (the other 11 of the 21 r8 additions are already in
+# the changed group). The back 28 slots are the oldest-certification
+# tail — fn_*/filter/scan/join/set families last certified r1–r2
+# (112 queries had a single lifetime certification at r8; the ~50
+# r1/r2-latest names that don't fit here rotate in at r10).
 _WINDOW_PRIORITY: list[str] = [
-    # --- uncertified (registered r8) ---
-    "stream_stream_join_cert",
-    # --- new r8 wave 2: hypothesis-testing + data-selection suite ---
-    "agg_ks_test",
-    "agg_mann_whitney",
-    "agg_chisq_independence",
+    # --- changed implementation this round: re-earn the row ---
+    "embed_covariance_matrix",
+    "embed_power_iteration",
+    "agg_winsorized_mean",
     "win_rolling_corr",
     "events_autocorr_lag",
+    "agg_effect_size_cohens_d",
+    "agg_permutation_test",
+    "events_seasonal_profile",
+    "agg_mann_whitney",
+    "agg_t_test_welch",
+    "agg_approx",
+    "multimodal_webdataset_shards",
+    # --- r8 wave additions: second certification ---
+    "agg_ks_test",
+    "agg_chisq_independence",
     "text_dsir_importance",
     "text_readability_score",
-    "agg_effect_size_cohens_d",
-    "embed_covariance_matrix",
     "text_ngram_novelty",
-    "agg_permutation_test",
     "text_vocab_growth",
-    "events_seasonal_profile",
-    "agg_winsorized_mean",
-    "embed_power_iteration",
     "text_cross_lingual_overlap",
     "agg_quantile_bands_exact",
-    "agg_t_test_welch",
     "win_lag_features_matrix",
     "embed_pairwise_distance_hist",
-    # --- changed implementation / tier this round: re-earn the row ---
-    "text_crossdoc_substring",
-    "sim_search_arrow_kernel",
-    "stream_watermark_late",
-    "stream_stream_join",
-    "tpch_q5_local_supplier",
-    "multimodal_webdataset_shards",
-    "pipeline_pretrain_e2e",
-    # --- back-fill: bench headline set + LLM heavies ---
-    "tpch_q3_shipping_priority",
-    "agg_group_q1",
-    "dedup_exact",
-    "text_tfidf",
-    "sim_search_topk",
-    "scan_pruned",
-    "join_inner_hash",
-    "join_broadcast",
-    "join_asof",
-    "top_n_per_group",
-    "win_rank",
-    "stream_tumbling",
-    "agg_rollup",
-    "pipeline_dedup_e2e",
-    # --- streaming family + lakehouse/pipeline waves ---
-    "stream_agg_update",
-    "stream_custom_state",
-    "stream_dedup_stateful",
-    "stream_upsert_keyed",
-    "stream_transform_with_state",
-    "stream_session_dynamic_gap",
-    "join_skew_salted",
-    "join_dpp_partitioned",
+    # --- oldest-certification tail (last certified r1/r2) ---
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_json",
+    "fn_array",
+    "fn_map",
+    "fn_explode",
+    "fn_bitwise",
+    "fn_levenshtein",
+    "fn_url_decode",
+    "filter_compound",
+    "filter_conditional_expr",
+    "project_compute",
+    "scan_parquet",
+    "join_anti",
+    "join_cross",
+    "join_interval",
+    "join_outer_full",
+    "join_outer_left",
+    "join_semi",
+    "join_theta_range",
+    "join_bucketed_colocated",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "set_unpivot",
 ]
 
 # Next-round staging: queries registered AFTER this round's window was
@@ -132,7 +145,16 @@ _WINDOW_PRIORITY: list[str] = [
 # rotation, move these into _WINDOW_PRIORITY's first slots.
 # tests/test_engine.py validates that window + staged covers every
 # query that lacks a driver row.
-_R8_STAGED: list[str] = []
+# r10 rotation note: the remaining r1/r2-latest names (agg_collect_sorted,
+# agg_corr_stats, agg_cube, agg_distinct, agg_grouping_sets,
+# agg_median_quantile, agg_pivot, agg_stats, agg_string_concat,
+# agg_approx_bounds, dedup_* r1 family, embed_ivf_assign,
+# embed_neardup_cosine, embed_normalize, merge_upsert, multimodal_*_meta,
+# sample_hash_mod, sim_knn_classify, sim_search_ivf, sink_parquet_partitioned,
+# source_json_gz, stream_session, stream_sliding, text_* r1 family,
+# udf/udaf/udtf family, win_analytic, win_distribution, win_frame_*)
+# take the back slots.
+_R9_STAGED: list[str] = []
 
 
 

@@ -13,6 +13,11 @@ import pytest
 from cloudtrail_streamer_spark.registry import all_specs
 from tests.conftest import run_pair
 
+# slow: the full sweep is the ~30-min bulk of the suite; the fast path
+# (-m "not slow", pyproject) relies on the per-round driver window plus
+# tools/drive_entry.py <names> for targeted oracle checks instead.
+pytestmark = pytest.mark.slow
+
 _H_NAMES = sorted(n for n, s in all_specs().items() if s.tier == "H")
 
 

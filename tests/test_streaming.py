@@ -5,6 +5,7 @@ stateful dedup, update-mode final state, sink delivery parity.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cloudtrail_streamer_spark.catalog import table
@@ -13,6 +14,11 @@ from cloudtrail_streamer_spark.streaming import harness
 from cloudtrail_streamer_spark.streaming.windows_stream import tumbling_counts
 
 SF = "/root/testdata/sf0.001"
+
+# slow: each test runs real Structured Streaming micro-batches (trigger
+# clocks, awaitTermination) — minutes of wall per module; the fast path
+# covers the streaming OPS' logic via their batch twins in test_engine.
+pytestmark = pytest.mark.slow
 
 
 def _events_count(spark):
