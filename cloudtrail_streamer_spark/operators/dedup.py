@@ -55,13 +55,98 @@ def _shingles(d: DataFrame) -> DataFrame:
     )
 
 
+# Cross-engine affine MinHash family (r9, upgrades B-56 R→H): ONE md5
+# per shingle (first 8 hex digits → h < 2³²), then N_HASHES affine
+# permutations h_s = (A[s]·h + B[s]) mod P over the md5-uniform h —
+# 32× fewer digest computations per shingle than a per-seed digest
+# family (the pipeline's _PIPE_SIG shape) at the same LSH quality
+# (min-wise over a pairwise-independent affine family), and, unlike
+# the r1 xxhash64 family, byte-identical in DuckDB
+# ('0x'||substr(md5,1,8) cast ≡ Spark conv(substring(md5,1,8),16,10) —
+# SURVEY §5.3 rule 7's one cross-engine hash). Bounds: A < 2²⁹ (odd),
+# B < 2³¹, h < 2³² → A·h+B < 2⁶² — wrap-free in BOTH engines (Spark
+# LONG would wrap silently, DuckDB BIGINT would error; neither can).
+# Constants: random.Random(56).sample, fixed literals in both SQL texts.
+_MH_P = 2147483647  # 2^31 - 1, prime
+_MH_A = [
+    12344143, 24048161, 32583279, 58443359, 68042435, 72689605,
+    100924733, 101477605, 134938855, 146912281, 167108397, 193776389,
+    198313467, 200318277, 204095963, 210424905, 222497373, 226463117,
+    230329395, 234872257, 247965843, 264858721, 274276559, 323347783,
+    362234715, 402317679, 413016357, 413387977, 413854211, 451578829,
+    476880259, 508601319,
+]
+_MH_B = [
+    1666059, 2077376, 11269744, 74798445, 211795242, 290055310,
+    377265315, 416205143, 772151232, 775560042, 792644388, 798252504,
+    827007218, 997822056, 1023021252, 1066946695, 1069880732,
+    1103180324, 1130081766, 1180258104, 1190688165, 1219602250,
+    1252759788, 1310134065, 1374437243, 1412284992, 1448524527,
+    1448751744, 1455159281, 1579966976, 1703092456, 1875335826,
+]
+assert len(_MH_A) == len(_MH_B) == N_HASHES
+_MH_A_CSV = ", ".join(str(a) for a in _MH_A)
+_MH_B_CSV = ", ".join(str(b) for b in _MH_B)
+
+# Per-shingle 32-bit hash (one md5 per shingle, computed ONCE), then the
+# N_HASHES mins are UNROLLED as independent array_min/list_min exprs over
+# that precomputed hash list — the loop-over-s lambda form
+# (element_at(array(...), s+1) inside a nested transform) re-evaluated
+# the 32-literal array per element and measured 10× slower in BOTH
+# engines at 500 docs.
+_MH_HV_EXPR = (
+    "transform(shingles, x -> "
+    "CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"
+)
+_MH_HV_DUCK = (
+    "list_transform(shingles, x -> "
+    "CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))"
+)
+
+# Spark signature expression over a relation exposing ``hv`` (the
+# precomputed per-shingle hash array).
+_MH_SIG_EXPR = "array({})".format(
+    ", ".join(
+        f"array_min(transform(hv, h -> ({a} * h + {b}) % {_MH_P}))"
+        for a, b in zip(_MH_A, _MH_B)
+    )
+)
+
+# DuckDB twin over a CTE exposing ``hv``.
+_MH_SIG_DUCK = "[{}]".format(
+    ", ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {_MH_P}))"
+        for a, b in zip(_MH_A, _MH_B)
+    )
+)
+
+# DuckDB twin of the hashing + banding tail; format with the CTE name
+# that provides (doc_id, shingles).
+_MH_CAND_DUCK_TAIL = f"""
+hv AS (
+  SELECT doc_id, {_MH_HV_DUCK} AS hv FROM {{sh}}
+),
+sig AS (
+  SELECT doc_id, {_MH_SIG_DUCK} AS sig FROM hv
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(
+             list_transform(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4],
+                            v -> CAST(v AS VARCHAR)), ',')) AS band_hash
+  FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS band_id) b
+)
+"""
+
+
 def minhash_candidates(docs: DataFrame) -> DataFrame:
     """MinHash-LSH candidate pairs over any (doc_id, text) DataFrame.
 
-    signature[s] = min over shingles of xxhash64(shingle, seed_s);
-    band j hashes signature rows 4j..4j+3; docs sharing any (band, hash)
-    bucket become candidates. Returns distinct pairs (id_a < id_b) with
-    the number of colliding bands.
+    signature[s] = min over shingles of (A[s]·md5_32(shingle) + B[s])
+    mod P (the cross-engine affine family above); band j hashes
+    signature rows 4j..4j+3; docs sharing any (band, hash) bucket
+    become candidates. Returns distinct pairs (id_a < id_b) with the
+    number of colliding bands.
     """
     return _candidates_from_shingles(_shingles(docs))
 
@@ -70,23 +155,15 @@ def _candidates_from_shingles(sh: DataFrame) -> DataFrame:
     """LSH candidate pairs from a precomputed (doc_id, shingles) relation
     — callers that also need the shingles for exact verification pass a
     persisted ``sh`` so the corpus is tokenized exactly once."""
-    sig = sh.select(
-        "doc_id",
-        F.expr(
-            f"""
-            transform(sequence(0, {N_HASHES - 1}),
-                      s -> array_min(transform(shingles,
-                             sh -> xxhash64(concat(sh, '#', CAST(s AS STRING))))))
-            """
-        ).alias("sig"),
-    )
+    hv = sh.select("doc_id", F.expr(_MH_HV_EXPR).alias("hv"))
+    sig = hv.select("doc_id", F.expr(_MH_SIG_EXPR).alias("sig"))
     bands = sig.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"""
                 transform(sequence(0, {N_BANDS - 1}),
-                          b -> xxhash64(concat_ws(',',
+                          b -> md5(concat_ws(',',
                                  transform(slice(sig, b * 4 + 1, 4),
                                            v -> CAST(v AS STRING)))))
                 """
@@ -110,11 +187,55 @@ def _candidates_from_shingles(sh: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash", survey_id="B-56")  # Tier R (xxhash64 is Spark-only)
+# DuckDB mirrors of _MUTATE_SQL and _shingles (1-based list lambdas).
+_DUCK_MUTATE = """
+array_to_string(
+  list_transform(
+    (string_split({t}, ' '))[1:greatest(3,
+        CAST(ceil(len(string_split({t}, ' ')) * 0.9) AS INT))],
+    (x, i) -> CASE WHEN i - 1 = CAST(floor(len(string_split({t}, ' ')) / 2.0) AS INT)
+                   THEN 'xqzsubstituted' ELSE x END),
+  ' ')
+"""
+
+_DUCK_SHINGLES = """
+list_distinct(CASE WHEN len(string_split({t}, ' ')) >= 3
+  THEN list_transform(
+         (string_split({t}, ' '))[1:len(string_split({t}, ' ')) - 2],
+         (x, i) -> concat(x, ' ', string_split({t}, ' ')[i + 1],
+                          ' ', string_split({t}, ' ')[i + 2]))
+  ELSE [{t}] END)
+"""
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         {_DUCK_SHINGLES.format(t="lower(text)")} AS shingles
+  FROM documents
+),
+{_MH_CAND_DUCK_TAIL.format(sh="sh")}
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_near_minhash", oracle=_MINHASH_ORACLE, survey_id="B-56")
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH over the documents table (see minhash_candidates;
     recall property tested on a synthetic near-dup corpus in
-    tests/test_engine.py — the fixture has no engineered dup groups)."""
+    tests/test_engine.py — the fixture has no engineered dup groups).
+
+    Tier H since r9 (was the oldest R row): the r1 xxhash64 signature
+    family had no DuckDB twin (SURVEY §5.3 rule 7); the affine-over-md5
+    family above is byte-identical in both engines, so signatures,
+    band buckets, and candidate pairs all hash-certify. LSH recall is
+    probabilistic but both engines miss IDENTICALLY — determinism is
+    what the driver checks; recall is pinned by dedup_minhash_recall."""
     return minhash_candidates(table(spark, sf_dir, "documents"))
 
 
@@ -166,16 +287,55 @@ def seeded_neardup_corpus(docs: DataFrame) -> DataFrame:
     return base.unionByName(mutated)
 
 
-@query("dedup_minhash_recall", survey_id="B-56")  # Tier R (recall metric; xxhash64 is Spark-only)
+_RECALL_ORACLE = f"""
+WITH base AS (SELECT doc_id, lower(text) AS text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_SEED_OFFSET}, {_DUCK_MUTATE.format(t="text")} FROM base
+),
+sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t="text")} AS shingles FROM corpus
+),
+{_MH_CAND_DUCK_TAIL.format(sh="sh")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND b.doc_id = a.doc_id + {_SEED_OFFSET}
+),
+truth AS (
+  SELECT a.doc_id
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + {_SEED_OFFSET}
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(a.shingles || b.shingles)) >= 0.6
+),
+flag AS (
+  SELECT t.doc_id, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS caught
+  FROM truth t LEFT JOIN cand c ON c.id_a = t.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(caught) AS BIGINT) AS n_caught,
+       round(CAST(SUM(caught) AS DOUBLE) / COUNT(*), 4) AS recall
+FROM flag
+"""
+
+
+@query("dedup_minhash_recall", oracle=_RECALL_ORACLE, survey_id="B-56")
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH recall against an exact-Jaccard truth set on a seeded
     near-dup corpus — the B-56 verification SURVEY §5 calls for.
 
     Truth = seeded (doc, mutation) pairs whose EXACT 3-shingle Jaccard
     ≥ 0.6 (linear in N — only seeded pairs are scored, so the check
-    itself stays scale-safe; tests/test_engine.py recomputes the same
-    truth set in DuckDB and asserts recall ≥ 0.9). Returns one row
-    (n_truth, n_caught, recall)."""
+    itself stays scale-safe; tests/test_engine.py additionally asserts
+    recall ≥ 0.9). Returns one row (n_truth, n_caught, recall).
+
+    Tier H since r9: with the affine-over-md5 signature family both
+    engines draw IDENTICAL signatures, so the realized recall itself is
+    a deterministic cross-engine value — the driver now certifies the
+    exact (n_truth, n_caught, recall) triple instead of a rows-only
+    row (the agg_approx_bounds certificate pattern applied to LSH)."""
     docs = table(spark, sf_dir, "documents")
     corpus = seeded_neardup_corpus(docs)
     # one shingle pass feeds BOTH the LSH candidates and the exact-Jaccard
@@ -271,26 +431,6 @@ def _second_mutation(m1: DataFrame) -> DataFrame:
 
 
 _CC_EDGE_THRESHOLD = 0.7
-
-# DuckDB mirrors of _MUTATE_SQL and _shingles (1-based list lambdas).
-_DUCK_MUTATE = """
-array_to_string(
-  list_transform(
-    (string_split({t}, ' '))[1:greatest(3,
-        CAST(ceil(len(string_split({t}, ' ')) * 0.9) AS INT))],
-    (x, i) -> CASE WHEN i - 1 = CAST(floor(len(string_split({t}, ' ')) / 2.0) AS INT)
-                   THEN 'xqzsubstituted' ELSE x END),
-  ' ')
-"""
-
-_DUCK_SHINGLES = """
-list_distinct(CASE WHEN len(string_split({t}, ' ')) >= 3
-  THEN list_transform(
-         (string_split({t}, ' '))[1:len(string_split({t}, ' ')) - 2],
-         (x, i) -> concat(x, ' ', string_split({t}, ' ')[i + 1],
-                          ' ', string_split({t}, ' ')[i + 2]))
-  ELSE [{t}] END)
-"""
 
 _CC_ORACLE = f"""
 WITH RECURSIVE base AS (
@@ -407,30 +547,43 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
     with certainty; measured near-dup distances run 0-8).
     """
     d = docs
+    # ONE md5 per token, split into two 32-bit halves (conv of 8 hex
+    # digits can't overflow BIGINT; a full 16-hex conv would exceed
+    # 2^63 for half of all tokens). Cross-engine: DuckDB mirrors with
+    # '0x'||substr casts — and this is also 64× fewer digest calls than
+    # the r1 xxhash64-inside-the-bit-loop fold.
+    #
+    # Let-binding idiom (transform(array(e), x -> body)[0]): the token
+    # hashes and the 64 counters are each bound ONCE as a lambda
+    # variable. Chained selects inline aliased expressions at every
+    # reference (CollapseProject), so the naive 3-select version
+    # recomputed the md5 fold 64×8 times — measured 443 s for 500 docs
+    # vs ~1 s with the bindings.
     sig = d.select(
         "doc_id",
-        # counters[i] = sum over tokens of (bit_i(xxhash64(tok))*2 - 1)
         F.expr(
             """
-            transform(sequence(0, 63),
-              i -> aggregate(split(lower(text), ' '),
-                             0L,
-                             (acc, tok) -> acc
-                               + (CASE WHEN (shiftright(xxhash64(tok), i) & 1) = 1
-                                       THEN 1 ELSE -1 END)))
-            """
-        ).alias("counters"),
-    ).select(
-        "doc_id",
-        # chunk j (0..7) packs bits 8j..8j+7 (bit set iff counter > 0)
-        F.expr(
-            """
-            transform(sequence(0, 7),
-              j -> aggregate(sequence(0, 7),
-                             0L,
-                             (acc, k) -> acc
-                               + (CASE WHEN counters[j * 8 + k] > 0
-                                       THEN shiftleft(1L, k) ELSE 0L END)))
+            transform(
+              array(transform(split(lower(text), ' '),
+                tok -> named_struct(
+                  'lo', CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT),
+                  'hi', CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)))),
+              hs -> transform(
+                array(transform(sequence(0, 63),
+                  i -> aggregate(hs,
+                                 0L,
+                                 (acc, t) -> acc
+                                   + (CASE WHEN (shiftright(
+                                           IF(i < 32, t.lo, t.hi),
+                                           i % 32) & 1) = 1
+                                           THEN 1 ELSE -1 END)))),
+                cs -> transform(sequence(0, 7),
+                  j -> aggregate(sequence(0, 7),
+                                 0L,
+                                 (acc, k) -> acc
+                                   + (CASE WHEN cs[j * 8 + k] > 0
+                                           THEN shiftleft(1L, k)
+                                           ELSE 0L END))))[0])[0]
             """
         ).alias("chunks"),
     )
@@ -450,9 +603,51 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_simhash", survey_id="north-star")  # Tier R (xxhash64 is Spark-only)
+_SIMHASH_ORACLE = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(string_split(lower(text), ' '),
+           tok -> struct_pack(
+             lo := CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT),
+             hi := CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT))) AS hs
+  FROM documents
+),
+counters AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> list_sum(list_transform(hs,
+                  t -> CASE WHEN ((CASE WHEN i < 32 THEN t.lo ELSE t.hi END)
+                                  >> (i % 32)) & 1 = 1
+                            THEN 1 ELSE -1 END))) AS counters
+  FROM hs
+),
+chunks AS (
+  SELECT doc_id, j.chunk_id,
+         list_sum(list_transform(range(0, 8),
+           k -> CASE WHEN counters[j.chunk_id * 8 + k + 1] > 0
+                     THEN 1 << k ELSE 0 END)) AS chunk_val
+  FROM counters, (SELECT unnest(range(0, 8)) AS chunk_id) j
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM chunks a
+JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, survey_id="north-star")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash over the documents table (see simhash_candidates)."""
+    """SimHash over the documents table (see simhash_candidates).
+
+    Tier H since r9 (was R for xxhash64): token hashes are the two
+    32-bit halves of md5 — byte-identical across engines — so the
+    64 signed bit-counters, the packed 8-bit chunks, and the
+    hamming-band candidate pairs all hash-certify against the
+    declarative DuckDB twin."""
     return simhash_candidates(table(spark, sf_dir, "documents"))
 
 

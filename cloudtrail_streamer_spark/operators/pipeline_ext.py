@@ -378,31 +378,67 @@ def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("layout_cluster_ranges", survey_id="B-5-ext")
+_LAYOUT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(user_id) AS BIGINT) AS min_key,
+       CAST(MAX(user_id) AS BIGINT) AS max_key,
+       TRUE AS ranges_disjoint,
+       TRUE AS rows_covered
+FROM events
+"""
+
+
+@query("layout_cluster_ranges", oracle=_LAYOUT_ORACLE, survey_id="B-5-ext")
 def layout_cluster_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-clustered layout for scan locality: repartitionByRange on
     the cluster key + sortWithinPartitions gives each output file a
     disjoint key range (min/max per file → parquet footer stats →
     row-group skipping on key predicates downstream). This is the write
     path that makes `scan_pruned`-style reads cheap at 100 TB; Z-order
-    generalizes it to 2 keys. Emits per-partition (range) summaries;
-    Tier R — partition boundaries are engine-internal (sampled range
-    split points), but disjointness/coverage are asserted in
-    tests/test_engine.py."""
+    generalizes it to 2 keys.
+
+    Tier H via an invariant certificate (upgraded r9 from R): the
+    sampled range SPLIT POINTS are engine-internal and can differ run
+    to run, but the layout's CONTRACT is boundary-independent — every
+    partition's [min,max] key range strictly precedes the next
+    (range partitioning puts all rows of one key in one partition) and
+    no row is lost. The hashed row is (total rows, global min/max key,
+    disjointness, coverage); the oracle recomputes the exact values and
+    pins the booleans TRUE, so a broken partitioner (overlapping
+    ranges, dropped rows) fails the driver gate. Per-partition
+    summaries remain asserted in tests/test_engine.py."""
     ev = table(spark, sf_dir, "events")
     clustered = ev.repartitionByRange(8, "user_id").sortWithinPartitions(
         "user_id", "ts"
     )
-    return (
-        clustered.select(
-            F.spark_partition_id().alias("pid"), "user_id"
-        )
+    summaries = (
+        clustered.select(F.spark_partition_id().alias("pid"), "user_id")
         .groupBy("pid")
         .agg(
             F.min("user_id").alias("min_key"),
             F.max("user_id").alias("max_key"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+    nxt = F.lead("min_key").over(Window.orderBy("min_key", "pid"))
+    cert = summaries.select(
+        "n_rows",
+        "min_key",
+        "max_key",
+        (F.coalesce(nxt > F.col("max_key"), F.lit(True))).alias("disj"),
+    ).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("min_key").cast("long").alias("min_key"),
+        F.max("max_key").cast("long").alias("max_key"),
+        F.bool_and("disj").alias("ranges_disjoint"),
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("tot"))
+    return cert.crossJoin(total).select(
+        "n_rows",
+        "min_key",
+        "max_key",
+        "ranges_disjoint",
+        (F.col("n_rows") == F.col("tot")).alias("rows_covered"),
     )
 
 

@@ -72,18 +72,21 @@ def _load_all() -> None:
 # everything else follows in registration order. Rotate this list each round
 # so that, across rounds, every query lands inside the driver's window.
 #
-# Round 9 (VERDICT r08 #1/#3/#6/#7): slots 1-12 are every query whose
+# Round 9 (VERDICT r08 #1/#3/#6/#7): slots 1-16 are every query whose
 # implementation changed this round and must re-earn its row — the
 # signed-zero normalization sweep (SURVEY §5.3 rule 8: cov +
 # power_iteration, plus the eight other subtraction-shaped rounds),
-# the winsorized-mean integer-rank fix (ADVICE r08 #1), the agg_approx
-# R→H certificate upgrade, and the webdataset manifest commit. Next,
-# the 10 remaining r8-wave stats registrations get their SECOND
-# certification (the other 11 of the 21 r8 additions are already in
-# the changed group). The back 28 slots are the oldest-certification
-# tail — fn_*/filter/scan/join/set families last certified r1–r2
-# (112 queries had a single lifetime certification at r8; the ~50
-# r1/r2-latest names that don't fit here rotate in at r10).
+# the winsorized-mean integer-rank fix (ADVICE r08 #1), the webdataset
+# manifest commit, and the FIVE R→H certificate upgrades (agg_approx
+# realized-error ratios; dedup_near_minhash/dedup_minhash_recall/
+# dedup_simhash on the new cross-engine md5-based hash families;
+# layout_cluster_ranges invariant certificate). Next, the 10 remaining
+# r8-wave stats registrations get their SECOND certification (the
+# other 11 of the 21 r8 additions are already in the changed group).
+# The back 24 slots are the oldest-certification tail — fn_*/filter/
+# scan/join/set families last certified r1–r2 (112 queries had a
+# single lifetime certification at r8; the r1/r2-latest names that
+# don't fit here rotate in at r10).
 _WINDOW_PRIORITY: list[str] = [
     # --- changed implementation this round: re-earn the row ---
     "embed_covariance_matrix",
@@ -98,6 +101,10 @@ _WINDOW_PRIORITY: list[str] = [
     "agg_t_test_welch",
     "agg_approx",
     "multimodal_webdataset_shards",
+    "dedup_near_minhash",
+    "dedup_minhash_recall",
+    "dedup_simhash",
+    "layout_cluster_ranges",
     # --- r8 wave additions: second certification ---
     "agg_ks_test",
     "agg_chisq_independence",
@@ -131,13 +138,9 @@ _WINDOW_PRIORITY: list[str] = [
     "join_outer_left",
     "join_semi",
     "join_theta_range",
-    "join_bucketed_colocated",
     "set_except",
-    "set_except_all",
     "set_intersect",
     "set_union_all",
-    "set_union_distinct",
-    "set_unpivot",
 ]
 
 # Next-round staging: queries registered AFTER this round's window was

@@ -285,15 +285,32 @@ def test_wav_parser_walks_chunks():
 
 
 def test_layout_cluster_ranges_disjoint_and_covering(spark):
-    """layout_cluster_ranges invariants (ADVICE r02 #2): per-partition key
-    ranges are pairwise disjoint in pid order (boundary duplicates of an
-    equal key allowed — range partitioning never splits a key), and the
-    partition row counts cover the whole table."""
+    """layout_cluster_ranges invariants (ADVICE r02 #2): the r9 H-tier
+    certificate row must report full coverage and disjoint ranges, and
+    the PER-PARTITION summaries (recomputed here — the op now emits the
+    1-row certificate) must be pairwise disjoint in pid order and cover
+    the whole table."""
+    cert = all_queries()["layout_cluster_ranges"](spark, SF).collect()[0]
+    n_events = table(spark, SF, "events").count()
+    assert cert["n_rows"] == n_events
+    assert cert["ranges_disjoint"] is True
+    assert cert["rows_covered"] is True
+    clustered = (
+        table(spark, SF, "events")
+        .repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+    )
     rows = sorted(
-        all_queries()["layout_cluster_ranges"](spark, SF).collect(),
+        clustered.select(F.spark_partition_id().alias("pid"), "user_id")
+        .groupBy("pid")
+        .agg(
+            F.min("user_id").alias("min_key"),
+            F.max("user_id").alias("max_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect(),
         key=lambda r: r["pid"],
     )
-    n_events = table(spark, SF, "events").count()
     assert sum(r["n_rows"] for r in rows) == n_events, "partitions must cover all rows"
     for prev, cur in zip(rows, rows[1:]):
         assert prev["min_key"] <= prev["max_key"]
