@@ -794,3 +794,25 @@ def test_novelty_single_window_scan(spark):
     agg, never a second consumer that re-inlines the explode subtree."""
     tree = _nodes(spark, "text_ngram_novelty")
     assert tree.count("Scan parquet") == 1
+
+
+def test_lsh_hash_families_stay_let_bound(spark):
+    """The r9 md5-derived LSH families rely on the let-binding idiom
+    (transform(array(e), x -> body)[0]) to stop CollapseProject from
+    re-inlining the per-shingle/per-token digest into every downstream
+    fold reference — the naive chained-select form recomputed md5s
+    multiplicatively (443 s vs 5 s for dedup_simhash at 500 docs,
+    SCALE.md §Round-9). Pin the bound: the OPTIMIZED plan must contain
+    only a handful of md5 call sites (2 join sides × {token/shingle
+    hash, band hash}); the collapsed form shows 33+ per side."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    for name, bound in (("dedup_near_minhash", 8), ("dedup_simhash", 16)):
+        df = all_queries()[name](spark, sf)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n = plan.count("md5")
+        assert n <= bound, (
+            f"{name}: {n} md5 sites in the optimized plan (bound {bound}) — "
+            "an expression refactor reintroduced the CollapseProject blowup"
+        )
