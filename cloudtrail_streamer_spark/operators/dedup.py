@@ -374,6 +374,77 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_ORACLE = f"""
+WITH base AS (SELECT doc_id, lower(text) AS text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_SEED_OFFSET}, {_DUCK_MUTATE.format(t="text")} FROM base
+),
+sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES.format(t="text")} AS shingles FROM corpus
+),
+{_MH_CAND_DUCK_TAIL.format(sh="sh")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(sa.shingles || sb.shingles)), 4) AS jaccard,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(sb.shingles), 4) AS containment
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(sb.shingles) >= 0.8
+"""
+
+
+@query("text_minhash_containment", oracle=_CONTAIN_ORACLE, survey_id="north-star")
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed CONTAINMENT detection over the LSH candidate set — the
+    excerpt/quote pass of a pretraining dedup stack. Symmetric Jaccard
+    misses a short document fully contained in a long one (the union
+    dominates); containment C(b→a) = |A∩B| / |B| flags it. The seeded
+    corpus makes hits certain: each mutation is a 90%-truncation of its
+    original, so its shingles are ≈contained while Jaccard can sit
+    below a dedup threshold. Emits candidate pairs with BOTH scores at
+    containment ≥ 0.8 — the decision table for "drop the excerpt, keep
+    the source".
+
+    Scale shape: identical to the MinHash ops — candidates come from
+    the banded equi-join (never all pairs), and the exact set math runs
+    only on candidate pairs. A production stack lowers the LSH
+    threshold (more bands, shorter rows) when tuning for containment
+    rather than symmetric similarity; the decision rule downstream is
+    the only change. Exact-integer set sizes → one rounded double per
+    score, mirrored (SURVEY §5.3)."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = seeded_neardup_corpus(docs)
+    sh = _shingles(corpus).persist()
+    cands = _candidates_from_shingles(sh).select("id_a", "id_b")
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    jac = inter / F.size(F.array_union("sa", "sb"))
+    containment = inter / F.size("sb")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(containment >= 0.8)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 4).alias("jaccard"),
+            F.round(containment, 4).alias("containment"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, nodes: DataFrame, rounds: int = 5
 ) -> DataFrame:

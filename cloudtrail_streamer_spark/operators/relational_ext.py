@@ -337,6 +337,47 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FIXED_K_ORACLE = """
+SELECT event_id, user_id, event_type, h
+FROM (
+  SELECT event_id, user_id, event_type,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+) s
+ORDER BY h
+LIMIT 100
+"""
+
+
+@query("sample_fixed_k_md5", oracle=_FIXED_K_ORACLE, survey_id="B-34-ext")
+def sample_fixed_k_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE deterministic sample: the k=100 events with the
+    smallest md5(event_id) — the reservoir-sample replacement for
+    distributed engines (true reservoir sampling is sequential; hash
+    order gives the same "uniform without replacement" guarantee,
+    is reproducible across engines/runs/partitionings, and any worker
+    can test membership locally). Complements ``sample_hash_mod``
+    (fixed RATE): rate sampling scales the sample with the data, hash
+    top-k pins exactly k rows for eval sets and debugging slices.
+
+    Scale shape: ORDER BY h LIMIT k compiles to TakeOrderedAndProject —
+    per-partition top-k heaps, then a k-row merge on the driver; no
+    global sort, no full shuffle, at ANY corpus size (plan-asserted in
+    tests/test_plans.py). md5 keys are unique per event_id, so the
+    total order (and the hash check) is deterministic."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.md5(F.col("event_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(100)
+    )
+
+
 _QUOTA_ORACLE = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_kept,

@@ -105,6 +105,9 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_minhash_recall",
     "dedup_simhash",
     "layout_cluster_ranges",
+    # --- new r9 wave 7 (no driver row yet) ---
+    "text_minhash_containment",
+    "sample_fixed_k_md5",
     # --- r8 wave additions: second certification ---
     "agg_ks_test",
     "agg_chisq_independence",
@@ -138,8 +141,6 @@ _WINDOW_PRIORITY: list[str] = [
     "join_outer_left",
     "join_semi",
     "join_theta_range",
-    "set_except",
-    "set_intersect",
     "set_union_all",
 ]
 

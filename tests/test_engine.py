@@ -992,3 +992,17 @@ def test_ordered_folds_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     assert [tuple(r) for r in base_dsir] == [tuple(r) for r in alt_dsir]
     assert [tuple(r) for r in base_pow] == [tuple(r) for r in alt_pow]
+
+
+def test_containment_catches_truncation_excerpts(spark):
+    """text_minhash_containment: every seeded pair is a 90%-truncation
+    (mutation ⊂ original up to one substituted token), so the op must
+    flag mutation ids against their original, with containment ≥ 0.8
+    and containment ≥ jaccard on every emitted row."""
+    rows = all_queries()["text_minhash_containment"](spark, SF).collect()
+    assert rows, "seeded excerpts must be flagged"
+    for r in rows:
+        assert r["containment"] >= 0.8
+        assert r["containment"] >= r["jaccard"]
+    seeded = {(r["id_a"], r["id_b"]) for r in rows if r["id_b"] == r["id_a"] + 1000000}
+    assert len(seeded) >= 20, f"only {len(seeded)} seeded excerpt pairs flagged"

@@ -816,3 +816,13 @@ def test_lsh_hash_families_stay_let_bound(spark):
             f"{name}: {n} md5 sites in the optimized plan (bound {bound}) — "
             "an expression refactor reintroduced the CollapseProject blowup"
         )
+
+
+def test_fixed_k_sample_take_ordered(spark):
+    """sample_fixed_k_md5 claims no global sort at any scale: ORDER BY h
+    LIMIT k must compile to TakeOrderedAndProject (per-partition top-k
+    heaps + k-row driver merge), never Sort + GlobalLimit over a full
+    exchange."""
+    plan = _plan(spark, "sample_fixed_k_md5")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"
