@@ -139,11 +139,23 @@ sig AS (
 ),
 bands AS (
   SELECT doc_id, b.band_id,
-         md5(array_to_string(
+         CAST('0x' || substr(md5(array_to_string(
              list_transform(sig[b.band_id * 4 + 1 : b.band_id * 4 + 4],
-                            v -> CAST(v AS VARCHAR)), ',')) AS band_hash
+                            v -> CAST(v AS VARCHAR)), ',')), 1, 15) AS BIGINT)
+           AS band_hash
   FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS band_id) b
 )
+"""
+
+# Band key as an 8-byte BIGINT (first 15 md5 hex digits < 2^60), not the
+# 32-char digest string: the (band_id, band_hash) bucket join is the
+# ONLY data-sized shuffle in the LSH stage, so the key should be the
+# narrowest deterministic value both engines share.
+_MH_BANDS_EXPR = f"""
+transform(sequence(0, {N_BANDS - 1}),
+  b -> CAST(conv(substring(md5(concat_ws(',',
+         transform(slice(sig, b * 4 + 1, 4), v -> CAST(v AS STRING)))),
+         1, 15), 16, 10) AS BIGINT))
 """
 
 
@@ -166,16 +178,7 @@ def _candidates_from_shingles(sh: DataFrame) -> DataFrame:
     sig = sh.select("doc_id", F.expr(_MH_SIG_EXPR).alias("sig"))
     bands = sig.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"""
-                transform(sequence(0, {N_BANDS - 1}),
-                          b -> md5(concat_ws(',',
-                                 transform(slice(sig, b * 4 + 1, 4),
-                                           v -> CAST(v AS STRING)))))
-                """
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(F.expr(_MH_BANDS_EXPR)).alias("band_id", "band_hash"),
     )
     # bands feeds both sides of the self-join; persist so the corpus is
     # shingled+hashed once — the cache is 8 small rows per doc, not text
@@ -906,16 +909,7 @@ def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.select("doc_id", F.expr(_MH_SIG_EXPR).alias("sig"))
     bands = sig.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"""
-                transform(sequence(0, {N_BANDS - 1}),
-                          b -> md5(concat_ws(',',
-                                 transform(slice(sig, b * 4 + 1, 4),
-                                           v -> CAST(v AS STRING)))))
-                """
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(F.expr(_MH_BANDS_EXPR)).alias("band_id", "band_hash"),
     ).persist()  # both sides of the bucket self-join
     cand = (
         bands.alias("a")
