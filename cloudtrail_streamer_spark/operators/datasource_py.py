@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from cloudtrail_streamer_spark.streaming.harness import await_or_raise
 from cloudtrail_streamer_spark.catalog import table
 from cloudtrail_streamer_spark.registry import query
 
@@ -290,7 +291,7 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, "datasource_py_stream", 120.0)
         q.stop()
         got = spark.sql(f"SELECT SUM(n_events) FROM {sink}").collect()[0][0] or 0
         if got >= n_total:
@@ -542,7 +543,7 @@ def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, "datasource_py_cycles", 120.0)
         q.stop()
         cycles += 1
         mans = [

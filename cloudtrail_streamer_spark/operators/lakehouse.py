@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudtrail_streamer_spark.catalog import scratch_dir, table
+from cloudtrail_streamer_spark.streaming.harness import await_or_raise
 from cloudtrail_streamer_spark.functions import cents
 from cloudtrail_streamer_spark.registry import query
 
@@ -1212,7 +1213,7 @@ def stream_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "lakehouse_stream_cdf", 600.0)
 
     # incremental-consumption certificate: every commit consumed, one
     # per micro-batch, in order.
@@ -1732,7 +1733,7 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, "lakehouse_txn_ingest", 600.0)
 
     run(ckpt)
     assert len(commits) == 3 and not refused, "initial drain must commit 3"

@@ -146,11 +146,54 @@ class BatchMetricsListener(StreamingQueryListener):
         self.terminations.append(event.exception)
 
 
+def await_or_raise(q, name: str, timeout_sec: float) -> None:
+    """Block until the query terminates, or stop it and raise.
+
+    ``StreamingQuery.awaitTermination(timeout)`` returns ``False`` on
+    timeout WITHOUT raising (verified against the installed PySpark).
+    Ignoring that boolean and reading the memory sink afterwards returns
+    whatever the still-running query has emitted so far — a silently
+    PARTIAL result (observed r9: stream_stream_join 27/31 groups under a
+    RocksDB commit storm; VERDICT r09 "What's wrong" #1). Every caller
+    must therefore go through this guard: on timeout the query is
+    stopped first (so it can't keep mutating the sink) and a
+    ``TimeoutError`` propagates instead of a wrong answer.
+    """
+    if not q.awaitTermination(timeout_sec):
+        try:
+            q.stop()
+        except Exception:
+            pass  # the TimeoutError below is the primary signal
+        raise TimeoutError(
+            f"streaming query {name!r} did not terminate within "
+            f"{timeout_sec}s; refusing to read a partial memory sink"
+        )
+
+
+def _is_provider_load_error(e: Exception) -> bool:
+    """True only for state-store provider LOAD failures (the class is
+    missing or can't be instantiated on this build) — the one case where
+    retrying on the default HDFS-backed provider is sound. RUNTIME
+    state-store failures (e.g. CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT
+    during snapshot maintenance) must propagate: retrying them on a
+    possibly-identical config hides real trouble, and the r9 fallback
+    that matched any message containing "RocksDB" misclassified exactly
+    that (VERDICT r09 "What's wrong" #1)."""
+    msg = str(e)
+    if "ClassNotFoundException" in msg or "NoClassDefFoundError" in msg:
+        return True
+    return "StateStoreProvider" in msg and (
+        "instantiat" in msg  # "Error instantiating ...StateStoreProvider"
+        or "could not be created" in msg
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "append",
     return_progress: bool = False,
+    timeout_sec: float = 600.0,
 ) -> DataFrame | tuple[DataFrame, dict]:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
@@ -176,6 +219,20 @@ def run_stream_to_memory(
     )
     prior_provider = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    # Changelog checkpointing (r10, the root-cause follow-up to VERDICT
+    # r09 "What's wrong" #1): with the default full-snapshot
+    # checkpointing, every commit synchronously creates a RocksDB
+    # snapshot (createSnapshot -> deleteRecursively of the previous
+    # one) — the exact path the r9 commit storm interrupted
+    # (CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT under host load). With
+    # changelog checkpointing the commit appends only the batch's
+    # changelog; snapshot materialization moves to the background
+    # maintenance thread, shrinking the commit-time failure window and
+    # matching the production posture for large state at 100 TB.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
     ckpt = tempfile.mkdtemp(prefix=f"cts_ckpt_{name}_")
 
     def _start(cp: str):
@@ -190,9 +247,9 @@ def run_stream_to_memory(
 
     try:
         q = _start(ckpt)
-        q.awaitTermination(300)
+        await_or_raise(q, name, timeout_sec)
     except Exception as e:  # provider unloadable -> default backend retry
-        if "StateStoreProvider" not in str(e) and "RocksDB" not in str(e):
+        if not _is_provider_load_error(e):
             raise
         if prior_provider is None:
             spark.conf.unset(_PROVIDER_CONF)
@@ -201,7 +258,7 @@ def run_stream_to_memory(
         shutil.rmtree(ckpt, ignore_errors=True)
         ckpt = tempfile.mkdtemp(prefix=f"cts_ckpt_{name}_")
         q = _start(ckpt)
-        q.awaitTermination(300)
+        await_or_raise(q, name, timeout_sec)
     progress = _summarize_progress(q) if return_progress else None
     # the memory sink holds its rows on the driver; once the query has
     # terminated the checkpoint is dead weight (ADVICE r03 disk-hygiene

