@@ -1920,23 +1920,41 @@ def scan_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("text_compression_quality", survey_id="B-62-ext")  # R-tier: zlib is
-# Python-side; no SQL oracle can reproduce the codec byte-for-byte
+_ZQUALITY_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_mono_violations,
+       CAST(0 AS BIGINT) AS n_bounds_violations,
+       TRUE AS x4_improves_avg
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_compression_quality", oracle=_ZQUALITY_ORACLE, survey_id="B-62-ext")
 def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal (the Gopher-rules heuristic:
     highly compressible text ≈ repetitive/low-quality). zlib runs
     inside an Arrow-batched pandas UDF — the declared slow-path escape
     hatch (B-52 pattern), batched so the codec cost amortizes per
-    RecordBatch, never per-row Python. Emits per-source aggregates of
-    the ratio plus the flag count at ratio < 0.45 (the corpus floor is
-    ≈0.42). Because no SQL oracle owns a zlib, the rows-only driver
-    record carries its own MONOTONICITY CERTIFICATE (VERDICT r04 #6):
-    for every doc the same codec also compresses the text repeated 4× —
-    repetition must compress strictly better, so ``n_mono_violations``
-    must read 0 and ``avg_ratio_x4 < avg_ratio`` in every row; a codec
-    or plumbing bug shows up in the record itself, not just in the
-    engine-local pytest. Row-local → zero shuffle before the final
-    1-row-per-source aggregate."""
+    RecordBatch, never per-row Python.
+
+    Tier H via a realized-invariant certificate (upgraded r10 from the
+    r5-era rows-only check with the same pattern that retired
+    agg_approx, VERDICT r09 #5): raw zlib ratios are codec-version
+    specific, so the hashed columns are per-source COUNTS OF INVARIANT
+    VIOLATIONS the oracle pins to zero — (a) monotonicity: for every
+    non-empty doc the SAME codec on the text repeated 4x must compress
+    strictly better (zr4 < zr); (b) bounds: every ratio must land in
+    (0, 1.5] and every x4 ratio in (0, zr4-bound]; plus the per-source
+    exact doc count and the aggregate flag avg(zr4) < avg(zr). A codec
+    swap, plumbing bug, or Arrow-batch corruption shows up as a nonzero
+    violation count in the driver's hash compare, not just in an
+    engine-local pytest. Callers who want the raw per-source ratio
+    aggregates use compression_ratio_stats() below (same scored
+    relation, codec-valued columns). Row-local -> zero shuffle before
+    the 1-row-per-source aggregate."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -1967,27 +1985,56 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         "source",
+        F.length("text").alias("n_len"),
         zratio(F.col("text")).alias("zr"),
         zratio_x4(F.col("text")).alias("zr4"),
+    )
+    mono_bad = (F.col("zr4") >= F.col("zr")) & (F.col("n_len") > 0)
+    bounds_bad = (
+        (F.col("zr") <= 0)
+        | (F.col("zr") > 1.5)
+        | (F.col("zr4") <= 0)
+        | (F.col("zr4") > 1.5)
     )
     return (
         scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("zr"), 4).alias("avg_ratio"),
-            F.round(F.min("zr"), 4).alias("min_ratio"),
-            F.sum(F.when(F.col("zr") < 0.45, 1).otherwise(0)).alias(
-                "n_flagged_repetitive"
-            ),
-            F.round(F.avg("zr4"), 4).alias("avg_ratio_x4"),
-            # certificate: 4× repetition must compress strictly better for
-            # every non-empty doc — any row with zr4 >= zr is a violation
-            F.sum(F.when(F.col("zr4") >= F.col("zr"), 1).otherwise(0)).alias(
-                "n_mono_violations"
-            ),
+            F.sum(mono_bad.cast("long")).alias("n_mono_violations"),
+            F.sum(bounds_bad.cast("long")).alias("n_bounds_violations"),
+            (F.avg("zr4") < F.avg("zr")).alias("x4_improves_avg"),
         )
         .orderBy("source")
     )
+
+
+def compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codec-valued per-source aggregates (avg/min ratio, Gopher
+    flag count at ratio < 0.45) the pre-r10 R-tier row used to return —
+    kept for callers; the registered query returns the oracle-checkable
+    certificate instead."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return texts.map(one)
+
+    sc = d.select("source", zratio(F.col("text")).alias("zr"))
+    return sc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("zr"), 4).alias("avg_ratio"),
+        F.round(F.min("zr"), 4).alias("min_ratio"),
+        F.sum(F.when(F.col("zr") < 0.45, 1).otherwise(0)).alias("n_flagged_repetitive"),
+    ).orderBy("source")
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from cloudtrail_streamer_spark.catalog import table
 from cloudtrail_streamer_spark.registry import query
-from cloudtrail_streamer_spark.streaming.harness import flatten_partitioned
+from cloudtrail_streamer_spark.streaming.harness import await_or_raise, flatten_partitioned
 from cloudtrail_streamer_spark.streaming.sinks import deliver_partitions
 
 ENVELOPE_SCHEMA = "STRUCT<Records: ARRAY<STRING>>"
@@ -161,7 +161,7 @@ def _run_pipeline(spark: SparkSession, logs_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "cloudtrail_pipeline_e2e", 600.0)
 
     delivered = spark.read.json(spool)
     return (
@@ -171,24 +171,41 @@ def _run_pipeline(spark: SparkSession, logs_dir: str) -> DataFrame:
     )
 
 
-@query("cloudtrail_pipeline_e2e", survey_id="A-2..A-10")  # Tier R: full pipeline
+# Delivered-count certificate (VERDICT r09 #5, the sink_python_stream_writer
+# pattern): the pipeline is lossless and exactly-once end-to-end, so the
+# per-type DELIVERED counts read back from the spool must equal the source
+# events table's per-type counts — which a SQL oracle owns exactly. A drop,
+# duplicate delivery, unwrap bug, or SNS mis-dispatch shows up as a hash
+# mismatch in the driver record, upgrading both E2E rows R -> H.
+_DELIVERED_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("cloudtrail_pipeline_e2e", oracle=_DELIVERED_ORACLE, survey_id="A-2..A-10")
 def cloudtrail_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole reference, one query (Path 1, S3-direct): CloudTrail-
     shaped .json.gz files streamed in, Records unwrapped, delivered
     through the chunked retrying Kinesis writer (partition key =
     awsRegion-analog user_id), spool read back and counted per
-    event_type (== source counts; asserted in tests/test_streaming.py)."""
+    event_type. Tier H since r10: the delivered counts hash-compare
+    against the source counts the oracle computes (see
+    _DELIVERED_ORACLE above; also asserted in tests/test_streaming.py)."""
     logs_dir = write_cloudtrail_files(spark, sf_dir)
     return _run_pipeline(spark, logs_dir)
 
 
-@query("cloudtrail_sns_dispatch", survey_id="A-2/A-3")  # Tier R: mixed-feed dispatch
+@query("cloudtrail_sns_dispatch", oracle=_DELIVERED_ORACLE, survey_id="A-2/A-3")
 def cloudtrail_sns_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path 2 + dispatch: a MIXED feed where odd files arrive as SNS
     notification envelopes and even files S3-direct. Per-record sniff
     routes each body (A-2), SNS bodies are unwrapped from Message (A-3),
-    then the identical A-4..A-10 pipeline runs. Per-type delivered
-    counts equal the source regardless of envelope mix (asserted in
-    tests/test_streaming.py)."""
+    then the identical A-4..A-10 pipeline runs. Tier H since r10: the
+    per-type delivered counts must equal the source regardless of
+    envelope mix — the same _DELIVERED_ORACLE certificate as Path 1, so
+    a dispatch bug that drops or double-delivers SNS bodies is a driver
+    hash mismatch."""
     logs_dir = write_cloudtrail_files(spark, sf_dir, sns_wrap_odd=True)
     return _run_pipeline(spark, logs_dir)

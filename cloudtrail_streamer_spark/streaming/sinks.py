@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudtrail_streamer_spark.streaming.harness import await_or_raise
 from cloudtrail_streamer_spark.catalog import table
 from cloudtrail_streamer_spark.registry import query
 
@@ -188,17 +189,27 @@ def deliver_events_to_spool(spark: SparkSession, sf_dir: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "sink_foreachbatch_kinesis", 600.0)
     return spool
 
 
-@query("sink_foreachbatch_kinesis", survey_id="B-6")  # Tier R: sink harness
+_DELIVERED_COUNTS_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("sink_foreachbatch_kinesis", oracle=_DELIVERED_COUNTS_ORACLE, survey_id="B-6")
 def sink_foreachbatch_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch Kinesis delivery of the events stream (stubbed sink):
     deliver through the chunked retrying writer, then read the spool back
     and count per event_type — equals the source counts despite injected
     partial failures (at-least-once, exactly-once here since the stub
-    dedups by payload)."""
+    dedups by payload). Tier H since r10 (VERDICT r09 #5): the delivered
+    per-type counts hash-compare against the source counts the oracle
+    owns, so a dropped chunk, double delivery, or retry bug is a driver
+    hash mismatch — the delivered-count certificate pattern."""
     spool = deliver_events_to_spool(spark, sf_dir)
     delivered = spark.read.json(spool)
     return (
@@ -253,7 +264,7 @@ def sink_idempotent_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "sink_idempotent_batchid", 600.0)
 
     glob = os.path.join(base, "batch=*")
     before = spark.read.schema(harness.EVENTS_SCHEMA).json(glob).count()
@@ -318,7 +329,7 @@ def sink_fanout_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "sink_python_stream_writer", 600.0)
 
     n_parquet = spark.read.parquet(lake).count()
     n_spool = spark.read.json(spool).count()

@@ -15,17 +15,29 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudtrail_streamer_spark.streaming.harness import await_or_raise
 from cloudtrail_streamer_spark.catalog import table
 from cloudtrail_streamer_spark.functions import dsum
 from cloudtrail_streamer_spark.registry import query
 from cloudtrail_streamer_spark.streaming import harness
 
 
-@query("source_stream_files", survey_id="B-3")  # Tier R: streaming harness
+_STREAM_COUNTS_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("source_stream_files", oracle=_STREAM_COUNTS_ORACLE, survey_id="B-3")
 def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental file-stream ingest: replay events as a file stream
-    (AvailableNow), count per event_type. The memory-sink result equals
-    the batch GROUP BY (asserted in tests/test_streaming.py)."""
+    (AvailableNow), count per event_type. Tier H since r10 (VERDICT r09
+    #5): the replay fixture is a lossless re-materialization of the
+    events table, so the streamed complete-mode counts hash-compare
+    against the oracle's batch GROUP BY — a dropped file, a re-read, or
+    a watermark bug is a driver hash mismatch (also asserted in
+    tests/test_streaming.py)."""
     replay = harness.write_replay_files(spark, sf_dir)
     stream = harness.read_replay_stream(spark, replay)
     import uuid
@@ -231,7 +243,7 @@ def source_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, "source_stream_files", 600.0)
 
     run_once()
 
@@ -292,7 +304,7 @@ def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "state_metadata_source", 600.0)
 
     meta = spark.read.format("state-metadata").load(ckpt)
     stateful_ops = meta.select("operatorId", "stateStoreName").collect()

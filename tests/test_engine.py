@@ -476,19 +476,22 @@ def test_window_priority_names_exist():
 
 
 def test_compression_quality_monotonic(spark):
-    """text_compression_quality (R-tier): repetitive text must compress
-    further than high-entropy text — the heuristic's defining property
-    — and ratios stay in (0, 1.2]."""
+    """text_compression_quality (H since r10): the registered query now
+    returns the realized-invariant certificate — zero monotonicity /
+    bounds violations, x4 improves the average — and the codec-valued
+    aggregates live in compression_ratio_stats(); both are checked, plus
+    the raw zlib invariant on extreme inputs."""
     import zlib
 
+    from cloudtrail_streamer_spark.operators.engine_ext import compression_ratio_stats
     from cloudtrail_streamer_spark.registry import all_queries
 
     rows = all_queries()["text_compression_quality"](spark, SF).collect()
-    assert rows and all(0.0 < r["min_ratio"] <= r["avg_ratio"] <= 1.2 for r in rows)
-    # the in-band certificate the driver's rows-only record carries
-    # (VERDICT r04 #6): repeating any doc 4x compresses strictly better
-    assert all(r["n_mono_violations"] == 0 for r in rows)
-    assert all(r["avg_ratio_x4"] < r["avg_ratio"] for r in rows)
+    assert rows and all(r["n_mono_violations"] == 0 for r in rows)
+    assert all(r["n_bounds_violations"] == 0 for r in rows)
+    assert all(r["x4_improves_avg"] for r in rows)
+    stats = compression_ratio_stats(spark, SF).collect()
+    assert stats and all(0.0 < r["min_ratio"] <= r["avg_ratio"] <= 1.2 for r in stats)
     # the invariant the UDF encodes, pinned on extreme inputs
     rep_txt = ("spam " * 200).encode()
     var_txt = " ".join(f"w{i}" for i in range(200)).encode()
@@ -665,30 +668,34 @@ def test_staged_covers_unchecked_queries():
     queries, (b) together with the current window cover EVERY query
     lacking a driver row across all CORRECTNESS_r* captures, with no
     overlap — so the next rotation is mechanical and cannot waste
-    driver slots."""
+    driver slots. Since r10 the staged list holds STALE-cert queries
+    (every registered query has at least one driver row after r9), so
+    staged entries may already be checked — but only with an OLD cert:
+    a staged name whose latest cert is from the current or previous
+    round is a wasted r11 slot."""
     import json
     import os
 
     import cloudtrail_streamer_spark.registry as R
 
     R._load_all()
-    staged, window = set(R._R9_STAGED), set(R._WINDOW_PRIORITY)
+    staged, window = set(R._R10_STAGED), set(R._WINDOW_PRIORITY)
     missing = staged - set(R._REGISTRY)
     assert not missing, f"staged names not registered: {sorted(missing)}"
     assert not (staged & window), "staged/window overlap wastes slots"
-    checked = set()
+    latest: dict[str, int] = {}
     for f in sorted(os.listdir("/root/repo")):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
-            checked.update(json.load(open(os.path.join("/root/repo", f))).keys())
-    unchecked = set(R._REGISTRY) - checked
+            rnd = int(f.split("_r")[1].split(".")[0])
+            for name in json.load(open(os.path.join("/root/repo", f))):
+                latest[name] = max(latest.get(name, 0), rnd)
+    unchecked = set(R._REGISTRY) - set(latest)
     assert unchecked <= window | staged, (
         f"every unchecked query needs a slot; "
         f"missing={sorted(unchecked - (window | staged))}"
     )
-    # staged slots must not be spent on already-verified queries (the
-    # window MAY re-verify green queries whose plans changed — r4 does
-    # for the replanned dedup pipeline and sim kernel routing)
-    assert not (staged & checked), f"staged but already green: {sorted(staged & checked)}"
+    fresh = {n for n in staged if latest.get(n, 0) >= max(latest.values()) - 1}
+    assert not fresh, f"staged but freshly certified: {sorted(fresh)}"
 
 
 def test_python_datasource_split_pruning():
@@ -943,13 +950,15 @@ def test_exact_int_gram_both_regimes():
     # bound violation must fail loudly, never silently lose exactness
     import pytest as _pytest
 
-    with _pytest.raises(AssertionError):
+    # ValueError, not AssertionError, since ADVICE r09 #3: the guards
+    # must survive `python -O`, so they are unconditional raises now
+    with _pytest.raises(ValueError):
         exact_int_gram(np.array([[1 << 24]], dtype=np.int64))
     # split-path recombination bound (ADVICE r08 #2): rows*qmax^2 >= 2^63
     # would wrap the int64 shift-add — must raise, not corrupt partials
     wide = np.full((32769, 2), (1 << 24) - 1, dtype=np.int64)
     assert 32769 * ((1 << 24) - 1) ** 2 >= (1 << 63)
-    with _pytest.raises(AssertionError):
+    with _pytest.raises(ValueError):
         exact_int_gram(wide)
 
 
