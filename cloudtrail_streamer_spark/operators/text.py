@@ -1142,24 +1142,53 @@ def text_crossdoc_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
-    wspec = Window.partitionBy("w")
+    # r10 lever (VERDICT r09 #4): the r8 plan's single heavy shuffle fed
+    # a WINDOW (min/max over partition by w) — shuffle + TOTAL SORT of
+    # every window instance. This shape needs no sort at all:
+    #   n_windows  is per-doc ARITHMETIC (greatest(|toks|-8,0)+1 — the
+    #              size of the generated sequence), no explode, no
+    #              shuffle beyond a |docs|-row aggregate;
+    #   n_shared   = n_windows - n_unshared, and an UNSHARED window
+    #              group (min_doc == max_doc over w) attributes all its
+    #              instances to that single doc — so one HASH aggregate
+    #              keyed by w (map-side partial combine collapses
+    #              within-partition repeats before the wire) followed by
+    #              a doc-keyed rollup of the unshared groups replaces
+    #              the sort entirely. Both post-shuffle relations reduce
+    #              map-side to |docs| rows; the final join is
+    #              metadata-scale. Measured at sf1 (min-of-3 warm,
+    #              local[32]): 3.26 s (r8 window plan) -> see
+    #              BENCH_DETAIL llm_headline.crossdoc_plan_choice.
+    # null-text docs generate zero windows (explode of a null array) and
+    # must stay absent, exactly as in the oracle's unnest
+    nw = da.where(F.col("arr").isNotNull()).select(
+        "doc_id",
+        (F.greatest(F.size("arr") - 8, F.lit(0)) + 1).cast("long").alias("n_windows"),
+    )
+    g = wins.groupBy("w").agg(
+        F.min("doc_id").alias("dmin"),
+        F.max("doc_id").alias("dmax"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    unsh = (
+        g.where(F.col("dmin") == F.col("dmax"))
+        .groupBy(F.col("dmin").alias("doc_id"))
+        .agg(F.sum("cnt").alias("n_unshared"))
+    )
     return (
-        wins.select(
+        nw.join(unsh, "doc_id", "left")
+        .select(
             "doc_id",
-            (F.min("doc_id").over(wspec) != F.max("doc_id").over(wspec))
+            "n_windows",
+            (F.col("n_windows") - F.coalesce(F.col("n_unshared"), F.lit(0)))
             .cast("long")
-            .alias("sh"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum("sh").alias("n_shared"),
+            .alias("n_shared"),
         )
         .where(F.col("n_shared") > 0)
         .select(
             "doc_id",
             "n_windows",
-            F.col("n_shared").cast("long").alias("n_shared"),
+            "n_shared",
             F.round(F.col("n_shared").cast("double") / F.col("n_windows"), 4).alias(
                 "shared_ratio"
             ),

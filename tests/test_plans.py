@@ -690,10 +690,13 @@ def test_single_scan_scalar_normalizers(spark):
         ("pipeline_domain_mixture", "documents", 1),
         ("agg_psi_drift", "events", 1),
         ("agg_ab_test_ztest", "events", 1),
-        # r8: join-free shape — one scan feeds the single heavy window
-        # shuffle; the shared flag is computed in-place (no second
-        # consumer, no persist)
-        ("text_crossdoc_substring", "documents", 1),
+        # r10 replan (VERDICT r09 #4): crossdoc trades the r8 single
+        # scan + full SORT of the window relation for TWO scans and NO
+        # sort — the n_windows side is per-doc arithmetic over a second
+        # (cheap, shuffle-free) pass of documents, and the heavy shuffle
+        # becomes a hash aggregate. A THIRD scan would mean the explode
+        # subtree got re-inlined — still pinned.
+        ("text_crossdoc_substring", "documents", 2),
     ):
         plan = _plan(spark, name)
         locs = re.findall(r"Location: InMemoryFileIndex[^\n]*/(\w+)\.parquet", plan)
@@ -826,3 +829,18 @@ def test_fixed_k_sample_take_ordered(spark):
     plan = _plan(spark, "sample_fixed_k_md5")
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+
+
+def test_crossdoc_sort_free_hash_agg(spark):
+    """text_crossdoc_substring r10 replan (VERDICT r09 #4): the heavy
+    window-hash shuffle must be a HASH aggregate with a map-side partial
+    below the exchange — never the r8 Window (shuffle + TOTAL SORT of
+    every window instance). At sf0.001 the doc-level join broadcasts, so
+    the whole plan is sort-free; at scale an SMJ sort of the |docs|-row
+    metadata relation would be acceptable, but a Sort/Window over the
+    window relation itself would be the regression this test pins out."""
+    tree = _nodes(spark, "text_crossdoc_substring")
+    assert "Window" not in tree, tree
+    assert "Sort" not in tree, tree
+    # partial + final for the w-agg, partial + final for the doc rollup
+    assert tree.count("HashAggregate") >= 4, tree
