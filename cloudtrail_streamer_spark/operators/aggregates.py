@@ -237,8 +237,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_ORACLE = """
 SELECT o_orderstatus AS status,
        CAST(COUNT(*) AS BIGINT) AS n,
-       1.0 AS hll_ratio_1dp,
-       1.0 AS gk_ratio_1dp
+       CAST(1.0 AS DOUBLE) AS hll_ratio_1dp,
+       CAST(1.0 AS DOUBLE) AS gk_ratio_1dp
 FROM orders
 GROUP BY 1
 """

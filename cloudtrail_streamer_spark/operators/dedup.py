@@ -87,7 +87,8 @@ _MH_B = [
     1252759788, 1310134065, 1374437243, 1412284992, 1448524527,
     1448751744, 1455159281, 1579966976, 1703092456, 1875335826,
 ]
-assert len(_MH_A) == len(_MH_B) == N_HASHES
+if not (len(_MH_A) == len(_MH_B) == N_HASHES):  # survives python -O
+    raise ValueError("MinHash constant tables must have N_HASHES entries each")
 _MH_A_CSV = ", ".join(str(a) for a in _MH_A)
 _MH_B_CSV = ", ".join(str(b) for b in _MH_B)
 

@@ -84,7 +84,11 @@ def exact_int_gram(x):
     import numpy as np
 
     qmax = int(np.abs(x).max()) if x.size else 0
-    assert qmax < (1 << 24), "split-GEMM exactness bound (|q| < 2^24)"
+    # unconditional raises, not asserts: these are the exactness
+    # contract ("fail loudly, not corrupt Gram partials") and must
+    # survive `python -O` bytecode stripping (ADVICE r09 #3)
+    if qmax >= (1 << 24):
+        raise ValueError("split-GEMM exactness bound violated (|q| < 2^24)")
     if len(x) * qmax * qmax < (1 << 53):
         xf = x.astype(np.float64)
         return (xf.T @ xf).astype(np.int64)
@@ -92,10 +96,11 @@ def exact_int_gram(x):
     # batch so the int64 shift-add cannot silently wrap if the Arrow
     # batch size is raised above the default (ADVICE r08 #2) — the
     # exactness contract must fail loudly, not corrupt Gram partials.
-    assert len(x) * qmax * qmax < (1 << 63), (
-        "split-GEMM int64 recombination bound (rows * qmax^2 < 2^63); "
-        "lower spark.sql.execution.arrow.maxRecordsPerBatch"
-    )
+    if len(x) * qmax * qmax >= (1 << 63):
+        raise ValueError(
+            "split-GEMM int64 recombination bound (rows * qmax^2 < 2^63); "
+            "lower spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
     a = (x >> 12).astype(np.float64)
     b = (x & 4095).astype(np.float64)
     g_hi = a.T @ a

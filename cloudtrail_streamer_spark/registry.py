@@ -47,6 +47,16 @@ def query(
         # boundary is wrapped — intra-op composition (e.g.
         # embed_power_iteration calling embed_covariance_matrix
         # directly) bypasses the wrapper and keeps its shared caches.
+        #
+        # CONTRACT (ADVICE r09 #4): construct-then-collect-IMMEDIATELY.
+        # clearCache() here is session-global, so a caller that builds
+        # DataFrames from two registry queries before collecting the
+        # first loses the first query's persist()s — never wrong (all
+        # ops are deterministic; Spark recomputes), but a perf cliff.
+        # The driver protocol (one query at a time, toPandas before the
+        # next call) satisfies this by construction; interleaving
+        # callers should capture each result before invoking the next
+        # registry entry.
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.clearCache()
@@ -72,93 +82,94 @@ def _load_all() -> None:
 # everything else follows in registration order. Rotate this list each round
 # so that, across rounds, every query lands inside the driver's window.
 #
-# Round 9 (VERDICT r08 #1/#3/#6/#7): slots 1-16 are every query whose
-# implementation changed this round and must re-earn its row — the
-# signed-zero normalization sweep (SURVEY §5.3 rule 8: cov +
-# power_iteration, plus the eight other subtraction-shaped rounds),
-# the winsorized-mean integer-rank fix (ADVICE r08 #1), the webdataset
-# manifest commit, and the FIVE R→H certificate upgrades (agg_approx
-# realized-error ratios; dedup_near_minhash/dedup_minhash_recall/
-# dedup_simhash on the new cross-engine md5-based hash families;
-# layout_cluster_ranges invariant certificate). Next, the 10 remaining
-# r8-wave stats registrations get their SECOND certification (the
-# other 11 of the 21 r8 additions are already in the changed group).
-# The back 24 slots are the oldest-certification tail — fn_*/filter/
-# scan/join/set families last certified r1–r2 (112 queries had a
-# single lifetime certification at r8; the r1/r2-latest names that
-# don't fit here rotate in at r10).
+# Round 10 (VERDICT r09 #1/#2/#5 + ADVICE r09 #1): a hardening-round
+# rotation. Slots 1-9 are every query whose implementation OR oracle
+# changed this round and must (re-)earn its row — pipeline_dedup_e2e
+# (rewired onto the affine md5 family in r9 but missed the r9 window,
+# ADVICE r09 #1), stream_stream_join (the awaitTermination/partial-read
+# harness fix), agg_approx (oracle literal pinned to DOUBLE),
+# text_compression_quality + the two cloudtrail E2E rows +
+# sink_foreachbatch_kinesis + source_stream_files (all five upgraded
+# R→H with delivered-count / realized-invariant certificates), and
+# text_crossdoc_substring (sort-free replan). The remaining 41 slots
+# drain the stale-certification tail: ALL 18 queries whose latest
+# driver cert is r1, then 23 of the 31 remaining r2-latest ones.
+# The 8 r2-latest names that don't fit (set_except/_all, set_intersect,
+# set_union_distinct, agg_approx_bounds, stream_session, stream_sliding,
+# source_kinesis_stub) were instead re-verified THIS session through
+# tools/drive_entry.py at sf0.01 (session log) — set-family and
+# agg_approx-sibling evidence is fresh green from r9's window — and
+# take the FIRST slots of the r11 rotation below.
 _WINDOW_PRIORITY: list[str] = [
-    # --- changed implementation this round: re-earn the row ---
-    "embed_covariance_matrix",
-    "embed_power_iteration",
-    "agg_winsorized_mean",
-    "win_rolling_corr",
-    "events_autocorr_lag",
-    "agg_effect_size_cohens_d",
-    "agg_permutation_test",
-    "events_seasonal_profile",
-    "agg_mann_whitney",
-    "agg_t_test_welch",
+    # --- changed implementation/oracle this round: (re-)earn the row ---
+    "pipeline_dedup_e2e",
+    "stream_stream_join",
     "agg_approx",
-    "multimodal_webdataset_shards",
-    "dedup_near_minhash",
-    "dedup_minhash_recall",
-    "dedup_simhash",
-    "layout_cluster_ranges",
-    # --- new r9 wave 7 (no driver row yet) ---
-    "text_minhash_containment",
-    "sample_fixed_k_md5",
-    # --- r8 wave additions: second certification ---
-    "agg_ks_test",
-    "agg_chisq_independence",
-    "text_dsir_importance",
-    "text_readability_score",
-    "text_ngram_novelty",
-    "text_vocab_growth",
-    "text_cross_lingual_overlap",
-    "agg_quantile_bands_exact",
-    "win_lag_features_matrix",
-    "embed_pairwise_distance_hist",
-    # --- oldest-certification tail (last certified r1/r2) ---
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_json",
-    "fn_array",
-    "fn_map",
-    "fn_explode",
-    "fn_bitwise",
-    "fn_levenshtein",
-    "fn_url_decode",
-    "filter_compound",
-    "filter_conditional_expr",
-    "project_compute",
-    "scan_parquet",
-    "join_anti",
-    "join_cross",
-    "join_interval",
-    "join_outer_full",
-    "join_outer_left",
-    "join_semi",
-    "join_theta_range",
-    "set_union_all",
+    "text_compression_quality",
+    "text_crossdoc_substring",
+    "cloudtrail_pipeline_e2e",
+    "cloudtrail_sns_dispatch",
+    "sink_foreachbatch_kinesis",
+    "source_stream_files",
+    # --- stale tail: every r1-latest query ---
+    "agg_collect_sorted",
+    "agg_corr_stats",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_median_quantile",
+    "agg_pivot",
+    "agg_stats",
+    "agg_string_concat",
+    "embed_neardup_cosine",
+    "embed_normalize",
+    "sample_hash_mod",
+    "set_unpivot",
+    "sim_knn_classify",
+    "sim_search_ivf",
+    "sink_parquet_partitioned",
+    "text_ngram_jaccard",
+    "win_distribution",
+    # --- stale tail: r2-latest (23 of 31; the other 8 stage for r11) ---
+    "dedup_groups_connected",
+    "embed_ivf_assign",
+    "join_bucketed_colocated",
+    "merge_upsert",
+    "multimodal_audio_meta",
+    "multimodal_binary_col",
+    "multimodal_frame_sample",
+    "multimodal_image_meta",
+    "multimodal_video_meta",
+    "source_json_gz",
+    "text_filter_quality",
+    "text_lang_stats",
+    "text_ngram_lm",
+    "text_pack_sequences",
+    "text_scrub_pii",
+    "text_tokenize_wordcount",
+    "udaf_applyinpandas",
+    "udf_pandas_vectorized",
+    "udf_python_scalar",
+    "udtf_python",
+    "win_analytic",
+    "win_frame_range",
+    "win_frame_rows",
 ]
 
-# Next-round staging: queries registered AFTER this round's window was
-# fixed. Every name appended here still lacks a driver row; at the next
-# rotation, move these into _WINDOW_PRIORITY's first slots.
-# tests/test_engine.py validates that window + staged covers every
-# query that lacks a driver row.
-# r10 rotation note: the remaining r1/r2-latest names (agg_collect_sorted,
-# agg_corr_stats, agg_cube, agg_distinct, agg_grouping_sets,
-# agg_median_quantile, agg_pivot, agg_stats, agg_string_concat,
-# agg_approx_bounds, dedup_* r1 family, embed_ivf_assign,
-# embed_neardup_cosine, embed_normalize, merge_upsert, multimodal_*_meta,
-# sample_hash_mod, sim_knn_classify, sim_search_ivf, sink_parquet_partitioned,
-# source_json_gz, stream_session, stream_sliding, text_* r1 family,
-# udf/udaf/udtf family, win_analytic, win_distribution, win_frame_*)
-# take the back slots.
-_R9_STAGED: list[str] = []
+# Next-round staging: the 8 r2-latest queries deferred from the r10
+# window (locally re-verified via tools/drive_entry.py this session —
+# see the rotation note above). They take the first slots of the r11
+# rotation, followed by whatever r10 itself changes.
+_R10_STAGED: list[str] = [
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_union_distinct",
+    "agg_approx_bounds",
+    "stream_session",
+    "stream_sliding",
+    "source_kinesis_stub",
+]
 
 
 
