@@ -305,38 +305,45 @@ def _covariance_int64_matmul_plan(spark, sf_dir: str):
 
 
 def _crossdoc_legacy_plan(spark, sf_dir: str):
-    """The r7 text_crossdoc_substring physical shape (persist the hashed
-    window relation + count_distinct + left join back), kept ONLY as the
-    measured plan-A/B alternative for the r8 join-free rewrite
-    (operators/text.py docstring has the full decomposition)."""
-    from pyspark import StorageLevel
+    """The r8 text_crossdoc_substring physical shape (single scan, min/max
+    WINDOW over the window-hash key — a full shuffle + sort of every
+    window instance), kept ONLY as the measured plan-A/B alternative for
+    the r10 sort-free hash-aggregate rewrite (operators/text.py docstring
+    and SCALE.md §Round-10 have the decomposition; the r7 persist+join
+    shape it replaced is decomposed in the r8 BENCH_DETAIL archive)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from cloudtrail_streamer_spark.catalog import table
 
     d = table(spark, sf_dir, "documents")
-    da = d.withColumn("arr", F.split(F.lower(F.col("text")), " "))
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    da = d.withColumn("arr", F.split(F.lower(F.col("text")), " ")).withColumn(
+        "ha", F.transform("arr", lambda t: F.xxhash64(t))
+    )
     wins = da.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("arr") - 8, F.lit(0))),
-                lambda i: F.xxhash64(F.slice("arr", i + 1, 8)),
+                F.sequence(F.lit(0), F.greatest(F.size("ha") - 8, F.lit(0))),
+                lambda i: F.xxhash64(*[F.get("ha", i + j) for j in range(8)]),
             )
         ).alias("w"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    shared = (
-        wins.groupBy("w")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("w", F.lit(1).alias("is_shared"))
     )
+    wspec = Window.partitionBy("w")
     return (
-        wins.join(shared, "w", "left")
+        wins.select(
+            "doc_id",
+            (F.min("doc_id").over(wspec) != F.max("doc_id").over(wspec))
+            .cast("long")
+            .alias("sh"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("n_shared"),
+            F.sum("sh").alias("n_shared"),
         )
         .where(F.col("n_shared") > 0)
         .select(
@@ -683,14 +690,15 @@ def main() -> None:
         # their r7 predecessors, measured on the same sf1 endpoint in
         # the same session — the weak-marginal justification machinery.
         llm_block["crossdoc_plan_choice"] = {
-            "kept_joinfree_minmax_sec": llm_sf1_spark.get("text_crossdoc_substring"),
-            "r7_persist_join_sec": time_one_df(
+            "kept_sortfree_hashagg_sec": llm_sf1_spark.get("text_crossdoc_substring"),
+            "r8_window_sort_sec": time_one_df(
                 spark, _crossdoc_legacy_plan(spark, sf1_dir), runs=3
             ),
-            "note": "sf1; kept plan = token-hash recode + window min!=max "
-            "+ one per-doc agg (no join, no persist); full decomposition "
-            "incl. gen-only and collect_list alternatives in the op "
-            "docstring (operators/text.py)",
+            "note": "sf1; kept r10 plan = arithmetic n_windows + unshared "
+            "subtraction over one hash agg (map-side partial, no sort, no "
+            "window); alternative = the r8 min/max-window plan it replaced "
+            "(SCALE.md §Round-10 has the sf1/sf10 A/B: marginal "
+            "2.05 -> 0.54/0.29)",
         }
         llm_block["covariance_plan_choice"] = {
             "kept_mapinarrow_adaptive_dgemm_sec": llm_sf1_spark.get(
