@@ -350,7 +350,7 @@ def test_checkpoint_recovery_exactly_once(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        harness.await_or_raise(q, "resume_run_once", 600.0)
 
     run_once()
     for f in os.listdir(held):  # deliver the rest, then resume
@@ -388,7 +388,7 @@ def test_custom_datasource_stream_writer_roundtrip(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    harness.await_or_raise(q, "dswt_spool", 600.0)
     back = (
         spark.read.format("kinesis_spool").option("path", out_spool).load()
     ).select(F.get_json_object("data", "$.event_id").cast("long").alias("event_id"))
@@ -496,7 +496,10 @@ def test_cascade_foreachbatch_equivalence(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # await_or_raise, not a bare awaitTermination: under full-suite
+    # load the 120 s wait returned False and the test read PARTIAL
+    # upsert state (observed r10) - the exact harness hazard class
+    harness.await_or_raise(q, "cascade_upsert", 600.0)
     lvl1 = spark.createDataFrame(
         [(n,) for n in state.values()], "n long"
     )
