@@ -329,7 +329,7 @@ def sink_fanout_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    await_or_raise(q, "sink_python_stream_writer", 600.0)
+    await_or_raise(q, "sink_fanout_dual", 600.0)
 
     n_parquet = spark.read.parquet(lake).count()
     n_spool = spark.read.json(spool).count()

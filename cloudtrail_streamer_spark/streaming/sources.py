@@ -243,7 +243,7 @@ def source_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        await_or_raise(q, "source_stream_files", 600.0)
+        await_or_raise(q, "source_incremental_checkpoint", 600.0)
 
     run_once()
 
@@ -304,7 +304,7 @@ def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    await_or_raise(q, "state_metadata_source", 600.0)
+    await_or_raise(q, "source_state_store_reader", 600.0)
 
     meta = spark.read.format("state-metadata").load(ckpt)
     stateful_ops = meta.select("operatorId", "stateStoreName").collect()

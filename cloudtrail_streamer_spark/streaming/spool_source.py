@@ -265,7 +265,7 @@ def sink_kinesis_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    await_or_raise(q, "spool_source_roundtrip", 600.0)
+    await_or_raise(q, "sink_kinesis_custom_stream", 600.0)
     delivered = (
         spark.read.format("kinesis_spool")
         .option("path", out_spool)

@@ -407,7 +407,7 @@ def stream_upsert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    await_or_raise(q, "stream_window_sink", 600.0)
+    await_or_raise(q, "stream_upsert_keyed", 600.0)
     return spark.read.parquet(current["path"]).select(
         "user_id",
         F.col("n").cast("long").alias("n"),
