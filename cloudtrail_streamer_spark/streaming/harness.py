@@ -217,6 +217,15 @@ def run_stream_to_memory(
     _ROCKSDB = (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
+    # conf values are always strings, so None unambiguously means "key
+    # was not set" (PySpark's RuntimeConfig.get only accepts str/None
+    # defaults — an object() sentinel would fail its type check)
+    def _restore(key: str, prior: str | None) -> None:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
     prior_provider = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
     # Changelog checkpointing (r10, the root-cause follow-up to VERDICT
@@ -229,10 +238,14 @@ def run_stream_to_memory(
     # changelog; snapshot materialization moves to the background
     # maintenance thread, shrinking the commit-time failure window and
     # matching the production posture for large state at 100 TB.
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true",
+    # Both confs are restored on exit (ADVICE r10 #2) — the memory-sink
+    # rows live on the driver, so the returned DataFrame does not depend
+    # on either setting after the query terminates.
+    _CHANGELOG_CONF = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     )
+    prior_changelog = spark.conf.get(_CHANGELOG_CONF, None)
+    spark.conf.set(_CHANGELOG_CONF, "true")
     ckpt = tempfile.mkdtemp(prefix=f"cts_ckpt_{name}_")
 
     def _start(cp: str):
@@ -246,26 +259,27 @@ def run_stream_to_memory(
         )
 
     try:
-        q = _start(ckpt)
-        await_or_raise(q, name, timeout_sec)
-    except Exception as e:  # provider unloadable -> default backend retry
-        if not _is_provider_load_error(e):
-            raise
-        if prior_provider is None:
-            spark.conf.unset(_PROVIDER_CONF)
-        else:
-            spark.conf.set(_PROVIDER_CONF, prior_provider)
+        try:
+            q = _start(ckpt)
+            await_or_raise(q, name, timeout_sec)
+        except Exception as e:  # provider unloadable -> default backend retry
+            if not _is_provider_load_error(e):
+                raise
+            _restore(_PROVIDER_CONF, prior_provider)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            ckpt = tempfile.mkdtemp(prefix=f"cts_ckpt_{name}_")
+            q = _start(ckpt)
+            await_or_raise(q, name, timeout_sec)
+        progress = _summarize_progress(q) if return_progress else None
+        # the memory sink holds its rows on the driver; once the query has
+        # terminated the checkpoint is dead weight (ADVICE r03 disk-hygiene
+        # theme — harness runs leak one checkpoint dir per invocation)
         shutil.rmtree(ckpt, ignore_errors=True)
-        ckpt = tempfile.mkdtemp(prefix=f"cts_ckpt_{name}_")
-        q = _start(ckpt)
-        await_or_raise(q, name, timeout_sec)
-    progress = _summarize_progress(q) if return_progress else None
-    # the memory sink holds its rows on the driver; once the query has
-    # terminated the checkpoint is dead weight (ADVICE r03 disk-hygiene
-    # theme — harness runs leak one checkpoint dir per invocation)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    out = spark.table(name)
-    return (out, progress) if return_progress else out
+        out = spark.table(name)
+        return (out, progress) if return_progress else out
+    finally:
+        _restore(_CHANGELOG_CONF, prior_changelog)
+        _restore(_PROVIDER_CONF, prior_provider)
 
 
 def _summarize_progress(q) -> dict:
