@@ -1947,7 +1947,8 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     VIOLATIONS the oracle pins to zero — (a) monotonicity: for every
     non-empty doc the SAME codec on the text repeated 4x must compress
     strictly better (zr4 < zr); (b) bounds: every ratio must land in
-    (0, 1.5] and every x4 ratio in (0, zr4-bound]; plus the per-source
+    (0, length-derived deflate worst-case cap] (ADVICE r10 #3 replaced
+    the flat 1.5, which sub-20-byte docs can legitimately exceed); plus the per-source
     exact doc count and the aggregate flag avg(zr4) < avg(zr). A codec
     swap, plumbing bug, or Arrow-batch corruption shows up as a nonzero
     violation count in the driver's hash compare, not just in an
@@ -1990,12 +1991,25 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         zratio_x4(F.col("text")).alias("zr4"),
     )
     mono_bad = (F.col("zr4") >= F.col("zr")) & (F.col("n_len") > 0)
-    bounds_bad = (
+    # Length-derived expansion cap (ADVICE r10 #3): the old flat 1.5
+    # bound is wrong for very short docs (zlib's 2-byte header + 4-byte
+    # adler + stored-block framing legitimately push a <20-byte text
+    # past 1.5x) and needlessly loose for long ones. Deflate guarantees
+    # compressed <= raw + 5*ceil(raw/65535) + 6 (stored-block fallback),
+    # so ratio <= 1 + 5/65535 + 11/raw_bytes <= 1.0002 + 11/n_len
+    # (n_len is CHARS <= UTF-8 bytes, so the char-based cap only
+    # loosens; 0.0002 also absorbs the round(.,4) half-ulp). The x4
+    # text has 4x the bytes, so its cap tightens to 11/(4*n_len).
+    # Empty docs are pinned to the UDF's defined ratio of exactly 1.0.
+    cap = F.lit(1.0002) + F.lit(11.0) / F.col("n_len")
+    cap4 = F.lit(1.0002) + F.lit(11.0) / (F.lit(4.0) * F.col("n_len"))
+    bounds_bad = F.when(
+        F.col("n_len") > 0,
         (F.col("zr") <= 0)
-        | (F.col("zr") > 1.5)
+        | (F.col("zr") > cap)
         | (F.col("zr4") <= 0)
-        | (F.col("zr4") > 1.5)
-    )
+        | (F.col("zr4") > cap4),
+    ).otherwise((F.col("zr") != 1.0) | (F.col("zr4") != 1.0))
     return (
         scored.groupBy("source")
         .agg(
