@@ -1130,8 +1130,16 @@ def text_crossdoc_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
-    da = d.withColumn("arr", F.split(F.lower(F.col("text")), " ")).withColumn(
-        "ha", F.transform("arr", lambda t: F.xxhash64(t))
+    # Null-text docs are dropped ONCE here, for both subtrees (ADVICE
+    # r10 #4): without the filter, size(null) = -1 makes the window
+    # sequence non-empty and xxhash64 of all-null args returns the
+    # seed, so every null doc would emit one seed-valued window row —
+    # unreachable through the nw join, but a stray key in the w
+    # aggregate and a 2^-64 collision hazard against real hashes.
+    da = (
+        d.withColumn("arr", F.split(F.lower(F.col("text")), " "))
+        .where(F.col("arr").isNotNull())
+        .withColumn("ha", F.transform("arr", lambda t: F.xxhash64(t)))
     )
     wins = da.select(
         "doc_id",
@@ -1159,9 +1167,9 @@ def text_crossdoc_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     #              metadata-scale. Measured at sf1 (min-of-3 warm,
     #              local[32]): 3.26 s (r8 window plan) -> see
     #              BENCH_DETAIL llm_headline.crossdoc_plan_choice.
-    # null-text docs generate zero windows (explode of a null array) and
-    # must stay absent, exactly as in the oracle's unnest
-    nw = da.where(F.col("arr").isNotNull()).select(
+    # null-text docs are already gone (filtered at da, above), exactly
+    # as in the oracle's unnest
+    nw = da.select(
         "doc_id",
         (F.greatest(F.size("arr") - 8, F.lit(0)) + 1).cast("long").alias("n_windows"),
     )
