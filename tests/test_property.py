@@ -764,3 +764,336 @@ def test_ewma_formula_bites(spark):
     xs = cents[: t + 1]
     frame_mean = sum(xs) / len(xs)
     assert frame_mean < got[ts[t].to_pydatetime()][1] < cents[t]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 formula-must-bite coverage (VERDICT r10 #4): the last eight
+# derived-formula ops without an independent recompute. Same discipline
+# as the r9/r10 waves — a fixture where the formula's distinctive term
+# PROVABLY moves the output, so a mirrored slip in Spark + oracle could
+# not hash-pass.
+# ---------------------------------------------------------------------------
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _orders_pdf(custkeys: list[int], prices: list[float]) -> pd.DataFrame:
+    n = len(custkeys)
+    return pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": np.array(custkeys, dtype="int64"),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": np.array(prices, dtype="float64"),
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+
+
+def _events_pdf(rows: list[tuple]) -> pd.DataFrame:
+    """rows: (ts, user_id, event_type, value)"""
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype="int64"),
+            "ts": pd.to_datetime([r[0] for r in rows]),
+            "user_id": np.array([r[1] for r in rows], dtype="int64"),
+            "event_type": [r[2] for r in rows],
+            "value": np.array([r[3] for r in rows], dtype="float64"),
+            "props": ["{}"] * len(rows),
+        }
+    )
+
+
+def test_chisq_formula_bites(spark):
+    """agg_chisq_independence vs a from-scratch contingency recompute.
+    The lang x source fixture is strongly DEPENDENT (en concentrates in
+    web, fr in wiki), so expected-under-independence differs from
+    observed in every cell — an engine that confused row/col marginals
+    or used observed for expected (mirrored in the oracle) could not
+    match this recompute."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    # (lang, source, count): 12 en-web, 2 en-wiki, 3 fr-web, 9 fr-wiki
+    cells = {("en", "web"): 12, ("en", "wiki"): 2, ("fr", "web"): 3, ("fr", "wiki"): 9}
+    texts, langs, sources = [], [], []
+    for (lg, src), c in cells.items():
+        for i in range(c):
+            texts.append(f"doc {lg} {src} {i}")
+            langs.append(lg)
+            sources.append(src)
+    pdf = _docs_pdf(texts)
+    pdf["lang"], pdf["source"] = langs, sources
+    d = _fixture_dir(spark, "chisq", {"documents": pdf}, {"documents": _DOCS_SCHEMA})
+    got = {
+        (r["lang"], r["source"]): (r["n_obs"], r["expected"], r["chi2_term"])
+        for r in all_queries()["agg_chisq_independence"](spark, d).collect()
+    }
+    n_tot = sum(cells.values())
+    row = {lg: sum(c for (l2, _), c in cells.items() if l2 == lg) for lg in ("en", "fr")}
+    col = {s: sum(c for (_, s2), c in cells.items() if s2 == s) for s in ("web", "wiki")}
+    assert set(got) == set(cells)
+    for (lg, src), obs in cells.items():
+        exp = row[lg] * col[src] / n_tot
+        assert got[(lg, src)][0] == obs
+        assert got[(lg, src)][1] == pytest.approx(round(exp, 6), abs=1e-9)
+        assert got[(lg, src)][2] == pytest.approx(
+            round((obs - exp) ** 2 / exp, 6), abs=1e-9
+        )
+    # independence must bite: every cell's chi2 contribution is nonzero
+    assert min(t[2] for t in got.values()) > 0.5
+
+
+def test_rolling_corr_formula_bites(spark):
+    """win_rolling_corr vs six-sum Pearson recomputed per trailing-24
+    frame. The click/view series co-move for the first day then
+    decouple, so the 24-row frame boundary bites: the final hour's
+    trailing correlation differs from the whole-series correlation."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    hours = 30
+    x = [(t % 6) + 1 for t in range(hours)]                    # clicks
+    y = [x[t] + 1 if t < 22 else 7 - x[t] for t in range(hours)]  # views
+    rows = []
+    for t in range(hours):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=t)
+        rows += [(ts, 0, "click", 1.0)] * x[t] + [(ts, 0, "view", 1.0)] * y[t]
+    d = _fixture_dir(spark, "rcorr", {"events": _events_pdf(rows)}, {"events": _EV_SCHEMA})
+    got = {
+        r["h"]: (r["x"], r["y"], r["corr24"])
+        for r in all_queries()["win_rolling_corr"](spark, d).collect()
+    }
+    assert len(got) == hours
+
+    def pearson(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sx2, sy2 = sum(a * a for a in xs), sum(b * b for b in ys)
+        den = math.sqrt(n * sx2 - sx * sx) * math.sqrt(n * sy2 - sy * sy)
+        return (n * sxy - sx * sy) / den if den else None
+
+    for t in range(hours):
+        lo = max(0, t - 23)
+        want = pearson(x[lo : t + 1], y[lo : t + 1])
+        h = (pd.Timestamp("2024-01-01") + pd.Timedelta(hours=t)).to_pydatetime()
+        assert got[h][0] == x[t] and got[h][1] == y[t]
+        if want is None:  # zero variance in the frame -> NULL (NULLIF guard)
+            assert got[h][2] is None, t
+        else:
+            assert got[h][2] == pytest.approx(round(want, 6) + 0.0, abs=1e-9), t
+    # the frame must bite: trailing-24 at the last hour != whole-series
+    assert abs(pearson(x[-24:], y[-24:]) - pearson(x, y)) > 0.05
+
+
+def test_readability_formula_bites(spark):
+    """text_readability_score vs a from-scratch vowel-group count. The
+    'xx' corpus is all vowel-less words, so the floor-at-1 term carries
+    its entire syllable count — dropping greatest(..., 1) (mirrored in
+    the oracle) would zero it and shift reading_ease by 84.6."""
+    import re
+
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    corpora = {
+        "en": ["banana tree house", "readable aeiou text here"],
+        "xx": ["zzz brr grr", "psst hmm"],
+    }
+    texts, langs = [], []
+    for lg, docs in corpora.items():
+        texts += docs
+        langs += [lg] * len(docs)
+    pdf = _docs_pdf(texts)
+    pdf["lang"] = langs
+    d = _fixture_dir(spark, "read", {"documents": pdf}, {"documents": _DOCS_SCHEMA})
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_words"],
+            r["n_syllables"],
+            r["syllables_per_word"],
+            r["reading_ease"],
+        )
+        for r in all_queries()["text_readability_score"](spark, d).collect()
+    }
+    for lg, docs in corpora.items():
+        words = [w for t in docs for w in t.lower().split(" ")]
+        syl = [max(len(re.findall("[aeiou]+", w)), 1) for w in words]
+        spw = sum(syl) / len(words)
+        assert got[lg][0] == len(docs)
+        assert got[lg][1] == len(words)
+        assert got[lg][2] == sum(syl)
+        assert got[lg][3] == pytest.approx(round(spw, 6), abs=1e-9)
+        assert got[lg][4] == pytest.approx(round(206.835 - 84.6 * spw, 4), abs=1e-9)
+    # the floor must bite: every xx word has zero vowel groups, so its
+    # whole syllable count is the floor term
+    assert got["xx"][2] == got["xx"][1]
+
+
+def test_welch_formula_bites(spark):
+    """agg_t_test_welch vs scipy-free Welch recompute on samples with
+    UNEQUAL variance and n — the regime where Welch differs from the
+    pooled t-test and Welch-Satterthwaite df differs from n-2."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    clicks = [10.00, 10.50, 9.50, 10.25, 9.75, 10.10, 9.90, 10.30]  # tight
+    purch = [5.00, 45.00, 12.00, 88.00, 3.50]  # few, wildly spread
+    rows = [("2024-01-01", 0, "click", v) for v in clicks] + [
+        ("2024-01-01", 1, "purchase", v) for v in purch
+    ]
+    d = _fixture_dir(spark, "welch", {"events": _events_pdf(rows)}, {"events": _EV_SCHEMA})
+    r = all_queries()["agg_t_test_welch"](spark, d).collect()[0]
+    ca = [round(v * 100) for v in clicks]
+    cb = [round(v * 100) for v in purch]
+    na, nb = len(ca), len(cb)
+    ma, mb = sum(ca) / na, sum(cb) / nb
+    vna = (sum(c * c for c in ca) - sum(ca) ** 2 / na) / (na - 1) / na
+    vnb = (sum(c * c for c in cb) - sum(cb) ** 2 / nb) / (nb - 1) / nb
+    t_want = (ma - mb) / math.sqrt(vna + vnb)
+    df_want = (vna + vnb) ** 2 / (vna**2 / (na - 1) + vnb**2 / (nb - 1))
+    assert (r["n_click"], r["n_purchase"]) == (na, nb)
+    assert r["mean_click"] == pytest.approx(round(ma / 100, 4), abs=1e-9)
+    assert r["mean_purchase"] == pytest.approx(round(mb / 100, 4), abs=1e-9)
+    assert r["t_stat"] == pytest.approx(round(t_want, 4) + 0.0, abs=1e-9)
+    assert r["df_welch"] == pytest.approx(round(df_want, 2), abs=1e-9)
+    # unequal variance must bite: pooled-t and Welch-t diverge >5%, and
+    # the Satterthwaite df is far from the pooled n-2
+    sp2 = (
+        (sum(c * c for c in ca) - sum(ca) ** 2 / na)
+        + (sum(c * c for c in cb) - sum(cb) ** 2 / nb)
+    ) / (na + nb - 2)
+    t_pooled = (ma - mb) / math.sqrt(sp2 * (1 / na + 1 / nb))
+    assert abs(t_pooled - t_want) / abs(t_want) > 0.05
+    assert abs(df_want - (na + nb - 2)) > 4
+
+
+def test_psi_formula_bites(spark):
+    """agg_psi_drift vs a from-scratch smoothed-PSI recompute. Bucket 2
+    exists ONLY in the reference period, so without Laplace +1 its term
+    would be infinite — the smoothing provably carries that row."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    # period a: ts < 2024-01-16; values pick buckets floor(v/50) cap 9
+    rows = (
+        [("2024-01-10", 0, "click", 25.0)] * 6      # bucket 0, period a
+        + [("2024-01-20", 0, "click", 25.0)] * 2    # bucket 0, period b
+        + [("2024-01-10", 0, "click", 75.0)] * 3    # bucket 1, period a
+        + [("2024-01-20", 0, "click", 75.0)] * 7    # bucket 1, period b
+        + [("2024-01-10", 0, "click", 125.0)] * 4   # bucket 2, period a ONLY
+        + [("2024-01-20", 0, "click", 990.0)] * 5   # bucket 9 (clamped), b
+    )
+    d = _fixture_dir(spark, "psi", {"events": _events_pdf(rows)}, {"events": _EV_SCHEMA})
+    got = {
+        r["bucket"]: (r["n_ref"], r["n_cur"], r["p_ref"], r["p_cur"], r["psi_term"])
+        for r in all_queries()["agg_psi_drift"](spark, d).collect()
+    }
+    na = {0: 6, 1: 3, 2: 4, 9: 0}
+    nb = {0: 2, 1: 7, 2: 0, 9: 5}
+    ta, tb = sum(na.values()), sum(nb.values())
+    assert set(got) == {0, 1, 2, 9}
+    for bkt in got:
+        pa = (na[bkt] + 1.0) / (ta + 10.0)
+        pb = (nb[bkt] + 1.0) / (tb + 10.0)
+        want = (pa - pb) * math.log(pa / pb)
+        assert got[bkt][0] == na[bkt] and got[bkt][1] == nb[bkt]
+        assert got[bkt][2] == pytest.approx(round(pa, 6), abs=1e-9)
+        assert got[bkt][3] == pytest.approx(round(pb, 6), abs=1e-9)
+        assert got[bkt][4] == pytest.approx(round(want, 6), abs=1e-9), bkt
+    # smoothing must bite: bucket 2 is empty in the current period yet
+    # contributes a finite nonzero term
+    assert got[2][1] == 0 and math.isfinite(got[2][4]) and got[2][4] > 0
+
+
+def test_ab_ztest_formula_bites(spark):
+    """agg_ab_test_ztest vs a from-scratch two-proportion z with POOLED
+    variance, on variants with very different conversion rates — the
+    regime where pooled and unpooled standard errors diverge."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    rows = []
+    # variant 0 (even user_id): 10 users, 2 convert
+    for u in range(0, 20, 2):
+        rows.append(("2024-01-01", u, "click", 1.0))
+        if u < 4:
+            rows.append(("2024-01-02", u, "purchase", 5.0))
+    # variant 1 (odd user_id): 8 users, 7 convert
+    for u in range(1, 16, 2):
+        rows.append(("2024-01-01", u, "view", 1.0))
+        if u != 15:
+            rows.append(("2024-01-02", u, "purchase", 5.0))
+    d = _fixture_dir(spark, "abz", {"events": _events_pdf(rows)}, {"events": _EV_SCHEMA})
+    r = all_queries()["agg_ab_test_ztest"](spark, d).collect()[0]
+    n0, c0, n1, c1 = 10, 2, 8, 7
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    z_want = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    assert (r["n0"], r["c0"], r["n1"], r["c1"]) == (n0, c0, n1, c1)
+    assert r["rate0"] == pytest.approx(round(p0, 6), abs=1e-9)
+    assert r["rate1"] == pytest.approx(round(p1, 6), abs=1e-9)
+    assert r["z_score"] == pytest.approx(round(z_want, 4), abs=1e-9)
+    # pooling must bite: the unpooled (Wald) z differs >2%
+    z_unpooled = (p1 - p0) / math.sqrt(p0 * (1 - p0) / n0 + p1 * (1 - p1) / n1)
+    assert abs(z_unpooled - z_want) / abs(z_want) > 0.02
+
+
+def test_gini_formula_bites(spark):
+    """agg_gini_coefficient vs the rank-weighted formula recomputed from
+    scratch on a skewed revenue split (one whale). Ranks are ASCENDING
+    by revenue — reversing the rank order (a mirrored slip) yields a
+    provably different value on this fixture."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    # customer -> order prices; cust 5 is the whale; cust 1 ties cust 2
+    orders = [(1, 10.00), (2, 10.00), (3, 25.00), (4, 40.00), (5, 300.00), (5, 115.00)]
+    d = _fixture_dir(
+        spark,
+        "gini",
+        {"orders": _orders_pdf([c for c, _ in orders], [p for _, p in orders])},
+        {"orders": _ORDERS_SCHEMA},
+    )
+    r = all_queries()["agg_gini_coefficient"](spark, d).collect()[0]
+    rev = {}
+    for c, p in orders:
+        rev[c] = rev.get(c, 0) + round(p * 100)
+    xs = [v for _, v in sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, sx = len(xs), sum(xs)
+    g_want = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sx) - (n + 1) / n
+    assert r["n_customers"] == n
+    assert r["gini"] == pytest.approx(round(g_want, 4), abs=1e-9)
+    # rank direction must bite
+    g_desc = 2.0 * sum((n - i) * x for i, x in enumerate(xs)) / (n * sx) - (n + 1) / n
+    assert abs(g_desc - g_want) > 0.2
+    assert g_want > 0.3  # the whale genuinely concentrates revenue
+
+
+def test_entropy_formula_bites(spark):
+    """agg_entropy_peruser vs -sum(p*log2 p) recomputed directly. The
+    identity H = log2(n) - (sum n_i log2 n_i)/n must reproduce the
+    textbook form exactly; an uneven user's H sits strictly below
+    log2(n_types), so a slip to the naive type-count entropy bites."""
+    from cloudtrail_streamer_spark.registry import all_queries
+
+    mixes = {0: {"click": 1, "view": 7}, 1: {"click": 4, "view": 4}, 2: {"purchase": 5}}
+    rows = [
+        ("2024-01-01", u, et, 1.0)
+        for u, mix in mixes.items()
+        for et, c in mix.items()
+        for _ in range(c)
+    ]
+    d = _fixture_dir(spark, "ent", {"events": _events_pdf(rows)}, {"events": _EV_SCHEMA})
+    got = {
+        r["user_id"]: (r["n"], r["n_types"], r["entropy_bits"])
+        for r in all_queries()["agg_entropy_peruser"](spark, d).collect()
+    }
+    for u, mix in mixes.items():
+        n = sum(mix.values())
+        h = -sum((c / n) * math.log2(c / n) for c in mix.values())
+        assert got[u][0] == n and got[u][1] == len(mix)
+        assert got[u][2] == pytest.approx(round(h, 4), abs=1e-9), u
+    # unevenness must bite: user 0's H is far below log2(2)=1
+    assert got[0][2] < 0.6
+    # and the degenerate single-type user is exactly 0 (log2(5)-5log2(5)/5)
+    assert got[2][2] == 0.0
