@@ -746,14 +746,32 @@ def main() -> None:
             s10_duck = time_duckdb(oracles, sf10_dir, SF10_QUERIES)
             s1_spark = {n: per_sf["1"]["spark"][n] for n in SF10_QUERIES}
             s1_duck = {n: per_sf["1"]["duckdb"][n] for n in SF10_QUERIES}
+            # Denominator floor = max(0.02, 3x the measured job-floor
+            # probe) (VERDICT r10 #5): the 0.02 s r4 band was too low —
+            # r10 printed stream_tumbling at "4.66" off a 0.07 s DuckDB
+            # delta that swung 2.85/4.66/7.09 across runs (Spark's
+            # absolute time was FLAT across the decade, i.e. the cell
+            # was all denominator noise). The floor probe is this
+            # host's per-run noise scale, so a trustworthy marginal
+            # needs the denominator comfortably above it; anything
+            # below nulls WITH a machine-readable reason instead of
+            # printing a number that needs prose.
+            dd_floor = max(0.02, 3.0 * job_floor)
+            marginal_sf10_null_reason: dict[str, str] = {}
             for n in SF10_QUERIES:
                 ds = s10_spark[n] - s1_spark[n]
                 dd = s10_duck[n] - s1_duck[n]
-                # 0.02 s denominator floor: the r4 verdict set 13-30 ms
-                # as the noise band for marginal claims — a ratio built
-                # on a sub-noise DuckDB delta reads as signal but isn't
-                # (observed: agg_rollup "20x" on a 6 ms delta)
-                marginal_sf10[n] = round(ds / dd, 2) if dd > 0.02 else None
+                if dd > dd_floor:
+                    marginal_sf10[n] = round(ds / dd, 2)
+                else:
+                    marginal_sf10[n] = None
+                    marginal_sf10_null_reason[n] = (
+                        f"duckdb sf10-sf1 delta {round(dd, 3)}s below the "
+                        f"{round(dd_floor, 3)}s noise floor (3x job-floor "
+                        f"probe {round(job_floor, 3)}s); spark delta "
+                        f"{round(ds, 3)}s — ratio would be denominator "
+                        "noise, not signal"
+                    )
             # Plan A/B at sf10 for the star joins (same protocol as the
             # sf1 q3 one): pin WHICH plan ran and what the alternatives
             # cost — a weak marginal must carry its justification.
@@ -853,6 +871,7 @@ def main() -> None:
             sf10_block = {
                 "sf10": {"spark": s10_spark, "duckdb": s10_duck},
                 "marginal_ratio_sf10": marginal_sf10,
+                "marginal_null_reason_sf10": marginal_sf10_null_reason,
                 "plan_choice_sf10": sf10_ab,
             }
             # LLM third decade (VERDICT r07 #1 for crossdoc; r8 also for
@@ -873,15 +892,26 @@ def main() -> None:
                 x10_d = time_duckdb(oracles, sf10_dir, [xq], runs=2).get(xq)
                 x1_s = llm_block["sf1"]["spark"][xq]
                 x1_d = llm_block["sf1"]["duckdb"].get(xq)
+                xdd = (
+                    x10_d - x1_d
+                    if x10_d is not None and x1_d is not None
+                    else None
+                )
                 sf10_block[key] = {
                     "spark_sec": x10_s,
                     "duckdb_sec": x10_d,
                     "marginal_ratio_sf10": (
-                        round((x10_s - x1_s) / (x10_d - x1_d), 2)
-                        if x10_d is not None and x1_d is not None and x10_d - x1_d > 0.02
+                        round((x10_s - x1_s) / xdd, 2)
+                        if xdd is not None and xdd > dd_floor
                         else None
                     ),
                 }
+                if xdd is not None and xdd <= dd_floor:
+                    sf10_block[key]["marginal_null_reason"] = (
+                        f"duckdb sf10-sf1 delta {round(xdd, 3)}s below the "
+                        f"{round(dd_floor, 3)}s noise floor (3x job-floor "
+                        f"probe); spark delta {round(x10_s - x1_s, 3)}s"
+                    )
 
     detail = {
         "metric": "headline_queries_wall_clock",
