@@ -844,3 +844,62 @@ def test_crossdoc_sort_free_hash_agg(spark):
     assert "Sort" not in tree, tree
     # partial + final for the w-agg, partial + final for the doc rollup
     assert tree.count("HashAggregate") >= 4, tree
+
+
+def test_q3_default_plan_broadcasts_dims(spark):
+    """tpch_q3_shipping_priority (VERDICT r10 #7): the sf10 A/B showed
+    the default plan beating every forced alternative, and that
+    optimality rests on the dims broadcasting while the lineitem fact
+    shuffles ONCE (for the aggregate). Pin it: both join legs are
+    broadcast hash joins, never SMJ, and the only exchange below the
+    top-k is the aggregate's."""
+    tree = _nodes(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "TakeOrderedAndProject" in tree, "global top-10 must be per-partition top-k"
+    # one hash-partitioned exchange for the agg; the broadcast exchanges
+    # are BroadcastExchange nodes, counted separately
+    t = tree.replace("BroadcastExchange", "BX")
+    assert t.count("Exchange") <= 1, tree
+
+
+def test_q5_default_plan_broadcasts_dims(spark):
+    """tpch_q5_local_supplier: all five joins broadcast at this sf (two
+    by explicit hint, orders by the stats-routed hint, customer/supplier
+    by size) — the fact table's only exchanges are the per-nation agg
+    and the final ORDER BY over <=25 rows."""
+    tree = _nodes(spark, "tpch_q5_local_supplier")
+    assert "SortMergeJoin" not in tree, tree
+    assert tree.count("BroadcastHashJoin") == 5, tree
+    t = tree.replace("BroadcastExchange", "BX")
+    assert t.count("Exchange") <= 2, tree
+
+
+def test_q5_hints_survive_disabled_size_broadcasts(spark):
+    """The load-bearing part of VERDICT r10 #7: with BOTH size-based
+    broadcast thresholds at -1, only hint-driven broadcasts remain —
+    nation + region (explicit) and the time-filtered orders dim (the
+    stats-routed hint derived from parquet footer metadata, the lever
+    the sf10 A/B measured at 4.5 s -> 2.6 s). If a refactor drops the
+    routing, this plan degrades to an orderkey SMJ of the fact and the
+    count changes."""
+    confs = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    prior = {c: spark.conf.get(c, None) for c in confs}
+    for c in confs:
+        spark.conf.set(c, "-1")
+    try:
+        tree = _nodes(spark, "tpch_q5_local_supplier")
+    finally:
+        for c, v in prior.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    # customer/supplier legs fall back to shuffle joins — the 100 TB
+    # shape for the sf-scaled tables (their broadcast at default conf
+    # is size-based, exactly as designed)
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, tree
