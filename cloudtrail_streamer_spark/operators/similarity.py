@@ -946,3 +946,124 @@ def _topk_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("probe_id", "neighbor_id", "score", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_search_filtered — metadata-filtered ANN over the persisted IVF
+# index (round 11, VERDICT r10 #8)
+# ---------------------------------------------------------------------------
+
+_FILTER_LABELS = (0, 2, 4, 6, 8)
+
+_FILTERED_ORACLE = f"""
+WITH {_IDX_ASSIGN_CTE},
+index_t AS (
+  SELECT r.vec_id, r.e, r.centroid_id, em.label
+  FROM ranked r JOIN embeddings em ON em.vec_id = r.vec_id
+  WHERE r.rn = 1
+), probe_cells AS (
+  SELECT vec_id AS probe_id, e AS pe, centroid_id
+  FROM ranked WHERE vec_id <= 9 AND rn <= 2
+), cand AS (
+  SELECT p.probe_id, p.pe, i.vec_id AS neighbor_id, i.e AS ne
+  FROM probe_cells p JOIN index_t i ON i.centroid_id = p.centroid_id
+  WHERE i.vec_id <> p.probe_id AND i.label IN {_FILTER_LABELS}
+), scored AS (
+  SELECT probe_id, neighbor_id,
+         round(list_dot_product(pe, ne)
+               / (sqrt(list_dot_product(pe, pe))
+                  * sqrt(list_dot_product(ne, ne))), 4) AS score
+  FROM cand
+)
+SELECT probe_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT probe_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+  FROM (SELECT DISTINCT probe_id, neighbor_id, score FROM scored) u
+) t
+WHERE rn <= 3
+"""
+
+
+@query("sim_search_filtered", oracle=_FILTERED_ORACLE, survey_id="north-star")
+def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k under a metadata predicate, the
+    shape every retrieval stack needs ("nearest docs WHERE lang='en'
+    AND license='permissive'"). Composes the two pruning layers of
+    sim_index_partition_pruned's persisted IVF layout:
+
+    1. PARTITION pruning: the probe's nprobe=2 cell list becomes a
+       static IN over the index's centroid_id partition column —
+       PartitionFilters, directories skipped.
+    2. PREDICATE pushdown: the metadata filter (label IN ...) reaches
+       the parquet scan of the SURVIVING cells as PushedFilters — rows
+       failing the predicate never enter the distance kernel, so the
+       kernel scores |cell ∩ predicate|, not |cell|.
+
+    Filter-BEFORE-scoring is the correct order whenever the predicate
+    is selective (post-filtering a top-k instead can return < k rows —
+    the classic filtered-ANN bug); the plan test pins both pruning
+    layers below the scoring join. At 100 TB the same layout serves
+    both: cells partition the index physically, and footer min/max on
+    the metadata columns prune row groups within each cell. The oracle
+    is the exact brute-force twin over the same nprobe cells with the
+    same predicate."""
+    em = table(spark, sf_dir, "embeddings")
+    assigned = embed_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    index_df = em.join(assigned, "vec_id")
+    idx_path = scratch_dir("sim_search_filtered", sf_dir) + "/index"
+    index_df.write.partitionBy("centroid_id").mode("overwrite").parquet(idx_path)
+
+    cent = em.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("ce"),
+    )
+    probes = em.where(F.col("vec_id") <= 9).select(
+        F.col("vec_id").alias("probe_id"), as_double(F.col("embedding")).alias("pe")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("pe", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("probe_id").orderBy(
+        F.round(F.col("dist2"), 6), "centroid_id"
+    )
+    probe_cells = (
+        probes.join(F.broadcast(cent))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= 2)
+        .select("probe_id", "pe", "centroid_id")
+    )
+    cells = sorted(
+        {r["centroid_id"] for r in probe_cells.select("centroid_id").collect()}
+    )  # metadata-scale (≤20 values): the index lookup's cell list
+
+    index_read = (
+        spark.read.parquet(idx_path)
+        .where(F.col("centroid_id").isin(cells))  # -> PartitionFilters
+        .where(F.col("label").isin(*_FILTER_LABELS))  # -> PushedFilters
+    )
+    cand = (
+        index_read.select(
+            "centroid_id",
+            F.col("vec_id").alias("neighbor_id"),
+            as_double(F.col("embedding")).alias("ne"),
+        )
+        .join(probe_cells, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("pe"), F.col("ne")), 4).alias("score"),
+        )
+        .distinct()
+    )
+    w_top = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w_top).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", "score", "rn")
+    )

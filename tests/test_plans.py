@@ -903,3 +903,16 @@ def test_q5_hints_survive_disabled_size_broadcasts(spark):
     # shape for the sf-scaled tables (their broadcast at default conf
     # is size-based, exactly as designed)
     assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, tree
+
+
+def test_filtered_ann_prunes_before_kernel(spark):
+    """sim_search_filtered (VERDICT r10 #8): both pruning layers must
+    sit below the scoring join — the probe's cell list as
+    PartitionFilters on the index's centroid_id partition column
+    (directories skipped) and the metadata predicate as PushedFilters
+    on label (rows never reach the distance kernel)."""
+    plan = _plan(spark, "sim_search_filtered")
+    scan = plan[plan.index("PartitionFilters") :]
+    assert "centroid_id" in scan.splitlines()[0], plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "label" in ln]
+    assert pushed and any("In(label" in ln for ln in pushed), plan
