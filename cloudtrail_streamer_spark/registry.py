@@ -82,85 +82,24 @@ def _load_all() -> None:
 # everything else follows in registration order. Rotate this list each round
 # so that, across rounds, every query lands inside the driver's window.
 #
-# Round 10 (VERDICT r09 #1/#2/#5 + ADVICE r09 #1): a hardening-round
-# rotation. Slots 1-9 are every query whose implementation OR oracle
-# changed this round and must (re-)earn its row — pipeline_dedup_e2e
-# (rewired onto the affine md5 family in r9 but missed the r9 window,
-# ADVICE r09 #1), stream_stream_join (the awaitTermination/partial-read
-# harness fix), agg_approx (oracle literal pinned to DOUBLE),
-# text_compression_quality + the two cloudtrail E2E rows +
-# sink_foreachbatch_kinesis + source_stream_files (all five upgraded
-# R→H with delivered-count / realized-invariant certificates), and
-# text_crossdoc_substring (sort-free replan). The remaining 41 slots
-# drain the stale-certification tail: ALL 18 queries whose latest
-# driver cert is r1, then 23 of the 31 remaining r2-latest ones.
-# The 8 r2-latest names that don't fit (set_except/_all, set_intersect,
-# set_union_distinct, agg_approx_bounds, stream_session, stream_sliding,
-# source_kinesis_stub) were instead re-verified THIS session through
-# tools/drive_entry.py at sf0.01 (session log) — set-family and
-# agg_approx-sibling evidence is fresh green from r9's window — and
-# take the FIRST slots of the r11 rotation below.
+# Round 11 (VERDICT r10 #1/#2): freshness-drain rotation. Slots 1-8
+# are the r10-staged r2-latest queries (the only rows whose latest
+# driver cert predates r3 — VERDICT r10 #1 asked for exactly these at
+# the head). Slots 9-11 are this round's changed/new implementations:
+# text_compression_quality (bounds certificate re-derived from length,
+# ADVICE r10 #3), text_crossdoc_substring (null-doc filter, ADVICE r10
+# #4), and sim_search_filtered (new — metadata-filtered ANN, VERDICT
+# r10 #8). The remaining 39 slots drain the r3-latest tail oldest-first
+# (41 queries exist; embed_quantize_int8 — the one multi-cert member —
+# and sql_tpch_q1 defer to _R11_STAGED below, each locally driven to
+# MATCH this session via tools/drive_entry.py, see SCALE.md §Round-11).
+# The r11 window also re-certifies the harness conf-restore +
+# error-condition classifier changes through its six streaming rows
+# (stream_session/stream_sliding/source_kinesis_stub at the head;
+# sink_idempotent_batchid, the two kinesis_custom_stream rows and
+# source_corrupt_records/source_custom_datasource in the r3 tail).
 _WINDOW_PRIORITY: list[str] = [
-    # --- changed implementation/oracle this round: (re-)earn the row ---
-    "pipeline_dedup_e2e",
-    "stream_stream_join",
-    "agg_approx",
-    "text_compression_quality",
-    "text_crossdoc_substring",
-    "cloudtrail_pipeline_e2e",
-    "cloudtrail_sns_dispatch",
-    "sink_foreachbatch_kinesis",
-    "source_stream_files",
-    # --- stale tail: every r1-latest query ---
-    "agg_collect_sorted",
-    "agg_corr_stats",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_median_quantile",
-    "agg_pivot",
-    "agg_stats",
-    "agg_string_concat",
-    "embed_neardup_cosine",
-    "embed_normalize",
-    "sample_hash_mod",
-    "set_unpivot",
-    "sim_knn_classify",
-    "sim_search_ivf",
-    "sink_parquet_partitioned",
-    "text_ngram_jaccard",
-    "win_distribution",
-    # --- stale tail: r2-latest (23 of 31; the other 8 stage for r11) ---
-    "dedup_groups_connected",
-    "embed_ivf_assign",
-    "join_bucketed_colocated",
-    "merge_upsert",
-    "multimodal_audio_meta",
-    "multimodal_binary_col",
-    "multimodal_frame_sample",
-    "multimodal_image_meta",
-    "multimodal_video_meta",
-    "source_json_gz",
-    "text_filter_quality",
-    "text_lang_stats",
-    "text_ngram_lm",
-    "text_pack_sequences",
-    "text_scrub_pii",
-    "text_tokenize_wordcount",
-    "udaf_applyinpandas",
-    "udf_pandas_vectorized",
-    "udf_python_scalar",
-    "udtf_python",
-    "win_analytic",
-    "win_frame_range",
-    "win_frame_rows",
-]
-
-# Next-round staging: the 8 r2-latest queries deferred from the r10
-# window (locally re-verified via tools/drive_entry.py this session —
-# see the rotation note above). They take the first slots of the r11
-# rotation, followed by whatever r10 itself changes.
-_R10_STAGED: list[str] = [
+    # --- r10-staged: the last r2-latest certifications ---
     "set_except",
     "set_except_all",
     "set_intersect",
@@ -169,6 +108,60 @@ _R10_STAGED: list[str] = [
     "stream_session",
     "stream_sliding",
     "source_kinesis_stub",
+    # --- changed implementation/oracle this round: (re-)earn the row ---
+    "text_compression_quality",
+    "text_crossdoc_substring",
+    "sim_search_filtered",
+    # --- stale tail: r3-latest, 39 of 41 ---
+    "agg_histogram",
+    "agg_hll_union_sketch",
+    "agg_mode_argmax",
+    "agg_outlier_zscore",
+    "agg_time_bucket",
+    "agg_weighted_quantile",
+    "embed_centroid_update",
+    "embed_lsh_recall",
+    "embed_pq_codebook",
+    "events_gap_fill",
+    "events_rate_limit",
+    "fn_interval_arith",
+    "fn_nested_struct",
+    "join_range_bucketed",
+    "multimodal_audio_features",
+    "multimodal_image_resize",
+    "profile_columns",
+    "sample_quota_per_source",
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_schema_evolution",
+    "scd2_intervals",
+    "sim_ivf_recall",
+    "sink_idempotent_batchid",
+    "sink_kinesis_custom_stream",
+    "source_corrupt_records",
+    "source_custom_datasource",
+    "source_kinesis_custom_stream",
+    "split_train_val_test",
+    "text_chunk_documents",
+    "text_dataset_mix",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_count",
+    "text_winnow_fingerprints",
+    "tpch_q18_large_volume",
+    "udf_arrow_batch",
+    "win_pattern_funnel",
+    "win_sessionize",
+]
+
+# Next-round staging: the 2 r3-latest queries deferred from the r11
+# window (locally re-verified via tools/drive_entry.py this session —
+# see the rotation note above). They take the first slots of the r12
+# rotation, followed by whatever r12 itself changes, then the oldest
+# single-lifetime-cert queries (r4-latest) oldest-first.
+_R11_STAGED: list[str] = [
+    "embed_quantize_int8",
+    "sql_tpch_q1",
 ]
 
 
