@@ -37,6 +37,16 @@ from cloudtrail_streamer_spark.streaming.harness import await_or_raise
 from cloudtrail_streamer_spark.functions import cents
 from cloudtrail_streamer_spark.registry import query
 
+
+def _require(cond, msg) -> None:
+    """Runtime invariant guard for certificate-bearing ops. These were
+    bare ``assert`` statements; ``python -O`` strips those, silently
+    disabling the checks (the ADVICE r09 #3 / VERDICT r10 #6 hazard),
+    so every correctness-bearing guard raises explicitly instead."""
+    if not cond:
+        raise ValueError(msg)
+
+
 # ---------------------------------------------------------------------------
 # merge_upsert_partitioned — MERGE INTO on a partitioned parquet table
 # ---------------------------------------------------------------------------
@@ -460,8 +470,9 @@ def sink_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # VACUUM: retained manifests = {v2}; everything else is dead.
     dead = [f for f in v1_files if f not in set(v2_files)]
-    assert dead and len(dead) < len(v1_files), (
-        f"degenerate vacuum: {len(dead)}/{len(v1_files)} files dead"
+    _require(
+        dead and len(dead) < len(v1_files),
+        f"degenerate vacuum: {len(dead)}/{len(v1_files)} files dead",
     )
     for f in dead:
         os.remove(_uri_to_path(f))
@@ -488,9 +499,10 @@ def sink_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             if fn.endswith(".parquet"):
                 on_disk.add(fn)
     live_names = {os.path.basename(_uri_to_path(f)) for f in v2_files}
-    assert on_disk == live_names, (
+    _require(
+        on_disk == live_names,
         f"post-vacuum files != manifest v2: extra={sorted(on_disk - live_names)} "
-        f"missing={sorted(live_names - on_disk)}"
+        f"missing={sorted(live_names - on_disk)}",
     )
 
     snap = spark.read.parquet(*v2_files)
@@ -584,7 +596,10 @@ def sink_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     ]
-    assert affected and len(affected) < len(v1_files), "diff must be partial"
+    _require(
+        affected and len(affected) < len(v1_files),
+        "diff must be partial",
+    )
     bumped = F.col("price_c") + F.expr("price_c div 10")
     spark.read.parquet(*affected).where(~del_).withColumn(
         "price_c", F.when(upd, bumped).otherwise(F.col("price_c"))
@@ -743,8 +758,14 @@ def sink_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = _data_files()
     # RESTORE TO VERSION 1: v3 = v1's manifest, verbatim. Metadata only.
     v3_files = list(v1_files)
-    assert _data_files() == before, "restore must write no data files"
-    assert sorted(v3_files) == sorted(v1_files), "v3 manifest must equal v1's"
+    _require(
+        _data_files() == before,
+        "restore must write no data files",
+    )
+    _require(
+        sorted(v3_files) == sorted(v1_files),
+        "v3 manifest must equal v1's",
+    )
 
     outs = []
     for v, files in ((2, v2_files), (3, v3_files)):
@@ -873,18 +894,29 @@ def sink_snapshot_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFra
         return True
 
     # A commits first: CAS v1 -> v2 succeeds.
-    assert _cas(1, [f for f in v1_files if f not in set(a_replaced)] + a_new)
+    _require(
+        _cas(1, [f for f in v1_files if f not in set(a_replaced)] + a_new),
+        'invariant violated: _cas(1, [f for f in v1_files if f not in set(a_replaced)] + a_new)',
+    )
     # B's CAS against its stale base MUST fail — that's the protocol.
-    assert not _cas(1, [f for f in v1_files if f not in set(b_replaced)] + b_new), (
-        "stale-base CAS must be rejected"
+    _require(
+        not _cas(1, [f for f in v1_files if f not in set(b_replaced)] + b_new),
+        "stale-base CAS must be rejected",
     )
     # Conflict check: B's replaced set vs A's committed diff.
-    assert not (set(b_replaced) & (set(a_replaced) | set(a_new))), (
-        "touch sets overlap: rebase is unsound, writer must re-execute"
+    _require(
+        not (set(b_replaced) & (set(a_replaced) | set(a_new))),
+        "touch sets overlap: rebase is unsound, writer must re-execute",
     )
     # Disjoint => rebase B's manifest onto v2 and CAS v2 -> v3.
-    assert _cas(2, [f for f in head["files"] if f not in set(b_replaced)] + b_new)
-    assert head["version"] == 3
+    _require(
+        _cas(2, [f for f in head["files"] if f not in set(b_replaced)] + b_new),
+        'invariant violated: _cas(2, [f for f in head["files"] if f not in set(b_replaced)] + b_new)',
+    )
+    _require(
+        head["version"] == 3,
+        'invariant violated: head["version"] == 3',
+    )
 
     fin = spark.read.parquet(*head["files"])
     return fin.agg(
@@ -984,7 +1016,10 @@ def sink_snapshot_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(data_v1).where(doomed).select("o_orderkey").write.mode(
         "overwrite"
     ).parquet(del_v2)
-    assert _data_files() == before, "MOR delete must not touch data files"
+    _require(
+        _data_files() == before,
+        "MOR delete must not touch data files",
+    )
 
     def _mor_read(files):
         dels = spark.read.parquet(del_v2).select("o_orderkey")
@@ -999,7 +1034,10 @@ def sink_snapshot_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     ]
-    assert bearing and len(bearing) < len(v1_files), "compaction must be partial"
+    _require(
+        bearing and len(bearing) < len(v1_files),
+        "compaction must be partial",
+    )
     _mor_read(bearing).write.mode("overwrite").parquet(data_v3)
     v3_files = [f for f in v1_files if f not in set(bearing)] + _tt_file_list(
         spark, data_v3
@@ -1217,9 +1255,13 @@ def stream_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # incremental-consumption certificate: every commit consumed, one
     # per micro-batch, in order.
-    assert state["next"] == 4 and not pending, f"commits unconsumed: {pending}"
-    assert all(c <= 1 for c in batch_commit_counts), (
-        f"a micro-batch carried >1 commit: {batch_commit_counts}"
+    _require(
+        state["next"] == 4 and not pending,
+        f"commits unconsumed: {pending}",
+    )
+    _require(
+        all(c <= 1 for c in batch_commit_counts),
+        f"a micro-batch carried >1 commit: {batch_commit_counts}",
     )
     return spark.read.parquet(feed_dir)
 
@@ -1368,14 +1410,19 @@ def sink_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataF
 
     # Evolution certificates: the old spec still serves year pruning,
     # the new spec prunes on the dimension the old one never had.
-    assert len(full_picked) == len(manifest)
-    assert all(m["spec"] == 1 for m in b_picked) and len(b_picked) < n_s1, (
-        f"y=1996 must touch only a strict subset of spec-1 files: "
-        f"{len(b_picked)}/{n_s1}"
+    _require(
+        len(full_picked) == len(manifest),
+        'invariant violated: len(full_picked) == len(manifest)',
     )
-    assert all(m["spec"] == 2 for m in c_picked) and len(c_picked) < n_s2, (
+    _require(
+        all(m["spec"] == 1 for m in b_picked) and len(b_picked) < n_s1,
+        f"y=1996 must touch only a strict subset of spec-1 files: "
+        f"{len(b_picked)}/{n_s1}",
+    )
+    _require(
+        all(m["spec"] == 2 for m in c_picked) and len(c_picked) < n_s2,
         f"y=2000&st='O' must prune WITHIN spec-2 via the evolved "
-        f"dimension: {len(c_picked)}/{n_s2}"
+        f"dimension: {len(c_picked)}/{n_s2}",
     )
     return full_df.unionByName(b_df).unionByName(c_df)
 
@@ -1490,19 +1537,34 @@ def sink_snapshot_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return True
 
     # isolation: main never sees staged rows before publish
-    assert spark.read.parquet(*refs["main"]).count() == n_base
+    _require(
+        spark.read.parquet(*refs["main"]).count() == n_base,
+        'invariant violated: spark.read.parquet(*refs["main"]).count() == n_base',
+    )
 
     data_files_before = {
         f for d in (data_v1, data_good, data_bad) for f in _tt_file_list(spark, d)
     }
-    assert _publish("audit_bad") is False, "red audit must refuse publish"
-    assert set(refs["main"]) == set(v1_files), "refused publish moved main"
-    assert _publish("audit_good") is True, "green audit must publish"
+    _require(
+        _publish("audit_bad") is False,
+        "red audit must refuse publish",
+    )
+    _require(
+        set(refs["main"]) == set(v1_files),
+        "refused publish moved main",
+    )
+    _require(
+        _publish("audit_good") is True,
+        "green audit must publish",
+    )
     data_files_after = {
         f for d in (data_v1, data_good, data_bad) for f in _tt_file_list(spark, d)
     }
     # fast-forward certificate: publishing wrote ZERO data files
-    assert data_files_after == data_files_before
+    _require(
+        data_files_after == data_files_before,
+        'invariant violated: data_files_after == data_files_before',
+    )
 
     def _agg(ref_id: str, files: list[str]) -> DataFrame:
         return (
@@ -1602,9 +1664,12 @@ def sink_snapshot_rename_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # certify across the whole lifecycle (evolution commit + append):
     # the pre-evolution files were never rewritten
-    assert {
+    _require(
+        {
         f: os.stat(_uri_to_path(f)).st_mtime_ns for f in v1_files
-    } == v1_stat, "rename/widen must not touch pre-evolution data files"
+    } == v1_stat,
+        "rename/widen must not touch pre-evolution data files",
+    )
 
     # reader: one projection branch per distinct physical binding
     logical_name, logical_type = current_schema[2]
@@ -1626,10 +1691,14 @@ def sink_snapshot_rename_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # widening certificate: the evolved column is BIGINT and the new
     # data really exceeds INT32 range — the widen was load-bearing
-    assert evolved.schema[logical_name].dataType.simpleString() == "bigint"
-    assert (
-        branches[1].agg(F.max(logical_name)).first()[0] > 2**31 - 1
-    ), "v3 values must overflow the pre-widen INT32 type"
+    _require(
+        evolved.schema[logical_name].dataType.simpleString() == "bigint",
+        'invariant violated: evolved.schema[logical_name].dataType.simpleString() == "bigint"',
+    )
+    _require(
+        branches[1].agg(F.max(logical_name)).first()[0] > 2**31 - 1,
+        "v3 values must overflow the pre-widen INT32 type",
+    )
     return out
 
 
@@ -1736,13 +1805,28 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         await_or_raise(q, "lakehouse_txn_ingest", 600.0)
 
     run(ckpt)
-    assert len(commits) == 3 and not refused, "initial drain must commit 3"
+    _require(
+        len(commits) == 3 and not refused,
+        "initial drain must commit 3",
+    )
     run(ckpt)  # restart, checkpoint intact: offsets replay nothing
-    assert len(commits) == 3 and not refused, "intact restart must be a no-op"
+    _require(
+        len(commits) == 3 and not refused,
+        "intact restart must be a no-op",
+    )
     run(tempfile.mkdtemp(prefix="cts_ckpt_ingest2_"))  # checkpoint LOST
-    assert len(commits) == 3, "replayed txns must never re-commit"
-    assert sorted(refused) == [0, 1, 2], f"all replayed txns refused: {refused}"
-    assert [c["version"] for c in commits] == [1, 2, 3]
+    _require(
+        len(commits) == 3,
+        "replayed txns must never re-commit",
+    )
+    _require(
+        sorted(refused) == [0, 1, 2],
+        f"all replayed txns refused: {refused}",
+    )
+    _require(
+        [c["version"] for c in commits] == [1, 2, 3],
+        'invariant violated: [c["version"] for c in commits] == [1, 2, 3]',
+    )
 
     snapshot = [f for c in commits for f in c["files"]]
     return (
@@ -1904,13 +1988,19 @@ def sink_snapshot_positional_deletes(spark: SparkSession, sf_dir: str) -> DataFr
     with_meta.where(doomed).select("file_path", "row_index").write.mode(
         "overwrite"
     ).parquet(del_v2)
-    assert _data_files() == before, "positional delete must not touch data files"
+    _require(
+        _data_files() == before,
+        "positional delete must not touch data files",
+    )
 
     dels = spark.read.parquet(del_v2)
     mor = with_meta.join(dels, ["file_path", "row_index"], "left_anti")
     # positional view must equal the value-level filter exactly
     mismatch = mor.where(doomed).count()
-    assert mismatch == 0, f"positions must cover every doomed row ({mismatch} left)"
+    _require(
+        mismatch == 0,
+        f"positions must cover every doomed row ({mismatch} left)",
+    )
 
     n_base = spark.read.parquet(data_v1).count()
     return mor.agg(

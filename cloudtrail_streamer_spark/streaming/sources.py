@@ -22,6 +22,16 @@ from cloudtrail_streamer_spark.registry import query
 from cloudtrail_streamer_spark.streaming import harness
 
 
+def _require(cond, msg) -> None:
+    """Runtime invariant guard for certificate-bearing ops. These were
+    bare ``assert`` statements; ``python -O`` strips those, silently
+    disabling the checks (the ADVICE r09 #3 / VERDICT r10 #6 hazard),
+    so every correctness-bearing guard raises explicitly instead."""
+    if not cond:
+        raise ValueError(msg)
+
+
+
 _STREAM_COUNTS_ORACLE = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM events
@@ -308,7 +318,10 @@ def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     meta = spark.read.format("state-metadata").load(ckpt)
     stateful_ops = meta.select("operatorId", "stateStoreName").collect()
-    assert len(stateful_ops) == 1, f"expected one keyed store, got {stateful_ops}"
+    _require(
+        len(stateful_ops) == 1,
+        f"expected one keyed store, got {stateful_ops}",
+    )
 
     state = spark.read.format("statestore").load(ckpt)
     out = state.select(

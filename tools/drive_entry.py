@@ -84,7 +84,9 @@ def main() -> int:
 
     rows = e.entry(spark).collect()
     print(f"entry rows: {len(rows)}")
-    assert len(rows) >= 1
+    if len(rows) < 1:  # not assert: the gate must survive python -O
+        print("entry returned zero rows")
+        return 2
 
     qs, oracles = e.queries(), e.oracle_sql()
     if subset:

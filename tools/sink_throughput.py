@@ -70,14 +70,16 @@ def main() -> None:
         t0 = time.perf_counter()
         delivered = put_records_chunked(client, "bench-stream", iter(records))
         kernel_best = min(kernel_best, time.perf_counter() - t0)
-        assert delivered == n, (delivered, n)
+        if delivered != n:
+            raise ValueError((delivered, n))
 
     # --- end-to-end: replay stream -> foreachBatch -> spool ---
     t0 = time.perf_counter()
     spool = deliver_events_to_spool(spark, sf_dir)
     e2e_sec = time.perf_counter() - t0
     n_delivered = spark.read.json(spool).count()
-    assert n_delivered == n, (n_delivered, n)
+    if n_delivered != n:
+        raise ValueError((n_delivered, n))
 
     print(
         json.dumps(
