@@ -159,3 +159,24 @@ def run_pair(spark, con, name: str, sf_dir: str = SF_DIR):
     odf = con.execute(all_oracles()[name]).fetchdf()
     assert_frames_match(sdf, odf, name)
     return sdf
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Explicit final-counts line (VERDICT r10 "What's wrong" #3): the
+    quiet-mode full-suite log has repeatedly ended at the warnings
+    block with no counts line, forcing readers to count progress dots.
+    This prints an unambiguous, grep-able verdict as the LAST line,
+    flushed, regardless of -q."""
+    import sys
+
+    tr = terminalreporter
+    counts = {
+        k: len(tr.stats.get(k, []))
+        for k in ("passed", "failed", "error", "skipped", "deselected")
+    }
+    line = (
+        f"SUITE RESULT: exitstatus={exitstatus} "
+        + " ".join(f"{k}={v}" for k, v in counts.items())
+    )
+    tr.write_line(line)
+    print(line, file=sys.stderr, flush=True)
