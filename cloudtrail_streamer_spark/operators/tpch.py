@@ -22,6 +22,47 @@ from cloudtrail_streamer_spark.catalog import table
 from cloudtrail_streamer_spark.functions import cents
 from cloudtrail_streamer_spark.registry import query
 
+def _dim_fits_broadcast(
+    sf_dir: str, tbl: str, col: str, lo_str: str | None, hi_str: str | None
+) -> bool:
+    """Stats-routed broadcast gate for a date-range-filtered dim (the r8
+    q5 routing, shared since r11): estimated in-memory build bytes =
+    rows × (filter-range overlap with the column's parquet-footer
+    min/max span) × footer mean row width × 3 (the measured hash-
+    relation blow-up over on-disk columnar) must stay under 512 MB.
+    Under the cap the hint-broadcast ships the filtered slice once per
+    executor JVM (overlapped with the fact scan) and the fact table
+    never shuffles on the join key; above it — the 100 TB case — the
+    hint is withheld and the plan degrades to the shuffle join, the
+    only shape that survives when even the filtered slice is billions
+    of rows. ``lo_str``/``hi_str`` are 'YYYY-MM-DD' bounds of the
+    filter; None means open on that side. Unknown stats → False (use
+    the safe default plan)."""
+    import datetime
+
+    from cloudtrail_streamer_spark.stats import (
+        avg_row_bytes,
+        column_minmax,
+        row_count,
+    )
+
+    n_rows = row_count(sf_dir, tbl)
+    lo, hi = column_minmax(sf_dir, tbl, col)
+    rw = avg_row_bytes(sf_dir, tbl)
+    if not (n_rows > 0 and rw > 0 and lo is not None and hi is not None and hi > lo):
+        return False
+    f_lo = (
+        datetime.datetime.strptime(lo_str, "%Y-%m-%d") if lo_str is not None else lo
+    )
+    f_hi = (
+        datetime.datetime.strptime(hi_str, "%Y-%m-%d") if hi_str is not None else hi
+    )
+    span = (hi - lo).total_seconds()
+    overlap = max(0.0, (min(f_hi, hi) - max(f_lo, lo)).total_seconds())
+    est_build_bytes = n_rows * (overlap / span) * rw * 3
+    return est_build_bytes <= 512 * 1024 * 1024
+
+
 _Q3_ORACLE = """
 SELECT
   l.l_orderkey,
@@ -44,26 +85,53 @@ LIMIT 10
 
 @query("tpch_q3_shipping_priority", oracle=_Q3_ORACLE, survey_id="B-10-ext")
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → two hash joins → hash agg
-    → global top-10 (TakeOrderedAndProject). Both join filters are
-    pushed below the joins by Catalyst, so at 100 TB the lineitem scan
-    ships only post-`l_shipdate` rows into the shuffle. customer scales
-    with sf, so no broadcast hint is forced — size-based selection / AQE
-    broadcasts the filtered segment while it fits and falls back to a
-    shuffle join at scale. Top-k is total-ordered (revenue desc,
+    """TPC-H Q3 shape: selective dim filter → hash join → hash agg →
+    global top-10 (TakeOrderedAndProject).
+
+    r11 replan (guide §2.3/§3.1, measured sf10 A/B in plans/r11 +
+    OPTIMIZATION_r11.md): the fact stream pays ONE probe into a
+    SEMI-SHRUNK build relation instead of two probes into wide ones —
+    orders(date<cut) is semi-joined to BUILDING customers on the BUILD
+    side first, which cuts the broadcast hash relation ~5× (48% → ~10%
+    of orders: fewer build bytes, far fewer cache misses per probe) and
+    removes the separate customer probe from the fact stream entirely.
+    Measured (interleaved min-of-5 at sf10): 2.84 → 2.23 s, every new
+    run below every old run. The r11 A/B also tried narrowing the
+    aggregate key to the bare l_orderkey with MIN() carrying the
+    functionally-dependent orders columns — marginally faster locally,
+    but min(string) puts a varlen value in the agg buffer, degrading
+    HashAggregate to Sort+SortAggregate: the wrong shape at 100 TB and
+    a pinned-plan regression, so the 3-part hash-aggregate key stays.
+    Results collect-identical at sf0.01/sf0.001/sf10 and hash-green vs
+    the unchanged oracle.
+
+    The broadcast hint on the shrunk dim is stats-gated exactly like
+    q5's (parquet-footer selectivity × row width × 3 ≤ 512 MB): under
+    the cap the filtered slice ships once per executor JVM; above it
+    (the 100 TB case, where even the filtered year is billions of rows)
+    the hint is withheld and the plan degrades to the shuffle join.
+    Both join filters still push to the scans, so lineitem ships only
+    post-`l_shipdate` rows. Top-k is total-ordered (revenue desc,
     l_orderkey) per §5.3 rule 3."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     cut = F.lit("1997-03-15 00:00:00").cast("timestamp")
     rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    ob = (
+        o.where(F.col("o_orderdate") < cut)
+        .join(
+            c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    if _dim_fits_broadcast(sf_dir, "orders", "o_orderdate", None, "1997-03-15"):
+        ob = F.broadcast(ob)
     return (
         l.where(F.col("l_shipdate") > cut)
-        .join(o.where(F.col("o_orderdate") < cut), l.l_orderkey == o.o_orderkey)
-        .join(
-            c.where(F.col("c_mktsegment") == "BUILDING"),
-            o.o_custkey == F.col("c_custkey"),
-        )
+        .join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev_c).cast("double") / 10000.0).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -137,12 +205,6 @@ def _q5_plan(spark: SparkSession, sf_dir: str, l, o, c) -> DataFrame:
     co-located on orderkey) through the identical logical plan."""
     import os as _os
 
-    from cloudtrail_streamer_spark.stats import (
-        avg_row_bytes,
-        column_minmax,
-        row_count,
-    )
-
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
@@ -151,23 +213,10 @@ def _q5_plan(spark: SparkSession, sf_dir: str, l, o, c) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    if _os.environ.get("SPARK_GRAFT_Q5_ORDERS_HINT", "1") != "0":
-        import datetime
-
-        n_orders = row_count(sf_dir, "orders")
-        lo, hi = column_minmax(sf_dir, "orders", "o_orderdate")
-        rw = avg_row_bytes(sf_dir, "orders")
-        if n_orders > 0 and rw > 0 and lo is not None and hi is not None and hi > lo:
-            f_lo = datetime.datetime(1996, 1, 1)
-            f_hi = datetime.datetime(1997, 1, 1)
-            span = (hi - lo).total_seconds()
-            overlap = max(
-                0.0,
-                (min(f_hi, hi) - max(f_lo, lo)).total_seconds(),
-            )
-            est_build_bytes = n_orders * (overlap / span) * rw * 3
-            if est_build_bytes <= 512 * 1024 * 1024:
-                o_filt = F.broadcast(o_filt)
+    if _os.environ.get("SPARK_GRAFT_Q5_ORDERS_HINT", "1") != "0" and _dim_fits_broadcast(
+        sf_dir, "orders", "o_orderdate", "1996-01-01", "1997-01-01"
+    ):
+        o_filt = F.broadcast(o_filt)
     return (
         l.join(o_filt, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
