@@ -208,12 +208,71 @@ def _is_provider_load_error(e: Exception) -> bool:
     )
 
 
+def suggest_stream_partitions(source_dir: str, spark: SparkSession) -> int:
+    """Scale-adaptive state-partition count for a file-replay stream
+    (r11, guide §2: partitioning must adapt to input size, not inherit
+    a constant tuned for either local mode or the cluster).
+
+    A stateful streaming query's shuffle-partition count is locked in at
+    the first checkpoint, and EVERY micro-batch pays one state-store
+    load+commit per partition per stateful operator — with RocksDB that
+    is a native store open, changelog write and sync each time. With
+    ``maxFilesPerTrigger=1`` a batch processes one source file, so the
+    right partition count follows per-BATCH volume: one partition per
+    ~32 MB of the largest source file, floored at 4 (local parallelism),
+    capped at the session's configured value (never raise above the
+    cluster sizing). Local replay fixtures (~100 KB/day gz) derive 4,
+    cutting the per-batch commit constant 8x (measured:
+    stream_stream_join sf0.01 gate 105 s -> see OPTIMIZATION_r11.md);
+    a production 1 GB-per-delivery feed derives 32+, and a real cluster
+    keeps its configured ceiling. ``SPARK_GRAFT_STREAM_SHUFFLE``
+    overrides the derivation outright."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    session_val = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if env:
+        return max(1, min(int(env), session_val))
+    try:
+        sizes = [
+            os.path.getsize(os.path.join(source_dir, f))
+            for f in os.listdir(source_dir)
+            if os.path.isfile(os.path.join(source_dir, f))
+        ]
+        biggest = max(sizes) if sizes else 0
+    except OSError:
+        return session_val
+    return max(4, min(-(-biggest // (32 * 1024 * 1024)), session_val))
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def stream_shuffle_scope(spark: SparkSession, source_dir: str):
+    """Scoped shuffle-partition override for streaming queries started
+    OUTSIDE :func:`run_stream_to_memory` (foreachBatch sinks, state-
+    reader checkpoints): applies :func:`suggest_stream_partitions` for
+    the duration of the block and restores the session value after —
+    the partition count is locked into the query at start, so the
+    restore cannot affect a running stream."""
+    conf = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf, None)
+    spark.conf.set(conf, str(suggest_stream_partitions(source_dir, spark)))
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prior)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "append",
     return_progress: bool = False,
     timeout_sec: float = 600.0,
+    source_dir: str | None = None,
 ) -> DataFrame | tuple[DataFrame, dict]:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
@@ -224,7 +283,15 @@ def run_stream_to_memory(
     rows/bytes across all stateful operators, the final event-time
     watermark, and the batch count. Stateful R-tier ops attach these as
     constant columns so the driver's rows-only record PROVES state
-    stayed bounded, instead of only asserting values were right."""
+    stayed bounded, instead of only asserting values were right.
+
+    ``source_dir``: the replay-file directory feeding the stream, when
+    the caller has one — enables the scale-adaptive state-partition
+    derivation (:func:`suggest_stream_partitions`). None leaves the
+    session's shuffle-partition setting untouched. Either way the prior
+    session value is restored after the query terminates; results are
+    partition-count independent (all declared outputs are aggregates,
+    watermarks or batch counts)."""
     spark = stream_df.sparkSession
     # Scale-grade state backend: RocksDB keeps streaming state on local
     # disk instead of executor heap — at 100 TB a session-window or
@@ -266,6 +333,12 @@ def run_stream_to_memory(
     )
     prior_changelog = spark.conf.get(_CHANGELOG_CONF, None)
     spark.conf.set(_CHANGELOG_CONF, "true")
+    _SHUFFLE_CONF = "spark.sql.shuffle.partitions"
+    prior_shuffle = spark.conf.get(_SHUFFLE_CONF, None)
+    if source_dir is not None:
+        spark.conf.set(
+            _SHUFFLE_CONF, str(suggest_stream_partitions(source_dir, spark))
+        )
     ckpt = tempfile.mkdtemp(prefix=f"cts_ckpt_{name}_")
 
     def _start(cp: str):
@@ -300,6 +373,8 @@ def run_stream_to_memory(
     finally:
         _restore(_CHANGELOG_CONF, prior_changelog)
         _restore(_PROVIDER_CONF, prior_provider)
+        if source_dir is not None:
+            _restore(_SHUFFLE_CONF, prior_shuffle)
 
 
 def _summarize_progress(q) -> dict:

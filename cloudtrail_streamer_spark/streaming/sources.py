@@ -54,7 +54,9 @@ def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"src_files_{uuid.uuid4().hex[:8]}"
     counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return harness.run_stream_to_memory(counts, name, output_mode="complete")
+    return harness.run_stream_to_memory(
+        counts, name, output_mode="complete", source_dir=replay
+    )
 
 
 # Kinesis consumer record shape: the spool rows carry (pk, data); the
@@ -117,7 +119,9 @@ def source_kinesis_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     name = f"src_kinesis_{uuid.uuid4().hex[:8]}"
-    return harness.run_stream_to_memory(counts, name, output_mode="complete")
+    return harness.run_stream_to_memory(
+        counts, name, output_mode="complete", source_dir=spool
+    )
 
 
 _JSON_GZ_ORACLE = """
@@ -306,15 +310,16 @@ def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     ckpt = tempfile.mkdtemp(prefix="cts_ckpt_statereader_")
     name = f"state_reader_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, "source_state_store_reader", 600.0)
+    with harness.stream_shuffle_scope(spark, replay):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "source_state_store_reader", 600.0)
 
     meta = spark.read.format("state-metadata").load(ckpt)
     stateful_ops = meta.select("operatorId", "stateStoreName").collect()

@@ -208,7 +208,9 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n")
     )
     name = f"wm_late_{uuid.uuid4().hex[:8]}"
-    accepted = harness.run_stream_to_memory(agg, name, output_mode="append")
+    accepted = harness.run_stream_to_memory(
+        agg, name, output_mode="append", source_dir=replay
+    )
     emitted = accepted.groupBy("window_start").agg(
         F.sum("n").cast("long").alias("n_emitted")
     )
@@ -279,7 +281,9 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    out = harness.run_stream_to_memory(deduped, name, output_mode="append")
+    out = harness.run_stream_to_memory(
+        deduped, name, output_mode="append", source_dir=replay
+    )
     day = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")).cast("long")
     delivered = out.groupBy(
         "event_type", day.alias("day")
@@ -332,7 +336,7 @@ def stream_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), dsum("value", "total_value")
     )
     name = f"upd_{uuid.uuid4().hex[:8]}"
-    harness.run_stream_to_memory(agg, name, output_mode="update")
+    harness.run_stream_to_memory(agg, name, output_mode="update", source_dir=replay)
     updates = stream.sparkSession.table(name)
     # Memory sink in update mode appends each update; final state per
     # user = the row with the max n (counts grow monotonically).
@@ -401,13 +405,16 @@ def stream_upsert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.write.mode("overwrite").parquet(new_path)
         current["path"] = new_path  # the "commit": atomic pointer swap
 
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cts_ckpt_upsert_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, "stream_upsert_keyed", 600.0)
+    with harness.stream_shuffle_scope(spark, replay):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="cts_ckpt_upsert_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "stream_upsert_keyed", 600.0)
     return spark.read.parquet(current["path"]).select(
         "user_id",
         F.col("n").cast("long").alias("n"),
@@ -480,7 +487,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"custom_state_{uuid.uuid4().hex[:8]}"
     out, prog = harness.run_stream_to_memory(
-        updates, name, output_mode="update", return_progress=True
+        updates, name, output_mode="update", return_progress=True, source_dir=replay
     )
     if prog["state_bytes_peak"] <= 0:
         raise AssertionError(
@@ -584,7 +591,10 @@ def _ss_join_run(spark: SparkSession, sf_dir: str):
     import uuid
 
     joined, prog = harness.run_stream_to_memory(
-        sides(stream), f"ss_join_{uuid.uuid4().hex[:8]}", return_progress=True
+        sides(stream),
+        f"ss_join_{uuid.uuid4().hex[:8]}",
+        return_progress=True,
+        source_dir=replay,
     )
     # watermark lag vs the source's max event time: a healthy run ends
     # with lag ≈ the 2 h watermark delay; a stuck watermark (unbounded
@@ -825,7 +835,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     name = f"tws_state_{uuid.uuid4().hex[:8]}"
-    out = harness.run_stream_to_memory(updates, name, output_mode="update")
+    out = harness.run_stream_to_memory(
+        updates, name, output_mode="update", source_dir=replay
+    )
     w_latest = F.row_number().over(
         Window.partitionBy("user_id").orderBy(F.col("n").desc())
     )

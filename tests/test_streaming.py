@@ -806,3 +806,47 @@ def test_provider_class_load_error_is_retried(spark, monkeypatch):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         == prior_provider
     )
+
+
+def test_suggest_stream_partitions_scales_with_input(spark, tmp_path, monkeypatch):
+    """r11 scale-adaptive state partitioning: the derivation must follow
+    per-batch input volume — floor 4 for tiny replay files, ~1 per 32 MB
+    for big ones, never above the session's configured value — and the
+    env override must win outright (still session-capped)."""
+    import os
+
+    from cloudtrail_streamer_spark.streaming.harness import (
+        suggest_stream_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE", raising=False)
+    session_val = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    tiny = tmp_path / "tiny"
+    tiny.mkdir()
+    (tiny / "events_0001.json.gz").write_bytes(b"x" * 1024)
+    assert suggest_stream_partitions(str(tiny), spark) == min(4, session_val)
+
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "events_0001.json", "wb") as f:
+        f.truncate(200 * 1024 * 1024)  # sparse 200 MB -> ceil(200/32) = 7
+    assert suggest_stream_partitions(str(big), spark) == min(7, session_val)
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "2")
+    assert suggest_stream_partitions(str(big), spark) == min(2, session_val)
+
+
+def test_stream_shuffle_scope_restores_session_conf(spark, tmp_path):
+    """The scoped override must apply inside the block and restore the
+    exact prior session value afterwards (ADVICE r10 #2 conf-leak rule)."""
+    from cloudtrail_streamer_spark.streaming.harness import stream_shuffle_scope
+
+    src = tmp_path / "replay"
+    src.mkdir()
+    (src / "events_0001.json.gz").write_bytes(b"x" * 512)
+    conf = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf)
+    with stream_shuffle_scope(spark, str(src)):
+        assert int(spark.conf.get(conf)) <= max(4, int(prior))
+    assert spark.conf.get(conf) == prior
