@@ -63,6 +63,99 @@ def _dim_fits_broadcast(
     return est_build_bytes <= 512 * 1024 * 1024
 
 
+_NATION_KEYS_CACHE: dict[tuple[str, str], "tuple[int, ...] | None"] = {}
+
+
+def _region_nation_keys(sf_dir: str, region_name: str) -> "tuple[int, ...] | None":
+    """Planning-time transitive-filter derivation (guide §3.2 — shrink
+    the big side with what the optimizer cannot infer): the nationkeys
+    whose nation row joins a region row named ``region_name``. In a
+    region-filtered snowflake (Q5), ``c_nationkey = s_nationkey =
+    n_nationkey`` plus the region predicate means customer/supplier
+    rows outside these keys can never survive the join — but Catalyst
+    does not propagate a literal filter across three equi-joins, so the
+    derivation happens here and is applied as an IN-list that pushes
+    into the parquet scans. nation/region are BOUNDED dims (≤25/≤5
+    rows by TPC-H construction, independent of scale factor), so the
+    driver-side read is O(1) metadata-tier work — same tier as the
+    parquet-footer stats that route the broadcast hints, never a
+    data-sized collect (a >1000-row nation is treated as unbounded and
+    vetoes the rewrite). The filter only DROPS rows (join multiplicity
+    is untouched), so results are bit-identical; returns None when the
+    dims are missing/unreadable (callers keep the safe unfiltered
+    plan)."""
+    key = (sf_dir, region_name)
+    if key in _NATION_KEYS_CACHE:
+        return _NATION_KEYS_CACHE[key]
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        nat = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_regionkey"],
+        )
+        if nat.num_rows > 1000:  # not the bounded spec dim — don't collect it
+            out = None
+        else:
+            reg = pq.read_table(
+                os.path.join(sf_dir, "region.parquet"),
+                columns=["r_regionkey", "r_name"],
+            )
+            rkeys = {
+                rk
+                for rk, nm in zip(
+                    reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+                )
+                if nm == region_name
+            }
+            out = tuple(
+                sorted(
+                    nk
+                    for nk, rg in zip(
+                        nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()
+                    )
+                    if rg in rkeys
+                )
+            )
+    except Exception:
+        return None
+    _NATION_KEYS_CACHE[key] = out
+    return out
+
+
+def _keyed_dim_fits_broadcast(sf_dir: str, tbl: str, col: str, n_keys: int) -> bool:
+    """Discrete-key analog of :func:`_dim_fits_broadcast`: estimated
+    build bytes for a dim filtered to ``n_keys`` values of ``col`` =
+    rows × (n_keys / footer min-max domain width, i.e. uniform-key
+    selectivity) × footer mean row width × 3 must stay under 512 MB.
+    Under the cap the filtered slice ships once per executor JVM; above
+    it (the 100 TB case) the hint is withheld and the join degrades to
+    a shuffle of the 5×-smaller filtered dim — still strictly better
+    than shuffling it unfiltered. Unknown stats → False (safe default
+    plan)."""
+    from cloudtrail_streamer_spark.stats import (
+        avg_row_bytes,
+        column_minmax,
+        row_count,
+    )
+
+    n_rows = row_count(sf_dir, tbl)
+    rw = avg_row_bytes(sf_dir, tbl)
+    lo, hi = column_minmax(sf_dir, tbl, col)
+    if not (
+        n_rows > 0
+        and rw > 0
+        and isinstance(lo, int)
+        and isinstance(hi, int)
+        and hi >= lo
+    ):
+        return False
+    frac = min(1.0, n_keys / float(hi - lo + 1))
+    return n_rows * frac * rw * 3 <= 512 * 1024 * 1024
+
+
 _Q3_ORACLE = """
 SELECT
   l.l_orderkey,
@@ -192,7 +285,13 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``SPARK_GRAFT_Q5_ORDERS_HINT=0`` disables the routing (bench.py's
     A/B uses it to isolate exactly this hint's contribution — an
     explicit F.broadcast ignores autoBroadcastJoinThreshold, so a
-    threshold=-1 leg alone cannot)."""
+    threshold=-1 leg alone cannot).
+
+    r11 adds the transitive nation shrink (see the ``_q5_plan`` body
+    comment and ``_region_nation_keys``): customer and supplier are
+    pre-filtered to the ASIA nationkeys the region predicate implies,
+    scan-pushed as IN-lists and stats-gate-broadcast when the filtered
+    slice fits — measured A/B in OPTIMIZATION_r11.md."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
@@ -217,6 +316,31 @@ def _q5_plan(spark: SparkSession, sf_dir: str, l, o, c) -> DataFrame:
         sf_dir, "orders", "o_orderdate", "1996-01-01", "1997-01-01"
     ):
         o_filt = F.broadcast(o_filt)
+    # r11 transitive nation shrink (guide §3.2, the Q2/Q8 eu_supp/
+    # cust_nations pattern applied to Q5): r_name='ASIA' constrains
+    # c_nationkey and s_nationkey through the n/r equi-joins, so both
+    # sf-scaled dims are pre-filtered to the asian nationkeys derived
+    # at plan time from the bounded nation/region dims. The IN-list
+    # pushes into both parquet scans (PushedFilters), cuts each dim
+    # ~5× before its join, and drops ~80% of post-orders fact rows at
+    # the customer probe instead of three joins later at the supplier
+    # probe. With the filtered slice under the 512 MB stats gate the
+    # customer join becomes a broadcast probe (no fact-side exchange
+    # at all); above the gate — 100 TB — the hint is withheld and the
+    # shuffle join moves a 5×-smaller dim. SPARK_GRAFT_Q5_NATION_SHRINK=0
+    # disables the rewrite (bench/tests A/B the unshrunk plan with it).
+    asia = (
+        _region_nation_keys(sf_dir, "ASIA")
+        if _os.environ.get("SPARK_GRAFT_Q5_NATION_SHRINK", "1") != "0"
+        else None
+    )
+    if asia:
+        c = c.where(F.col("c_nationkey").isin(*asia))
+        if _keyed_dim_fits_broadcast(sf_dir, "customer", "c_nationkey", len(asia)):
+            c = F.broadcast(c)
+        s = s.where(F.col("s_nationkey").isin(*asia))
+        if _keyed_dim_fits_broadcast(sf_dir, "supplier", "s_nationkey", len(asia)):
+            s = F.broadcast(s)
     return (
         l.join(o_filt, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)

@@ -875,14 +875,17 @@ def test_q5_default_plan_broadcasts_dims(spark):
     assert t.count("Exchange") <= 2, tree
 
 
-def test_q5_hints_survive_disabled_size_broadcasts(spark):
+def test_q5_hints_survive_disabled_size_broadcasts(spark, monkeypatch):
     """The load-bearing part of VERDICT r10 #7: with BOTH size-based
-    broadcast thresholds at -1, only hint-driven broadcasts remain —
-    nation + region (explicit) and the time-filtered orders dim (the
-    stats-routed hint derived from parquet footer metadata, the lever
-    the sf10 A/B measured at 4.5 s -> 2.6 s). If a refactor drops the
-    routing, this plan degrades to an orderkey SMJ of the fact and the
-    count changes."""
+    broadcast thresholds at -1, only hint-driven broadcasts remain.
+    Since the r11 nation shrink that is all five joins at this sf —
+    nation + region (explicit), the time-filtered orders dim, and the
+    ASIA-shrunk customer/supplier slices (all three stats-routed from
+    parquet footer metadata). With the shrink disabled
+    (SPARK_GRAFT_Q5_NATION_SHRINK=0) the r10 shape is preserved: three
+    hint broadcasts, customer/supplier degrade to shuffle joins — the
+    100 TB fallback for the sf-scaled tables. If a refactor drops any
+    routing, a count changes."""
     confs = (
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
@@ -892,17 +895,40 @@ def test_q5_hints_survive_disabled_size_broadcasts(spark):
         spark.conf.set(c, "-1")
     try:
         tree = _nodes(spark, "tpch_q5_local_supplier")
+        monkeypatch.setenv("SPARK_GRAFT_Q5_NATION_SHRINK", "0")
+        tree_noshrink = _nodes(spark, "tpch_q5_local_supplier")
     finally:
         for c, v in prior.items():
             if v is None:
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
-    assert tree.count("BroadcastHashJoin") == 3, tree
-    # customer/supplier legs fall back to shuffle joins — the 100 TB
-    # shape for the sf-scaled tables (their broadcast at default conf
-    # is size-based, exactly as designed)
-    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, tree
+    assert tree.count("BroadcastHashJoin") == 5, tree
+    assert tree_noshrink.count("BroadcastHashJoin") == 3, tree_noshrink
+    # unshrunk customer/supplier legs fall back to shuffle joins — the
+    # 100 TB shape when even the filtered slices exceed the stats gate
+    assert (
+        "SortMergeJoin" in tree_noshrink or "ShuffledHashJoin" in tree_noshrink
+    ), tree_noshrink
+
+
+def test_q5_nation_shrink_pushes_in_filters(spark):
+    """r11 transitive nation shrink: the ASIA nationkey IN-list derived
+    from the bounded nation/region dims must reach BOTH sf-scaled dim
+    scans as pushed filters (guide §6 — predicate pushdown verified at
+    the scan, not assumed), so customer/supplier ship ~1/5 of their
+    rows into their joins."""
+    from cloudtrail_streamer_spark.operators.tpch import _region_nation_keys
+
+    keys = _region_nation_keys(SF, "ASIA")
+    assert keys, "bounded nation/region dims must yield the ASIA keys"
+    assert 0 < len(keys) < 25
+    plan = _plan(spark, "tpch_q5_local_supplier")
+    for col in ("c_nationkey", "s_nationkey"):
+        assert any(
+            f"In({col}" in ln and "PushedFilters" in ln
+            for ln in plan.splitlines()
+        ), f"{col} IN-list must push into the parquet scan:\n{plan}"
 
 
 def test_filtered_ann_prunes_before_kernel(spark):
