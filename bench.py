@@ -831,6 +831,18 @@ def main() -> None:
             # confs, so the leg above never removed it. The env flag does.
             q5 = "tpch_q5_local_supplier"
             if q5 in s10_spark:
+                # r11 transitive nation shrink (operators/tpch.py
+                # _region_nation_keys): the leg isolates the IN-list
+                # pre-filter + stats-gated broadcast of the ASIA
+                # customer/supplier slices, the same way no_orders_hint
+                # isolates the orders routing below.
+                os.environ["SPARK_GRAFT_Q5_NATION_SHRINK"] = "0"
+                try:
+                    sf10_ab[q5]["no_nation_shrink_sec"] = time_spark(
+                        spark, queries, sf10_dir, [q5], runs=3
+                    )[q5]
+                finally:
+                    os.environ.pop("SPARK_GRAFT_Q5_NATION_SHRINK", None)
                 os.environ["SPARK_GRAFT_Q5_ORDERS_HINT"] = "0"
                 try:
                     sf10_ab[q5]["no_orders_hint_sec"] = time_spark(
@@ -864,7 +876,9 @@ def main() -> None:
                 finally:
                     os.environ.pop("SPARK_GRAFT_Q5_ORDERS_HINT", None)
                 sf10_ab[q5]["note"] += (
-                    "; no_orders_hint disables ONLY the stats-routed "
+                    "; no_nation_shrink disables ONLY the r11 transitive "
+                    "ASIA IN-list pre-filter of customer/supplier; "
+                    "no_orders_hint disables ONLY the stats-routed "
                     "orders broadcast; bucketed_colocated reads l+o from "
                     "32-bucket orderkey-sorted tables with the hint off"
                 )
