@@ -38,21 +38,27 @@ N_BANDS = 8  # LSH bands (4 rows each): catches Jaccard ≳ 0.6 pairs
 
 def _shingles(d: DataFrame) -> DataFrame:
     """doc_id + distinct word-3-shingle array (docs <3 tokens fall back
-    to the whole text as a single shingle)."""
+    to the whole text as a single shingle).
+
+    Let-binding idiom (the _MH_SIG_EXPR lesson, r11): the token array is
+    bound ONCE per row as the lambda variable ``ws``. The r1-r10 form
+    re-evaluated split(lower(text), ' ') THREE TIMES PER SEQUENCE
+    ELEMENT inside the shingle lambda (HOF bodies are interpreted, no
+    cross-element CSE), i.e. O(tokens x text_len) per doc — measured
+    30.0 s -> 1.9 s (-94%) for the sf1 shingle pass, row-identical
+    (r11 A/B, /tmp/ab_mutate_letbind.log)."""
     return d.select(
         "doc_id",
         F.expr(
             """
-            array_distinct(
-              CASE WHEN size(split(lower(text), ' ')) >= 3
-                   THEN transform(
-                          sequence(0, size(split(lower(text), ' ')) - 3),
-                          i -> concat_ws(' ',
-                                 split(lower(text), ' ')[i],
-                                 split(lower(text), ' ')[i + 1],
-                                 split(lower(text), ' ')[i + 2]))
-                   ELSE array(lower(text))
-              END)
+            transform(array(split(lower(text), ' ')), ws ->
+              array_distinct(
+                CASE WHEN size(ws) >= 3
+                     THEN transform(
+                            sequence(0, size(ws) - 3),
+                            i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+                     ELSE array(lower(text))
+                END))[0]
             """
         ).alias("shingles"),
     )
@@ -254,13 +260,20 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first ceil(0.9n) tokens and substitute the token at floor(n/2) —
 # pure integer/list arithmetic so tests/test_engine.py can recompute the
 # IDENTICAL corpus in DuckDB and cross-check the exact-Jaccard truth set.
+# Let-binding idiom (the _MH_SIG_EXPR lesson, r11): the token array is
+# bound ONCE per row as ``ws``; the r1-r10 form re-evaluated
+# split(lower(text), ' ') once PER TOKEN inside the substitution lambda
+# (interpreted HOF body, no cross-element CSE) — O(tokens x text_len)
+# per doc, and the second-generation mutation (_second_mutation) pays it
+# on top of the first. Measured 17.8 s -> 2.0 s (-88%) for the sf1
+# seeded-corpus pass, row-identical (r11 A/B).
 _MUTATE_SQL = """
-concat_ws(' ',
-  transform(
-    slice(split(lower(text), ' '), 1,
-          greatest(3, cast(ceil(size(split(lower(text), ' ')) * 0.9) AS INT))),
-    (tok, i) -> IF(i = cast(floor(size(split(lower(text), ' ')) / 2.0) AS INT),
-                   'xqzsubstituted', tok)))
+transform(array(split(lower(text), ' ')), ws ->
+  concat_ws(' ',
+    transform(
+      slice(ws, 1, greatest(3, cast(ceil(size(ws) * 0.9) AS INT))),
+      (tok, i) -> IF(i = cast(floor(size(ws) / 2.0) AS INT),
+                     'xqzsubstituted', tok))))[0]
 """
 
 _SEED_OFFSET = 1000000
@@ -476,9 +489,17 @@ def connected_components(
 
     edges: columns (id_a, id_b); nodes: column (id). Returns (id, comp).
     """
+    # Persist the undirected edge list (r11): every round executes as its
+    # own AQE query (localCheckpoint → toRdd materializes the stages), so
+    # exchange reuse does NOT span rounds — without the persist each of
+    # the ``rounds`` iterations re-ran the caller's edge subtree TWICE
+    # (once per union arm), i.e. 2·rounds executions of the LSH-verify
+    # join feeding pipeline_dedup_e2e (measured 22.8 s → 8.4 s CC
+    # construction at sf0.1r). Same query-lifetime persist discipline as
+    # the callers' sh/bands caches; O(|edges|) rows of two BIGINTs.
     und = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionByName(
         edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
-    )
+    ).persist()
     labels = nodes.select("id", F.col("id").alias("comp"))
     for _ in range(rounds):
         nb = (
@@ -760,16 +781,18 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
+        # Let-binding idiom (r11, same fix as _shingles): bind the token
+        # array once per row instead of re-splitting per bigram element.
         F.expr(
             """
-            array_distinct(
-              CASE WHEN size(split(lower(text), ' ')) >= 2
-                   THEN transform(
-                          sequence(0, size(split(lower(text), ' ')) - 2),
-                          i -> concat(split(lower(text), ' ')[i], ' ',
-                                      split(lower(text), ' ')[i + 1]))
-                   ELSE array(lower(text))
-              END)
+            transform(array(split(lower(text), ' ')), ws ->
+              array_distinct(
+                CASE WHEN size(ws) >= 2
+                     THEN transform(
+                            sequence(0, size(ws) - 2),
+                            i -> concat(ws[i], ' ', ws[i + 1]))
+                     ELSE array(lower(text))
+                END))[0]
             """
         ).alias("bigrams"),
     ).persist()  # both join sides — tokenize the corpus once

@@ -987,16 +987,19 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         docs.select(
             (F.col("doc_id") / 500).cast("long").alias("batch_id"),
+            # Let-binding idiom (r11, same fix as dedup._shingles): bind
+            # the token array once per row; the unbound form re-split the
+            # whole text once per 8-token window inside the lambda.
             F.explode(
                 F.expr(
                     """
-                    CASE WHEN size(split(text, ' ')) >= 8
-                         THEN transform(
-                                sequence(0, size(split(text, ' ')) - 8),
-                                k -> md5(concat_ws(' ',
-                                       slice(split(text, ' '), k + 1, 8))))
-                         ELSE array()
-                    END
+                    transform(array(split(text, ' ')), ws ->
+                      CASE WHEN size(ws) >= 8
+                           THEN transform(
+                                  sequence(0, size(ws) - 8),
+                                  k -> md5(concat_ws(' ', slice(ws, k + 1, 8))))
+                           ELSE array()
+                      END)[0]
                     """
                 )
             ).alias("h"),
