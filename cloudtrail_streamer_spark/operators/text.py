@@ -981,36 +981,46 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     by document length, not corpus size. Fractions are rounded to 4 dp
     in both engines before the comparison (§5.3 rule 2)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    base = d.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-    )
-    bg = F.transform(
-        F.sequence(F.lit(1), F.col("n_tokens") - 1),
-        lambda i: F.concat(
-            F.element_at(F.col("toks"), i.cast("int")),
-            F.lit(" "),
-            F.element_at(F.col("toks"), (i + 1).cast("int")),
-        ),
-    )
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("bg")),
-            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+    # Let-binding idiom (r11, same fix as dedup._shingles): the chained
+    # toks/bg aliases were re-inlined by CollapseProject/predicate
+    # pushdown, so the plan re-split the text per bigram element AND
+    # re-built the bigram list inside the per-distinct-bigram count
+    # lambda (6 split sites in the optimized plan, O(n^2) re-splits per
+    # doc). Everything row-local is now computed once inside one
+    # let-bound struct; explode(array(...)) is the projection barrier
+    # that stops the optimizer duplicating the struct into the filter
+    # and the per-field extractions (measured 33.0 s -> 3.8 s at sf1,
+    # row-identical; the residual is the O(distinct x n) per-doc bigram
+    # count both engines share).
+    s = F.explode(
+        F.array(
+            F.expr(
+                """
+                transform(array(split(lower(text), ' ')), ws ->
+                  transform(
+                    array(transform(sequence(1, size(ws) - 1),
+                            i -> concat(element_at(ws, cast(i AS INT)), ' ',
+                                        element_at(ws, cast(i + 1 AS INT))))),
+                    bg -> named_struct(
+                      'n_tokens', CAST(size(ws) AS BIGINT),
+                      'n_distinct', CAST(size(array_distinct(ws)) AS BIGINT),
+                      'n_bigrams', size(bg),
+                      'top', CAST(array_max(transform(array_distinct(bg),
+                                    x -> size(filter(bg, y -> y = x))))
+                                  AS DOUBLE)))[0])[0]
+                """
+            )
         )
-    ).cast("double")
-    dfrac = F.col("n_distinct").cast("double") / F.col("n_tokens")
-    bfrac = top / F.size(F.col("bg"))
+    )
+    dfrac = F.col("s.n_distinct").cast("double") / F.col("s.n_tokens")
+    bfrac = F.col("s.top") / F.col("s.n_bigrams")
     return (
-        base.withColumn("bg", bg)
-        .where(F.size(F.col("bg")) > 0)
+        d.select("doc_id", s.alias("s"))
+        .where(F.col("s.n_bigrams") > 0)
         .select(
             "doc_id",
-            "n_tokens",
-            "n_distinct",
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.n_distinct").alias("n_distinct"),
             F.round(dfrac, 4).alias("distinct_frac"),
             F.round(bfrac, 4).alias("top_bigram_frac"),
             ((dfrac >= 0.2) & (bfrac <= 0.2)).alias("passes"),
