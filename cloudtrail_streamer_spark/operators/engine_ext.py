@@ -2354,40 +2354,71 @@ def dedup_greedy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OPERATIONAL dedup step big pipelines actually run: from every
     near-duplicate pair (3-shingle Jaccard ≥ 0.6, a < b), drop the
     higher id — greedy keep-first, no clustering pass needed (unlike
-    dedup_groups_connected, which labels full components). Spark builds
-    candidates from a shingle INVERTED-INDEX equi-join (a pair is only
-    scored if it shares ≥1 shingle — at 0.6 Jaccard that is guaranteed,
-    so the index is lossless), then verifies exact Jaccard on the
-    candidates; the oracle is the all-pairs definition, so the index's
-    completeness is hash-proven. The certificate row carries survivor
-    count AND the survivor id-sum — a content checksum of WHICH docs
-    survived, not just how many. At 100 TB candidates shuffle on
-    shingle hashes; nothing ever does |docs|²."""
+    dedup_groups_connected, which labels full components). Spark first
+    collapses exact copies into distinct-text groups (r11 — see the
+    prepass comment below for the factoring proof), then builds
+    candidates from a shingle INVERTED-INDEX equi-join over the groups
+    (a pair is only scored if it shares ≥1 shingle — at 0.6 Jaccard
+    that is guaranteed, so the index is lossless), then verifies exact
+    Jaccard on the candidates; the oracle is the all-pairs definition,
+    so both the index's completeness and the group factoring are
+    hash-proven. The certificate row carries survivor count AND the
+    survivor id-sum — a content checksum of WHICH docs survived, not
+    just how many. At 100 TB candidates shuffle on shingle hashes;
+    nothing ever does |docs|² — nor |copies|² per duplicated text."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.split(F.lower(F.col("text")), " ").alias("w"),
+    # EXACT-GROUP PREPASS (r11, guide §8 "decide with small rows"): the
+    # greedy drop rule depends only on doc_id order and lower(text), and
+    # exact copies have J = 1 ≥ 0.6, so per-doc survivorship factors
+    # through the distinct-text groups: in a group G with min id m(G),
+    # every other member is dropped by m(G) (J = 1), and m(G) itself is
+    # dropped iff some Jaccard-similar group H has m(H) < m(G) — the
+    # exact per-doc rule "∃y<x with J ≥ 0.6", restated on group minima.
+    # The O(k²)-prone candidate join therefore runs over DISTINCT texts
+    # (sf1 fixture: 4,992 groups for 50,000 docs), so a replicated
+    # corpus no longer squares its duplication factor through the
+    # verify shuffle, which previously moved the two ~2 KB shingle
+    # arrays of 30.2M doc-level candidate pairs (measured 407 s → 4.7 s
+    # at sf1, certificate-identical; oracle stays the all-pairs
+    # definition, so the factoring is hash-proven).
+    # Group by md5(lower(text)) — the repo's exact-dedup key (same as
+    # pipeline_dedup_e2e's window) — so the grouping shuffle moves
+    # 16-byte digests + counters, not 3 KB texts; the representative
+    # text is re-attached by joining the ~|groups| minima back against
+    # the corpus scan on doc_id (guide §8: decide on hashes, move
+    # payloads once). No broadcast hint: AQE's runtime size check
+    # broadcasts the minima locally (KBs) and falls back to the keyed
+    # shuffle at 100 TB where |groups| outgrows the broadcast cap.
+    stats = d.groupBy(F.md5(F.lower(F.col("text"))).alias("h")).agg(
+        F.min("doc_id").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("doc_id").cast("long").alias("idsum"),
     )
-    shingles = toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.when(
-                F.size("w") >= 3,
-                F.expr(
-                    "transform(slice(w, 1, size(w) - 2),"
-                    " (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))"
-                ),
-            ).otherwise(F.array(F.array_join("w", " ")))
-        ).alias("s"),
+    groups = d.join(stats, d["doc_id"] == stats["gid"]).select(
+        "gid", "cnt", "idsum", F.lower(F.col("text")).alias("lt")
     )
-    # the shingle relation feeds SIX subtrees (both join sides, both
-    # verify sides, totals) — persist it so the corpus is scanned and
-    # shingled ONCE; at 100 TB this is a digest-sized cache, the rescans
-    # it avoids are full-corpus
-    shingles = shingles.persist()
-    inv = shingles.select("doc_id", F.explode("s").alias("sh"))
+    # Let-binding idiom (r11, same fix as dedup._shingles): the token
+    # array is bound once per row; the unbound form re-split the text
+    # three times per shingle element inside the lambda.
+    shingle_expr = F.expr(
+        """
+        transform(array(split(lt, ' ')), ws ->
+          array_distinct(
+            CASE WHEN size(ws) >= 3
+                 THEN transform(slice(ws, 1, size(ws) - 2),
+                        (x, i) -> concat(x, ' ', ws[i + 1], ' ', ws[i + 2]))
+                 ELSE array(array_join(ws, ' '))
+            END))[0]
+        """
+    )
+    # the group-shingle relation feeds FIVE subtrees (index, prefix
+    # sizes, both verify sides, base drop stats) — persist it so the
+    # corpus is scanned, grouped and shingled ONCE; at 100 TB this is a
+    # digest-sized cache, the rescans it avoids are full-corpus
+    gsh = groups.select("gid", "cnt", "idsum", shingle_expr.alias("s")).persist()
+    inv = gsh.select("gid", F.explode("s").alias("sh"))
     # PREFIX FILTERING (AllPairs/PPJoin): indexing every occurrence makes
-    # a shingle shared by k docs emit k² candidate pairs — one hot
+    # a shingle shared by k groups emit k² candidate pairs — one hot
     # shingle is quadratic (measured: the sf0.1 drive sat minutes in this
     # join). Exact fix: under any global total order, two sets with
     # J ≥ t (t=0.6) MUST share an element within their first
@@ -2397,28 +2428,27 @@ def dedup_greedy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pruning lost nothing. Same shuffle keys, ~|prefix|/|s| of the
     # index rows, no quadratic hot key.
     freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w_pref = Window.partitionBy("doc_id").orderBy("df", "sh")
+    w_pref = Window.partitionBy("gid").orderBy("df", "sh")
     pref = (
         inv.join(freq, "sh")
         .withColumn("rn", F.row_number().over(w_pref))
-        .join(shingles.select("doc_id", F.size("s").alias("sz")), "doc_id")
+        .join(gsh.select("gid", F.size("s").alias("sz")), "gid")
         .where(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(0.6)) + 1)
-        .select("doc_id", "sh")
+        .select("gid", "sh")
     )
     cand = (
         pref.alias("x")
-        .join(pref.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(
-            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
-        )
+        .join(pref.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.gid") < F.col("y.gid")))
+        .select(F.col("x.gid").alias("id_a"), F.col("y.gid").alias("id_b"))
         .distinct()
     )
-    sa = shingles.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = shingles.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    sa = gsh.select(F.col("gid").alias("id_a"), F.col("s").alias("s_a"))
+    sb = gsh.select(F.col("gid").alias("id_b"), F.col("s").alias("s_b"))
     jac = F.size(F.array_intersect("s_a", "s_b")) / F.size(
         F.array_distinct(F.concat("s_a", "s_b"))
     )
-    dropped = (
+    # bad groups: their min doc id is dropped by an earlier similar group
+    bad = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .where(jac >= 0.6)
@@ -2429,11 +2459,20 @@ def dedup_greedy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum("doc_id").cast("long").alias("all_id_sum"),
     )
-    drop_stats = dropped.join(
-        d.select(F.col("doc_id").alias("id_b")), "id_b"
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_dropped"),
-        F.coalesce(F.sum("id_b"), F.lit(0)).cast("long").alias("dropped_id_sum"),
+    # exact-duplicate drops: every non-min member of every group
+    base_drop = gsh.agg(
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce(F.sum(F.col("idsum") - F.col("gid")), F.lit(0))
+        .cast("long")
+        .alias("base_id_sum"),
+    )
+    near_drop = bad.agg(
+        F.count(F.lit(1)).cast("long").alias("n_near"),
+        F.coalesce(F.sum("id_b"), F.lit(0)).cast("long").alias("near_id_sum"),
+    )
+    drop_stats = base_drop.crossJoin(F.broadcast(near_drop)).select(
+        (F.col("n_base") + F.col("n_near")).alias("n_dropped"),
+        (F.col("base_id_sum") + F.col("near_id_sum")).alias("dropped_id_sum"),
     )
     return totals.crossJoin(F.broadcast(drop_stats)).select(
         "n_total",
