@@ -750,8 +750,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit halves of md5 — byte-identical across engines — so the
     64 signed bit-counters, the packed 8-bit chunks, and the
     hamming-band candidate pairs all hash-certify against the
-    declarative DuckDB twin."""
-    return simhash_candidates(table(spark, sf_dir, "documents"))
+    declarative DuckDB twin.
+
+    EXACT-GROUP PREPASS (r11, guide §8): the signature is a pure
+    function of lower(text), so identical texts share all 8 chunks and
+    the pair relation factors through distinct-text groups — within a
+    group every pair matches all 8 chunks; across groups the match
+    count is the group representatives' match count. The 64-counter
+    fold and the (chunk_id, chunk_val) bucket self-join therefore run
+    over DISTINCT texts only (sf1: 4,992 of 50,000), and doc-level
+    pairs are re-expanded by digest-keyed joins sized by the OUTPUT
+    (which is semantically pinned), not by the squared duplication the
+    bucket join previously paid. Result-identical by construction and
+    oracle-checked against the unchanged all-pairs DuckDB twin."""
+    d = table(spark, sf_dir, "documents")
+    members = d.select("doc_id", F.md5(F.lower(F.col("text"))).alias("h")).persist()
+    stats = members.groupBy("h").agg(F.min("doc_id").alias("gid")).persist()
+    reps = d.join(stats, d["doc_id"] == stats["gid"]).select(
+        F.col("gid").alias("doc_id"), "text"
+    )
+    gcand = simhash_candidates(reps)  # (id_a, id_b, n_chunks) over gids
+    within = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(8).cast("long").alias("n_chunks"),
+        )
+    )
+    cross = (
+        gcand.join(
+            stats.select(F.col("gid").alias("id_a"), F.col("h").alias("ha")), "id_a"
+        )
+        .join(
+            stats.select(F.col("gid").alias("id_b"), F.col("h").alias("hb")), "id_b"
+        )
+        .join(members.select(F.col("h").alias("ha"), F.col("doc_id").alias("da")), "ha")
+        .join(members.select(F.col("h").alias("hb"), F.col("doc_id").alias("db")), "hb")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 _JACCARD_ORACLE = """

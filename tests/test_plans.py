@@ -811,7 +811,11 @@ def test_lsh_hash_families_stay_let_bound(spark):
     from cloudtrail_streamer_spark.registry import all_queries
 
     sf = "/root/testdata/sf0.001"
-    for name, bound in (("dedup_near_minhash", 8), ("dedup_simhash", 16)):
+    # dedup_simhash's bound covers the r11 exact-group prepass too: the
+    # md5(lower(text)) grouping key appears once in each of the
+    # members/stats relations and their expansion-join renders (20
+    # sites measured) — still far under the 33+-per-side collapse shape.
+    for name, bound in (("dedup_near_minhash", 8), ("dedup_simhash", 24)):
         df = all_queries()[name](spark, sf)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         n = plan.count("md5")
