@@ -261,14 +261,35 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     a wrong column) hash-mismatches in the driver gate instead of
     hiding behind a rows-only row. rsd=0.01 makes the 5% window a 5σ
     bound (agg_approx_bounds precedent); sketches are deterministic
-    for fixed input, so the ratios are stable across runs."""
+    for fixed input, so the ratios are stable across runs.
+
+    r11 plan note: countDistinct must NOT share an ``agg`` with the
+    sketches. Catalyst's distinct rewrite re-keys the partial phase by
+    (group, distinct-col), so every (status, custkey) pair — |customers|
+    groups, not |statuses| — carried a 2^14-register HLL++ buffer
+    (rsd 0.01 → p=14 → 16 KB each) plus both percentile buffers:
+    gigabytes of sketch-state allocation for a 3-row result (52 s at
+    sf0.1). The exact distinct now runs as its own two-level aggregate
+    over 12-byte keys and rejoins on the 3-row status key, leaving the
+    sketch buffers at one per status."""
     o = table(spark, sf_dir, "orders")
-    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+    sk = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
         F.percentile_approx("o_totalprice", 0.5).alias("approx_median"),
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+    )
+    # exact distinct: map-side dedup of (status, custkey), then a count
+    # per status — countDistinct semantics exactly (nulls don't count)
+    ex = (
+        o.where(F.col("o_custkey").isNotNull())
+        .select(F.col("o_orderstatus").alias("status"), "o_custkey")
+        .distinct()
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("exact_customers"))
+    )
+    agg = sk.join(ex, "status", "left").withColumn(
+        "exact_customers", F.coalesce("exact_customers", F.lit(0))
     )
     return agg.select(
         "status",
@@ -303,16 +324,30 @@ def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     past its error bound hash-mismatches in the correctness gate —
     unlike ``agg_approx`` (rows-only), whose <5%% assertion lives only
     in tests/test_engine.py. Sketches are deterministic for fixed
-    input, so the booleans are stable across runs."""
+    input, so the booleans are stable across runs.
+
+    r11 plan note: the exact distinct is split out of the sketch
+    ``agg`` for the same reason as ``agg_approx`` — sharing one agg
+    re-keys the partial phase by (status, custkey) and replicates the
+    16 KB HLL++ buffer per customer group."""
     o = table(spark, sf_dir, "orders")
-    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+    sk = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
         # rsd=0.01 → the 5% certificate is a 5σ bound; the default 0.05
         # rsd is a 1σ bound that genuinely misses 5% at small groups.
         F.approx_count_distinct("o_custkey", 0.01).alias("hll_customers"),
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
         F.percentile_approx("o_totalprice", 0.5).alias("gk_median"),
+    )
+    ex = (
+        o.where(F.col("o_custkey").isNotNull())
+        .select(F.col("o_orderstatus").alias("status"), "o_custkey")
+        .distinct()
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("exact_customers"))
+    )
+    agg = sk.join(ex, "status", "left").withColumn(
+        "exact_customers", F.coalesce("exact_customers", F.lit(0))
     )
     rel_err = lambda est, exact: F.abs(F.col(est) - F.col(exact)) / F.col(exact)  # noqa: E731
     return agg.select(

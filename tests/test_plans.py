@@ -946,3 +946,21 @@ def test_filtered_ann_prunes_before_kernel(spark):
     assert "centroid_id" in scan.splitlines()[0], plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "label" in ln]
     assert pushed and any("In(label" in ln for ln in pushed), plan
+
+
+def test_approx_sketches_not_rekeyed_by_distinct(spark):
+    """r11: agg_approx / agg_approx_bounds must NOT fold countDistinct
+    into the sketch agg — Catalyst's distinct rewrite re-keys the
+    partial phase by (status, custkey), replicating the 16 KB
+    rsd=0.01 HLL++ buffer per CUSTOMER group (52 s at sf0.1 for a
+    3-row result). Every partial approx_count_distinct must aggregate
+    by the 1-column status key only."""
+    for name in ("agg_approx", "agg_approx_bounds"):
+        plan = _plan(spark, name)
+        blocks = [b for b in plan.split("\n\n") if "partial_approx_count_distinct" in b]
+        assert blocks, f"{name}: HLL partial phase missing:\n{plan}"
+        for b in blocks:
+            assert "Keys [1]:" in b, (
+                f"{name}: HLL partial must key on status alone, "
+                f"not ride the distinct rewrite:\n{b}"
+            )
