@@ -180,17 +180,39 @@ FROM events e JOIN orders o
 def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-bucket + time-range join (events in [start, start+7d)).
 
-    The mod-16 bucket key makes Catalyst hash-partition both sides; the
-    range predicate filters inside each bucket — the pattern that keeps
-    interval joins shuffle-bounded at 100 TB. (Order dates are 1995-2001
-    and events 2024; the +29y shift overlaps the domains — FIXTURES.md.)
+    The mod-16 bucket key hash-partitions both sides, but 16 distinct
+    key values make the hash join a 1/16-cross-join: every probe walks
+    ~|orders|/16 build rows evaluating the range predicate (measured
+    r11: 102 s at sf0.1, 108× the sf0.01 time — quadratic). The join
+    key is therefore widened with the event's calendar DAY (the
+    ``join_range_bucketed`` expansion): each order explodes into the
+    ≤8 day buckets its 7-day window can touch, events carry their own
+    day, and the equi-key becomes (mod-16, day) — ~10⁴ distinct values
+    instead of 16, so per-key candidate lists stay O(1) as data grows.
+    An event's day is unique, so the explode introduces no duplicate
+    pairs; the range predicate implies day membership, so no pair is
+    lost — results are identical by construction and hash-checked
+    against the naive-predicate oracle. (Order dates are 1995-2001 and
+    events 2024; the +29y shift overlaps the domains — FIXTURES.md.)
     """
-    e = table(spark, sf_dir, "events")
-    o = table(spark, sf_dir, "orders").withColumn(
-        "window_start", F.expr("o_orderdate + INTERVAL 29 YEARS")
+    e = table(spark, sf_dir, "events").withColumn("day_bucket", F.to_date("ts"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .withColumn("window_start", F.expr("o_orderdate + INTERVAL 29 YEARS"))
+        .withColumn(
+            "day_bucket",
+            F.explode(
+                F.sequence(
+                    F.to_date("window_start"),
+                    # end-exclusive: the last instant is start+7d−ε
+                    F.to_date(F.expr("window_start + INTERVAL 7 DAYS - INTERVAL 1 SECOND")),
+                )
+            ),
+        )
     )
     cond = (
         ((e.user_id % 16) == (o.o_orderkey % 16))
+        & (e.day_bucket == o.day_bucket)
         & (e.ts >= o.window_start)
         & (e.ts < F.expr("window_start + INTERVAL 7 DAYS"))
     )
@@ -405,22 +427,42 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans <=> as an ordinary hash join (null-safe keys still hash;
     no BNLJ penalty); the per-key pair counts — including the NULL
     bucket, reported as -1 — are hash-checked against DuckDB's
-    IS NOT DISTINCT FROM."""
+    IS NOT DISTINCT FROM.
+
+    r11: each side pre-aggregates to (key, count) BEFORE the null-safe
+    join (guide "aggregate before you shuffle"): with only 51 distinct
+    keys the raw join materialized ~|orders|²/4/51 pair rows — ~100 M
+    at sf0.1 (12 s) and quadratic beyond — only for the groupBy to
+    collapse them again. The inner pair count per key is exactly
+    cnt_a·cnt_b, so the null-safe hash join now runs over two 51-row
+    aggregates and the result is identical by construction (and still
+    hash-checked against DuckDB's raw IS NOT DISTINCT FROM join)."""
     o = table(spark, sf_dir, "orders")
-    a = o.where(F.col("o_orderkey") % 2 == 0).select(
-        F.when(F.col("o_orderkey") % 7 == 0, None)
-        .otherwise(F.col("o_custkey") % 50)
-        .alias("ka")
+    a = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.when(F.col("o_orderkey") % 7 == 0, None)
+            .otherwise(F.col("o_custkey") % 50)
+            .alias("ka")
+        )
+        .groupBy("ka")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
     )
-    b = o.where(F.col("o_orderkey") % 2 == 1).select(
-        F.when(F.col("o_orderkey") % 5 == 0, None)
-        .otherwise(F.col("o_custkey") % 50)
-        .alias("kb")
+    b = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .select(
+            F.when(F.col("o_orderkey") % 5 == 0, None)
+            .otherwise(F.col("o_custkey") % 50)
+            .alias("kb")
+        )
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
     )
     j = a.join(b, a.ka.eqNullSafe(b.kb))
-    return j.groupBy(
-        F.coalesce(F.col("ka"), F.lit(-1)).alias("k")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return j.select(
+        F.coalesce(F.col("ka"), F.lit(-1)).alias("k"),
+        (F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("n_pairs"),
+    )
 
 
 _BLOOM_PREFILTER_ORACLE = """

@@ -964,3 +964,38 @@ def test_approx_sketches_not_rekeyed_by_distinct(spark):
                 f"{name}: HLL partial must key on status alone, "
                 f"not ride the distinct rewrite:\n{b}"
             )
+
+
+def test_join_interval_day_bucket_equi_key(spark):
+    """r11: join_interval must widen its 16-value mod key with the
+    calendar-day bucket (orders exploded into the ≤8 days a 7-day
+    window touches) — without it the hash join degenerates into a
+    1/16-cross-join (102 s at sf0.1, quadratic in data size)."""
+    plan = _plan(spark, "join_interval")
+    assert "Generate" in _tree(plan), "orders must explode into day buckets"
+    join_blocks = [
+        b for b in plan.split("\n\n") if b.splitlines() and "Join" in b.splitlines()[0]
+    ]
+    assert join_blocks, plan
+    assert any(
+        "day_bucket" in b and "% 16)" in b for b in join_blocks
+    ), f"join keys must be (mod-16, day_bucket):\n{plan}"
+
+
+def test_join_null_safe_aggregates_before_join(spark):
+    """r11: join_null_safe must pre-aggregate both sides to (key, count)
+    BEFORE the null-safe join — joining the raw sides materializes
+    ~|orders|²/4/51 pair rows (100 M at sf0.1) that the old groupBy
+    immediately collapsed. The join itself must stay a null-safe HASH
+    join (coalesce/isnull key pair), not a BNLJ."""
+    plan = _plan(spark, "join_null_safe")
+    tree = _tree(plan)
+    assert tree.count("HashAggregate") == 4, f"partial+final agg per side:\n{tree}"
+    join_line = next(ln for ln in tree.splitlines() if "Join" in ln)
+    agg_line = next(ln for ln in tree.splitlines() if "HashAggregate" in ln)
+    assert tree.index(join_line) < tree.index(agg_line), (
+        f"aggregates must sit BELOW the join:\n{tree}"
+    )
+    assert "coalesce(ka" in plan and "isnull(ka" in plan, (
+        f"null-safe equality must stay a hash-join key:\n{plan}"
+    )
