@@ -192,12 +192,27 @@ def agg_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles (linear interpolation, tie-insensitive): Spark's
     ``percentile`` ≡ DuckDB's ``quantile_cont``. The exact form needs a
     per-group sort — the scale path is B-27's ``percentile_approx``
-    (mergeable GK sketch, no sort); this op is the correctness anchor."""
+    (mergeable GK sketch, no sort); this op is the correctness anchor.
+
+    r11: one ``percentile(col, array(...))`` call instead of three —
+    three separate calls built three independent value-count maps over
+    the SAME column (3× the aggregation state and merge traffic); the
+    array form sorts the group once and reads all three quantiles from
+    it (1.44 s → measured A/B below at sf0.1, values identical: same
+    function, same interpolation, one buffer)."""
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("q25"),
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("q50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("q75"),
+    q = F.percentile(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(q.alias("qs"))
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("qs", 1), 4).alias("q25"),
+            F.round(F.element_at("qs", 2), 4).alias("q50"),
+            F.round(F.element_at("qs", 3), 4).alias("q75"),
+        )
     )
 
 

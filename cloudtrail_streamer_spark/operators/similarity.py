@@ -296,16 +296,33 @@ WHERE a.vec_id <= 99 AND {_D_COS} >= 0.95
 def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.95) for a probe
     slice. At 100 TB this composes with sim_search_ivf's bucketing (score
-    within-bucket only) — kept brute-force here for the exact oracle."""
+    within-bucket only) — kept brute-force here for the exact oracle.
+
+    r11 plan: the norms are PER-VECTOR, not per-pair — each side now
+    carries its pre-cast double array and its precomputed L2 norm below
+    the join, so each candidate pair pays ONE zip_with dot instead of
+    three (dot + both norms re-derived per pair); and the score is
+    let-bound behind an explode(array(...)) barrier so the ≥0.95 filter
+    doesn't re-evaluate the cosine a second time (CollapseProject +
+    pushdown otherwise duplicate it into the Filter). Same IEEE
+    expression dot/(|a|·|b|) in the same order — results identical."""
     em = table(spark, sf_dir, "embeddings")
     a = em.where(F.col("vec_id") <= 99).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+        F.col("vec_id").alias("id_a"),
+        as_double(F.col("embedding")).alias("ea"),
+        l2_norm(as_double(F.col("embedding"))).alias("na"),
     )
-    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    score = F.round(cosine(as_double(F.col("emb_a")), as_double(F.col("emb_b"))), 4)
+    b = em.select(
+        F.col("vec_id").alias("id_b"),
+        as_double(F.col("embedding")).alias("eb"),
+        l2_norm(as_double(F.col("embedding"))).alias("nb"),
+    )
+    score = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
     return (
         b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
-        .withColumn("score", score)
+        .select(
+            "id_a", "id_b", F.explode(F.array(score)).alias("score")
+        )
         .where(F.col("score") >= 0.95)
         .select("id_a", "id_b", "score")
     )
@@ -341,25 +358,40 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``codes`` is emitted as a comma-joined string (not a raw ARRAY): the
     external driver's canonicalizer sorts/hashes scalar cells and cannot
     factorize numpy arrays (VERDICT r02 "what's wrong #1"); the array
-    form round-trips losslessly via split(codes, ',')."""
+    form round-trips losslessly via split(codes, ',').
+
+    r11 let-binding (same fix as dedup._shingles): referencing
+    array_min/array_max of the cast array INSIDE the per-element lambda
+    re-evaluated both — and the cast itself — once per element (HOF
+    lambda bodies get no cross-element CSE): O(d²) casts per row. The
+    cast array and its min/max are now bound once per row via the
+    transform(array(...), e -> …) idiom and the three output fields are
+    extracted through an explode(array(struct)) projection barrier, so
+    the optimized plan carries exactly one cast/min/max site."""
     em = table(spark, sf_dir, "embeddings")
-    e = as_double(F.col("embedding"))
-    mn = F.array_min(e)
-    mx = F.array_max(e)
-    codes = F.transform(
-        e,
-        lambda x: F.when(mx == mn, F.lit(0).cast("long")).otherwise(
-            F.least(
-                F.lit(255).cast("long"),
-                F.floor((x - mn) * 255.0 / (mx - mn)).cast("long"),
+    s = F.explode(
+        F.array(
+            F.expr(
+                """
+                transform(array(transform(embedding, x -> CAST(x AS DOUBLE))), e ->
+                  transform(array(named_struct('mn', array_min(e), 'mx', array_max(e))), r ->
+                    named_struct(
+                      'mn', r.mn,
+                      'mx', r.mx,
+                      'codes', array_join(transform(e, x ->
+                        CAST(CASE WHEN r.mx = r.mn THEN 0L
+                             ELSE least(255L, CAST(floor((x - r.mn) * 255.0
+                                                         / (r.mx - r.mn)) AS LONG))
+                             END AS STRING)), ',')))[0])[0]
+                """
             )
-        ),
+        )
     )
-    return em.select(
+    return em.select("vec_id", s.alias("s")).select(
         "vec_id",
-        mn.alias("mn"),
-        mx.alias("mx"),
-        F.array_join(F.transform(codes, lambda c: c.cast("string")), ",").alias("codes"),
+        F.col("s.mn").alias("mn"),
+        F.col("s.mx").alias("mx"),
+        F.col("s.codes").alias("codes"),
     )
 
 

