@@ -2429,12 +2429,21 @@ def dedup_greedy_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index rows, no quadratic hot key.
     freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w_pref = Window.partitionBy("gid").orderBy("df", "sh")
+    # persisted (r11): pref feeds BOTH sides of the candidate self-join;
+    # unpersisted, the df-aggregate + rank window + the two joins above
+    # it run twice per execution — measured on fresh-plan runs
+    # (interleaved, clearCache each round, the gate's one-shot shape):
+    # 15.7–28.7 s without the persist vs 5.0–6.6 s with it at sf0.1.
+    # The cached relation is (gid, shingle) rows — prefix-sized, ~40% of
+    # the index, no payloads — the same digest-scale footprint argument
+    # as gsh above.
     pref = (
         inv.join(freq, "sh")
         .withColumn("rn", F.row_number().over(w_pref))
         .join(gsh.select("gid", F.size("s").alias("sz")), "gid")
         .where(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(0.6)) + 1)
         .select("gid", "sh")
+        .persist()
     )
     cand = (
         pref.alias("x")
