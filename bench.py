@@ -109,6 +109,21 @@ def time_one_df(spark, df, runs: int = N_RUNS) -> float:
     return round(best, 3)
 
 
+def probe_floor(spark, runs: int = 2) -> float:
+    """Min wall-clock of a 1-row noop action — the per-run scheduling
+    floor. Re-probed BETWEEN headline queries (r11 VERDICT #1: the host
+    runs a periodic external harness whose load bursts inflated 7 tail
+    cells 3-4x in the r11 driver run; a floor probe taken next to each
+    measurement makes a contaminated cell machine-readable)."""
+    df = spark.range(1)
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def time_spark(
     spark,
     queries,
@@ -526,7 +541,27 @@ def main() -> None:
         floor_df.write.format("noop").mode("overwrite").save()
         job_floor = min(job_floor, time.perf_counter() - t0)
 
-    spark_times = time_spark(spark, queries, sf_dir)
+    # Headline cells with a floor probe BESIDE each measurement (r11
+    # VERDICT #1): the probe is taken immediately before each query's
+    # timed runs, so a host-load burst that lands on a cell also lands
+    # on its probe. Timed region per query is unchanged (same warm +
+    # min-of-N noop protocol via time_spark); the probes are extra
+    # bookkeeping between cells, ~0.1 s each.
+    spark_times: dict[str, float] = {}
+    floor_at_measure: dict[str, float] = {}
+    for name in HEADLINE:
+        floor_at_measure[name] = round(probe_floor(spark), 3)
+        spark_times.update(time_spark(spark, queries, sf_dir, [name]))
+    floor_at_measure["_after_last"] = round(probe_floor(spark), 3)
+    # A cell is load-suspect when its neighbouring probe ran well above
+    # the session's quietest probe: 3x the min, with a 0.05 s absolute
+    # slack so sub-100 ms jitter never flags.
+    floor_base = min(min(floor_at_measure.values()), job_floor)
+    load_suspect = sorted(
+        n
+        for n in HEADLINE
+        if floor_at_measure[n] > max(3.0 * floor_base, floor_base + 0.05)
+    )
     duck_times = time_duckdb(oracles, sf_dir)
     spark_batched = time_spark_batched(spark, queries, sf_dir)
     # Each engine gets its BEST multi-query strategy: Spark overlaps its
@@ -936,6 +971,8 @@ def main() -> None:
         "duckdb": duck_times,
         "ratio": ratio,
         "spark_job_floor_sec": round(job_floor, 3),
+        "floor_at_measure": floor_at_measure,
+        "load_suspect": load_suspect,
         "batched_wall_clock_sec": spark_batched,
         "duckdb_batched_wall_clock_sec": duck_batched,
         "per_sf": per_sf,
@@ -966,6 +1003,10 @@ def main() -> None:
         "sf": float(sf),
         "duckdb_total_sec": round(sum(duck_times.values()), 3),
         "spark_job_floor_sec": round(job_floor, 3),
+        # headline cells whose per-cell floor probe ran >=3x the session
+        # minimum — i.e. a host-load burst landed on them; read their
+        # seconds with that in mind (detail has floor_at_measure)
+        "load_suspect": load_suspect,
         # multi-query sharing (VERDICT r03 #4): all 14 queries in flight
         # at once on BOTH engines, wall-clock to last finish — the
         # sequential sums above are ~90% per-action floor at sf0.1

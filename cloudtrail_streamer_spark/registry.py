@@ -82,86 +82,98 @@ def _load_all() -> None:
 # everything else follows in registration order. Rotate this list each round
 # so that, across rounds, every query lands inside the driver's window.
 #
-# Round 11 (VERDICT r10 #1/#2): freshness-drain rotation. Slots 1-8
-# are the r10-staged r2-latest queries (the only rows whose latest
-# driver cert predates r3 — VERDICT r10 #1 asked for exactly these at
-# the head). Slots 9-11 are this round's changed/new implementations:
-# text_compression_quality (bounds certificate re-derived from length,
-# ADVICE r10 #3), text_crossdoc_substring (null-doc filter, ADVICE r10
-# #4), and sim_search_filtered (new — metadata-filtered ANN, VERDICT
-# r10 #8). The remaining 39 slots drain the r3-latest tail oldest-first
-# (41 queries exist; embed_quantize_int8 — the one multi-cert member —
-# and sql_tpch_q1 defer to _R11_STAGED below, each locally driven to
-# MATCH this session via tools/drive_entry.py, see SCALE.md §Round-11).
-# The r11 window also re-certifies the harness conf-restore +
-# error-condition classifier changes through its six streaming rows
-# (stream_session/stream_sliding/source_kinesis_stub at the head;
-# sink_idempotent_batchid, the two kinesis_custom_stream rows and
-# source_corrupt_records/source_custom_datasource in the r3 tail).
+# Round 12 (VERDICT r11 #3): changed-implementation recertification +
+# freshness drain. Slots 1-2 are the r11-staged pair (the only rows
+# whose latest driver cert is r3). Slots 3-21 are the 19 queries whose
+# PLANS the r11 optimization round changed but which rotated OUT of the
+# r11 driver window — the rotation comment has always promised "changed
+# implementations re-earn the row", and the r11 VERDICT held it to
+# that: join_interval, join_null_safe, agg_approx, agg_median_quantile,
+# the two udaf kernels, embed_neardup_cosine, dedup_simhash,
+# dedup_greedy_survivors, the §5-§8 let-binding/group-factoring family
+# (dedup_near_minhash, dedup_minhash_recall, dedup_groups_connected,
+# pipeline_dedup_e2e, text_ngram_jaccard, text_ngram_novelty,
+# text_minhash_containment, text_repetition_filter), and tpch_q3/q5
+# (semi-shrunk broadcast / transitive nation shrink). The remaining 29
+# slots drain the r4-latest tail oldest-first (45 exist; two are
+# already in the replanned block above; the rest stage for r13 in
+# _R12_STAGED). r12 itself changed no declared query implementation
+# (its streaming-backend candidate was measured flat at the gate shape
+# and REVERTED — OPTIMIZATION_r12.md §1), so no changed-implementation
+# slots are needed this round.
 _WINDOW_PRIORITY: list[str] = [
-    # --- r10-staged: the last r2-latest certifications ---
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_union_distinct",
-    "agg_approx_bounds",
-    "stream_session",
-    "stream_sliding",
-    "source_kinesis_stub",
-    # --- changed implementation/oracle this round: (re-)earn the row ---
-    "text_compression_quality",
-    "text_crossdoc_substring",
-    "sim_search_filtered",
-    # --- stale tail: r3-latest, 39 of 41 ---
-    "agg_histogram",
-    "agg_hll_union_sketch",
-    "agg_mode_argmax",
-    "agg_outlier_zscore",
-    "agg_time_bucket",
-    "agg_weighted_quantile",
-    "embed_centroid_update",
-    "embed_lsh_recall",
-    "embed_pq_codebook",
-    "events_gap_fill",
-    "events_rate_limit",
-    "fn_interval_arith",
-    "fn_nested_struct",
-    "join_range_bucketed",
-    "multimodal_audio_features",
-    "multimodal_image_resize",
-    "profile_columns",
-    "sample_quota_per_source",
-    "scan_csv_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_schema_evolution",
-    "scd2_intervals",
-    "sim_ivf_recall",
-    "sink_idempotent_batchid",
-    "sink_kinesis_custom_stream",
-    "source_corrupt_records",
-    "source_custom_datasource",
-    "source_kinesis_custom_stream",
-    "split_train_val_test",
-    "text_chunk_documents",
-    "text_dataset_mix",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_token_count",
-    "text_winnow_fingerprints",
-    "tpch_q18_large_volume",
-    "udf_arrow_batch",
-    "win_pattern_funnel",
-    "win_sessionize",
-]
-
-# Next-round staging: the 2 r3-latest queries deferred from the r11
-# window (locally re-verified via tools/drive_entry.py this session —
-# see the rotation note above). They take the first slots of the r12
-# rotation, followed by whatever r12 itself changes, then the oldest
-# single-lifetime-cert queries (r4-latest) oldest-first.
-_R11_STAGED: list[str] = [
+    # --- r11-staged: the last r3-latest certifications ---
     "embed_quantize_int8",
     "sql_tpch_q1",
+    # --- r11-replanned: re-earn the row after the plan change ---
+    "join_interval",
+    "join_null_safe",
+    "agg_approx",
+    "agg_median_quantile",
+    "udaf_applyinpandas",
+    "udaf_cogrouped_asof",
+    "embed_neardup_cosine",
+    "dedup_simhash",
+    "dedup_greedy_survivors",
+    "dedup_near_minhash",
+    "dedup_minhash_recall",
+    "dedup_groups_connected",
+    "pipeline_dedup_e2e",
+    "text_ngram_jaccard",
+    "text_ngram_novelty",
+    "text_minhash_containment",
+    "text_repetition_filter",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    # --- stale tail: r4-latest, first 29 of the remaining 43 ---
+    "dedup_incremental_ingest",
+    "dedup_semantic_ivf",
+    "dq_constraint_suite",
+    "events_cusum_changepoint",
+    "feature_pit_join",
+    "graph_pagerank_trade",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "pipeline_retrieve_rerank",
+    "scan_nested_pushdown",
+    "sim_index_partition_pruned",
+    "sink_dynamic_partition_overwrite",
+    "sink_training_shards",
+    "sql_correlated_subquery",
+    "sql_distinct_on_first",
+    "sql_group_by_all",
+    "sql_lateral_join",
+    "sql_not_in_nulls",
+    "sql_order_by_all",
+    "sql_recursive_cte",
+    "text_bpe_merges",
+    "text_decode_ids_roundtrip",
+    "text_encode_ids",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+]
+
+# Next-round staging: the r4-latest queries that did not fit the r12
+# window — drain them first in r13, after whatever r13 itself changes.
+_R12_STAGED: list[str] = [
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q20_promo_part_suppliers",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_shape",
+    "udaf_pandas_grouped_agg",
+    "win_match_recognize",
+    "win_touch_attribution",
 ]
 
 

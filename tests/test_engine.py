@@ -679,7 +679,7 @@ def test_staged_covers_unchecked_queries():
     import cloudtrail_streamer_spark.registry as R
 
     R._load_all()
-    staged, window = set(R._R11_STAGED), set(R._WINDOW_PRIORITY)
+    staged, window = set(R._R12_STAGED), set(R._WINDOW_PRIORITY)
     missing = staged - set(R._REGISTRY)
     assert not missing, f"staged names not registered: {sorted(missing)}"
     assert not (staged & window), "staged/window overlap wastes slots"
