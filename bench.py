@@ -541,6 +541,20 @@ def main() -> None:
         floor_df.write.format("noop").mode("overwrite").save()
         job_floor = min(job_floor, time.perf_counter() - t0)
 
+    # JIT stabilization: a fresh JVM runs the noop/scheduler path 3-4x
+    # slower for its first seconds (measured: per-cell floor probes
+    # decay 0.085 -> 0.022 across the headline loop on a quiet host).
+    # Probe until two consecutive probes agree within 25% (bounded at
+    # 12) so the FIRST headline cells are neither inflated by warm-up
+    # nor falsely flagged load-suspect against the later, warmer base.
+    prev = job_floor
+    for _ in range(12):
+        cur = probe_floor(spark)
+        if max(cur, prev) <= 1.25 * min(cur, prev):
+            break
+        prev = cur
+    job_floor = min(job_floor, prev, cur)
+
     # Headline cells with a floor probe BESIDE each measurement (r11
     # VERDICT #1): the probe is taken immediately before each query's
     # timed runs, so a host-load burst that lands on a cell also lands

@@ -25,6 +25,12 @@ SKIP_MODULES = (
     "lakehouse",  # fixture-write dominated; examined separately
 )
 
+# r12 (VERDICT r11 #4): SWEEP_FAMILIES=streaming,lakehouse inverts the
+# default skip — sweep ONLY those modules. For streaming ops the
+# registry call runs the whole replay, so the interesting number is
+# "build"; for lakehouse ops "build" is the fixture write + snapshot
+# setup and "exec" the snapshot-read data path.
+
 N_RUNS = 3
 
 
@@ -49,9 +55,13 @@ def main() -> int:
     if only:
         names = [n for n in names if n in set(only.split(","))]
     with open(out_path, "a") as out:
+        fams = os.environ.get("SWEEP_FAMILIES")
         for name in names:
             fn = queries[name]
-            if any(s in fn.__module__ for s in SKIP_MODULES):
+            if fams:
+                if not any(s in fn.__module__ for s in fams.split(",")):
+                    continue
+            elif any(s in fn.__module__ for s in SKIP_MODULES):
                 continue
             rec: dict = {"name": name, "module": fn.__module__}
             for sf_dir in sf_dirs:
