@@ -568,9 +568,17 @@ def main() -> None:
         spark_times.update(time_spark(spark, queries, sf_dir, [name]))
     floor_at_measure["_after_last"] = round(probe_floor(spark), 3)
     # A cell is load-suspect when its neighbouring probe ran well above
-    # the session's quietest probe: 3x the min, with a 0.05 s absolute
-    # slack so sub-100 ms jitter never flags.
-    floor_base = min(min(floor_at_measure.values()), job_floor)
+    # the session's TYPICAL probe: 3x the median, with a 0.05 s absolute
+    # slack. Median, not min — the JVM keeps JIT-warming through the
+    # first cells (probes decay ~0.09 -> ~0.02 across a quiet run even
+    # after the stabilization block above), so a min-based base flags
+    # the head of every quiet run; the median is insensitive to that
+    # decay while a genuine 10-30x host burst (the r11 failure mode)
+    # still trips 3x easily. A burst long enough to move the median
+    # would contaminate most cells — the in-run DuckDB control catches
+    # that case.
+    probes = sorted(floor_at_measure.values())
+    floor_base = probes[len(probes) // 2]
     load_suspect = sorted(
         n
         for n in HEADLINE
